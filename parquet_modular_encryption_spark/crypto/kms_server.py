@@ -1,0 +1,119 @@
+"""Stdlib-HTTP KMS server speaking the reference's wrap/unwrap protocol.
+
+Endpoints (reference kms_server.py:131-157):
+
+    POST /api/v1/wrap/{key_id}    body {"key": "<b64>"}  → {"key": "<b64>"}
+    POST /api/v1/unwrap/{key_id}  body {"key": "<b64>"}  → {"key": "<b64>"}
+
+Semantics preserved from the reference:
+- wrap is deliberately unauthenticated (anyone may encrypt,
+  kms_server.py:135-139); unwrap checks the ``x-api-key`` header against
+  the privilege lattice (kms_server.py:104-127) and returns 403 on
+  insufficient privilege.
+- invalid payloads → 422 (kms_server.py:98-101).
+
+Implemented on ``http.server.ThreadingHTTPServer`` (FastAPI is not in this
+environment); the protocol shape is identical, so the reference's httpx
+client code would interoperate.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from parquet_modular_encryption_spark.crypto import kms_core
+from parquet_modular_encryption_spark.crypto.policy import can_unwrap
+
+
+class _KmsHandler(BaseHTTPRequestHandler):
+    server_version = "DemoKMS/0.1"
+
+    def log_message(self, fmt: str, *args) -> None:  # silence per-request noise
+        pass
+
+    def _reply(self, status: int, payload: dict) -> None:
+        body = json.dumps(payload).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_POST(self) -> None:  # noqa: N802 (http.server API)
+        parts = self.path.strip("/").split("/")
+        # expected: api / v1 / {wrap|unwrap} / {key_id}
+        if len(parts) != 4 or parts[:2] != ["api", "v1"] or parts[2] not in ("wrap", "unwrap"):
+            self._reply(404, {"detail": "not found"})
+            return
+        action, key_id = parts[2], parts[3]
+        kek = kms_core.WRAPPING_KEYS.get(key_id)
+        if kek is None:
+            self._reply(404, {"detail": f"unknown wrapping key {key_id!r}"})
+            return
+        try:
+            length = int(self.headers.get("Content-Length", "0"))
+            payload = json.loads(self.rfile.read(length) or b"{}")
+            key_b64 = payload["key"]
+        except (json.JSONDecodeError, KeyError):
+            self._reply(422, {"detail": "body must be JSON with a 'key' field"})
+            return
+        try:
+            key = kms_core.b64d(key_b64)
+            if action == "wrap":
+                # wrap endpoint is unauthenticated by design (reference
+                # kms_server.py:135-139): writing requires no privilege.
+                result = kms_core.wrap(kek, key)
+            else:
+                token = self.headers.get("x-api-key")
+                if not can_unwrap(token, key_id):
+                    self._reply(403, {"detail": f"token not authorized for {key_id}"})
+                    return
+                result = kms_core.unwrap(kek, key)
+        except kms_core.KeyValidationError as exc:
+            self._reply(422, {"detail": str(exc)})
+            return
+        self._reply(200, {"key": kms_core.b64e(result)})
+
+
+class KmsServer:
+    """In-process KMS for tests and local runs: ``with KmsServer() as url:``."""
+
+    def __init__(self, port: int = 0) -> None:
+        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), _KmsHandler)
+        self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
+
+    @property
+    def url(self) -> str:
+        host, port = self._httpd.server_address[:2]
+        return f"http://{host}:{port}"
+
+    def start(self) -> "KmsServer":
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+
+    def __enter__(self) -> str:
+        self.start()
+        return self.url
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+_shared: KmsServer | None = None
+_shared_lock = threading.Lock()
+
+
+def shared_kms_url() -> str:
+    """Process-wide singleton KMS (lazy): used when callers don't provide a
+    KMS URL, e.g. the q60 registry query running inside the driver."""
+    global _shared
+    with _shared_lock:
+        if _shared is None:
+            _shared = KmsServer().start()
+        return _shared.url

@@ -1,0 +1,87 @@
+"""Cross-engine-deterministic numeric helpers.
+
+Floating-point SUM/AVG are order-dependent: a distributed Spark sum and a
+DuckDB sum over the same doubles differ in low-order bits, which breaks the
+driver's value-hash comparison. The fix used throughout this engine:
+
+1. Evaluate the per-row double expression (IEEE ops on identical inputs are
+   bit-identical across engines).
+2. Cast each value to DECIMAL(38,10). All source data here carries ≤6 true
+   decimal digits (2-decimal money × 2-decimal rates), so the scale-10 cast
+   performs NO rounding — it is exact in both engines. (A lower scale would
+   round, and Spark's HALF_UP disagrees with DuckDB on exact `..xx50` ties,
+   which 6-decimal products hit at the ~1% level.)
+3. SUM in decimal — exact, order-independent. The result is returned AS
+   DECIMAL(38,10): bit-exact in both engines, no final float cast to go
+   wrong. (DuckDB's decimal→double cast is not correctly rounded once the
+   unscaled value exceeds 2^53, so casting big sums to double is unsafe.)
+4. For averages, the exact sum is first cast to DECIMAL(38,4) — at scale 4
+   the unscaled value stays below 2^53 for magnitudes up to ~9e11, making
+   the →double cast exact in both engines — then divided by the count in
+   double.
+
+At scale this costs nothing material: decimal sums are still map-side
+partial aggregates inside whole-stage codegen; the per-row cast is a cheap
+JVM op, and the shuffle carries one 16-byte decimal per group instead of an
+8-byte double.
+
+``dsum``/``davg`` are the Spark side; ``sql_dsum``/``sql_davg`` emit the
+matching DuckDB/ANSI fragment for the oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+DEC = "decimal(38,10)"
+DEC_OUT = "decimal(38,4)"
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def dsum(c: Column | str) -> Column:
+    """Order-independent, cross-engine-exact SUM of a double expr.
+
+    Returns DECIMAL(38,10) — identical value AND type in both engines.
+    """
+    return F.sum(_col(c).cast(DEC))
+
+
+def davg(c: Column | str) -> Column:
+    """Deterministic AVG as DOUBLE.
+
+    The exact decimal sum is scaled by 10^4 and FLOORed — floor is tie-free,
+    unlike a rounding cast, where Spark's HALF_UP and DuckDB's HALF_EVEN
+    disagree on exact `..50` boundaries — giving an integer < 2^53 whose
+    →double cast is exact in both engines; the remaining divisions are IEEE
+    ops on identical doubles.
+    """
+    col = _col(c)
+    floored = F.floor(F.sum(col.cast(DEC)) * 10000).cast("bigint")
+    return floored.cast("double") / F.lit(10000.0) / F.count(col)
+
+
+def sql_dsum(expr: str) -> str:
+    return f"SUM(CAST(({expr}) AS DECIMAL(38,10)))"
+
+
+def sql_davg(expr: str) -> str:
+    return (
+        f"(CAST(CAST(floor(SUM(CAST(({expr}) AS DECIMAL(38,10))) * 10000) AS BIGINT)"
+        f" AS DOUBLE) / 10000.0 / COUNT({expr}))"
+    )
+
+
+def dsum_window(c: Column | str, window) -> Column:
+    """Deterministic windowed SUM as DOUBLE (e.g. running totals).
+
+    DuckDB evaluates windowed aggregates with a segment tree (different
+    addition order than Spark's incremental frame evaluation), so the same
+    decimal trick applies inside the frame. Scale 4 keeps the →double cast
+    exact for money magnitudes (unscaled value < 2^53); inputs with ≤4
+    true decimals (prices, quantities) lose nothing to the cast.
+    """
+    return F.sum(_col(c).cast(DEC_OUT)).over(window).cast("double")

@@ -1,0 +1,81 @@
+"""Cross-engine text primitives: tokenization, portable hashing, shingles.
+
+Portable 60-bit hash: both Spark and DuckDB expose md5() with identical
+output, so ``hash60(s) = int(md5(s)[:15], 16)`` is computable in both —
+Spark via conv(hex,16,10), DuckDB via CAST('0x'||hex AS BIGINT). 15 hex
+digits < 2^60, so it fits a signed BIGINT with headroom for modular
+arithmetic in MinHash permutations. Spark's native xxhash64 would be faster
+but is not reproducible in the oracle; production can swap it in behind the
+same API.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Mersenne prime 2^31 - 1: (a*h + b) stays under 2^62 for a,b,h < P.
+MINHASH_PRIME = 2_147_483_647
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of trimmed text (Spark side)."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.split(F.trim(col), r"\s+")
+
+
+def sql_tokens(expr: str) -> str:
+    """DuckDB twin of :func:`tokens`."""
+    return f"string_split_regex(trim({expr}), '\\s+')"
+
+
+def hash60(c: Column) -> Column:
+    """Portable 60-bit hash of a string column (Spark side)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def sql_hash60(expr: str) -> str:
+    """DuckDB twin of :func:`hash60`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def normalized(c: Column | str) -> Column:
+    """Canonical text form for fingerprinting: lowercase, collapsed
+    whitespace, trimmed."""
+    col = F.col(c) if isinstance(c, str) else c
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def sql_normalized(expr: str) -> str:
+    return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (Spark side): the MinHash input set.
+
+    Documents shorter than n words yield a single shingle (the whole text),
+    so every document has a non-empty set.
+    """
+    toks = tokens(c)
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.array_distinct(
+        F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles`.
+
+    ``toks_expr`` should be a (cheap) reference to an already-computed token
+    list column — it is referenced n+2 times.
+    """
+    parts = " || ' ' || ".join(f"{toks_expr}[i+{j}]" for j in range(n))
+    return (
+        f"list_distinct(CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n} + 2), i -> {parts}) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END)"
+    )

@@ -1,0 +1,57 @@
+"""Queries that exercise the encrypted-parquet path (the reference's actual
+surface) inside a real relational pipeline.
+
+The builder writes a policy-encrypted copy of a table (crypto/policy.py
+lattice, per-column keys) to a scratch dir, reads it back with a privileged
+token, and runs an aggregate. The DuckDB oracle runs the same aggregate on
+the PLAINTEXT table — so the check proves encrypted write → decrypt read is
+lossless, which is exactly the reference's round-trip guarantee
+(write_encrypted_parquet.py → read_encrypted_parquet.py).
+
+Queries are registered by crypto/... once the KMS/PME layer lands; this
+module is imported by the registry unconditionally, so keep imports cheap.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import davg, sql_davg
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+
+@register(
+    "q60_encrypted_roundtrip",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_davg('c_acctbal')} AS avg_acctbal
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("encryption", "roundtrip"),
+)
+def q60_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encrypt customer under the privilege-lattice policy, read it back
+    with a RESTRICTED token, aggregate. Oracle aggregates the plaintext
+    table — equality proves the encrypted round-trip is lossless."""
+    prep(spark)
+    from parquet_modular_encryption_spark.crypto.policy import CUSTOMER_POLICY
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        read_encrypted,
+        write_encrypted,
+    )
+
+    plain = load(spark, sf_dir, "customer")
+    scratch = tempfile.mkdtemp(prefix="pme_q60_")
+    write_encrypted(plain, f"{scratch}/customer_enc", CUSTOMER_POLICY)
+    enc = read_encrypted(spark, f"{scratch}/customer_enc", token="RESTRICTED")
+    return enc.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        davg("c_acctbal").alias("avg_acctbal"),
+    )

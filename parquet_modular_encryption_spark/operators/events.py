@@ -1,0 +1,159 @@
+"""Time-window operators over the events table (batch form).
+
+These are the batch equivalents of the streaming operators in
+``streaming/`` — same F.window / session-gap semantics, expressed so a
+DuckDB oracle can check them. The streaming variants (watermarks, late-data
+handling) are tested in tests/test_streaming.py with a memory sink.
+
+Scale notes: tumbling/sliding windows are plain hash aggregations on
+(window, key) — map-side partials, no sort. Sessionization shuffles once on
+user_id; the per-user sort is bounded by a user's event count."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import dsum, sql_dsum
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+
+@register(
+    "q30_tumbling_window",
+    oracle=f"""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("window", "time"),
+)
+def q30_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling windows via F.window (the streaming-native operator,
+    here in batch). With UTC session TZ, window starts equal date_trunc."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+@register(
+    "q31_sliding_window",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start, value FROM events
+        UNION ALL
+        SELECT CAST(date_trunc('hour', ts) - INTERVAL 1 HOUR AS TIMESTAMP) AS win_start, value
+        FROM events
+    )
+    SELECT win_start, COUNT(*) AS n_events, {sql_dsum('value')} AS sum_value
+    FROM assigned
+    GROUP BY win_start
+    """,
+    tags=("window", "time", "sliding"),
+)
+def q31_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-hour windows sliding by 1 hour: each event lands in 2 windows.
+    The oracle replicates the window assignment with a 2-way UNION ALL."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value").alias("sum_value"))
+        .select(F.col("w.start").alias("win_start"), "n_events", "sum_value")
+    )
+
+
+@register(
+    "q32_sessionize",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id, CAST(session_id AS INT) AS session_id,
+           COUNT(*) AS n_events,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) AS session_end_us,
+           {sql_dsum('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session"),
+)
+def q32_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization (30-min inactivity gap) via gaps-and-islands: lag →
+    new-session flag → running count → per-session aggregates. The batch
+    twin of streaming session_window."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), 1).otherwise(0),
+    )
+    wrun = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = flagged.withColumn("session_id", F.sum("new_session").over(wrun).cast("int"))
+    return numbered.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.unix_micros(F.min("ts")).alias("session_start_us"),
+        F.unix_micros(F.max("ts")).alias("session_end_us"),
+        dsum("value").alias("session_value"),
+    )
+
+
+@register(
+    "q33_event_dedup_earliest",
+    oracle="""
+    SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM (
+        SELECT user_id, event_type, event_id, ts,
+               row_number() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("dedup", "window"),
+)
+def q33_event_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the earliest event — the deterministic version of
+    dropDuplicates (which keeps an arbitrary row). Batch twin of streaming
+    dropDuplicates-with-watermark."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
+    )

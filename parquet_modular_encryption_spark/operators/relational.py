@@ -1,0 +1,676 @@
+"""Core relational operators, each registered as a named query + DuckDB oracle.
+
+Covers the expansion surface of SURVEY.md §2B: scan/filter/project, equi- and
+broadcast joins, semi/anti/outer joins, aggregation (sum/avg/min/max/count,
+count-distinct, approx-distinct), HAVING, conditional aggregation, set ops,
+scalar string/date/math/JSON functions, correlated subqueries, sort/limit.
+
+Scale notes (local[32] tests, 1000-executor design):
+- Filters/projections are plain Catalyst exprs → predicate pushdown and
+  column pruning reach the parquet scan (verified in tests/test_plans.py).
+- Dimension joins (region/nation/part/supplier) are broadcast explicitly;
+  fact-fact joins (orders⋈lineitem) shuffle on the join key and benefit from
+  AQE skew handling at scale.
+- All double aggregations use the decimal-accumulation pattern from
+  functions/numeric.py so results are bit-identical to the DuckDB oracle.
+
+Reference parity: the reference's only query is a projected scan
+(read_encrypted_parquet.py:43); q02_filter_project is its direct analogue,
+the rest widen coverage per the driver's north star (BASELINE.json).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load, view
+
+# ---------------------------------------------------------------------------
+# Aggregation over a filtered fact scan (TPC-H Q1 shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q01_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_base_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {sql_davg('l_quantity')} AS avg_qty,
+           {sql_davg('l_extendedprice')} AS avg_price,
+           {sql_davg('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg", "scan"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary report: filter → groupBy → 8 aggregates → sort."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            davg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Projected + filtered scan (the reference's own query shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS net_price
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+      AND l_quantity < 10
+    """,
+    tags=("scan", "filter", "project"),
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + predicate pushdown — the reference's projected scan
+    (read_encrypted_parquet.py:43) plus the predicate the format declares
+    but never exercises (README.md:19)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+            & (F.col("l_quantity") < 10)
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q03_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("join", "agg", "topn"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join → agg → top-N (TPC-H Q3 shape). Customer side is filtered
+    then joined; orders⋈lineitem is the fact-fact shuffle join."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q04_broadcast_brand_revenue",
+    oracle=f"""
+    SELECT p_brand,
+           COUNT(*) AS n_items,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           {sql_davg('l_quantity')} AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def q04_broadcast_brand_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension with an explicit broadcast: part is tiny relative to
+    lineitem at every SF, so the join is shuffle-free on the fact side."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            davg("l_quantity").alias("avg_qty"),
+        )
+    )
+
+
+@register(
+    "q05_regional_revenue",
+    oracle=f"""
+    SELECT r_name, n_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(DISTINCT o_orderkey) AS n_orders
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    GROUP BY r_name, n_name
+    """,
+    tags=("join", "broadcast", "agg"),
+)
+def q05_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-way snowflake join. region/nation broadcast (fixed cardinality);
+    customer⋈orders⋈lineitem shuffle on their keys."""
+    prep(spark)
+    region = load(spark, sf_dir, "region")
+    nation = load(spark, sf_dir, "nation")
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "q06_forecast_revenue",
+    oracle=f"""
+    SELECT {sql_dsum('l_extendedprice * l_discount')} AS promo_revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("scan", "filter", "agg"),
+)
+def q06_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Highly selective single-row aggregate (TPC-H Q6 shape): every
+    predicate is pushdown-eligible, the agg is one map-side partial."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("promo_revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q07_group_having",
+    oracle=f"""
+    SELECT c_nationkey,
+           COUNT(*) AS n_customers,
+           {sql_davg('c_acctbal')} AS avg_acctbal,
+           MIN(c_acctbal) AS min_acctbal,
+           MAX(c_acctbal) AS max_acctbal
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 3
+    """,
+    tags=("agg", "having"),
+)
+def q07_group_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING (post-aggregation filter)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal").alias("avg_acctbal"),
+            F.min("c_acctbal").alias("min_acctbal"),
+            F.max("c_acctbal").alias("max_acctbal"),
+        )
+        .filter(F.col("n_customers") >= 3)
+    )
+
+
+@register(
+    "q08_count_distinct",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           COUNT(DISTINCT o_orderstatus) AS n_statuses
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "distinct"),
+)
+def q08_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact COUNT(DISTINCT) — expands to a two-phase aggregate in Spark;
+    at 100 TB prefer q28_approx_distinct's HLL sketch when ±2% suffices."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.countDistinct("o_orderstatus").alias("n_statuses"),
+    )
+
+
+@register(
+    "q09_semi_join",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_active_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    """,
+    tags=("join", "semi"),
+)
+def q09_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers that placed at least one order."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n_active_customers"))
+    )
+
+
+@register(
+    "q10_anti_join",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_inactive_customers
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tags=("join", "anti"),
+)
+def q10_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_inactive_customers"))
+    )
+
+
+@register(
+    "q11_customer_order_histogram",
+    oracle="""
+    SELECT order_count, COUNT(*) AS n_customers
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS order_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    GROUP BY order_count
+    """,
+    tags=("join", "outer", "agg"),
+)
+def q11_customer_order_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + two-level aggregation (TPC-H Q13 shape): customers
+    with zero orders appear as order_count = 0."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("order_count"))
+    )
+    return per_cust.groupBy("order_count").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+# ---------------------------------------------------------------------------
+# Set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q12_set_ops",
+    oracle="""
+    (SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+     INTERSECT
+     SELECT o_custkey AS c_custkey FROM orders WHERE o_totalprice > 100000)
+    UNION
+    (SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE'
+     EXCEPT
+     SELECT c_custkey FROM customer WHERE c_acctbal > 5000)
+    """,
+    tags=("setops",),
+)
+def q12_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION with set (distinct) semantics."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    orders = load(spark, sf_dir, "orders")
+    high_bal = cust.filter(F.col("c_acctbal") > 5000).select("c_custkey")
+    big_spenders = orders.filter(F.col("o_totalprice") > 100000).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    auto = cust.filter(F.col("c_mktsegment") == "AUTOMOBILE").select("c_custkey")
+    return high_bal.intersect(big_spenders).union(auto.subtract(high_bal)).distinct()
+
+
+@register(
+    "q13_distinct_pairs",
+    oracle="SELECT DISTINCT o_custkey, o_orderstatus FROM orders",
+    tags=("distinct",),
+)
+def q13_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT on a projected key pair (exact deduplication primitive)."""
+    prep(spark)
+    return load(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# Conditional aggregation / scalar function coverage
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q14_conditional_agg",
+    oracle=f"""
+    SELECT l_linestatus,
+           {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returned_value,
+           {sql_dsum("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END")} AS kept_value,
+           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           COUNT(*) AS n_total
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+    tags=("agg", "case"),
+)
+def q14_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE WHEN inside aggregates (pivot-style conditional sums)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    returned = F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(F.lit(0))
+    kept = F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(F.lit(0))
+    return li.groupBy("l_linestatus").agg(
+        dsum(returned).alias("returned_value"),
+        dsum(kept).alias("kept_value"),
+        F.sum(F.when(F.col("l_quantity") >= 25, 1).otherwise(0)).alias("n_bulk"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+@register(
+    "q15_string_functions",
+    oracle="""
+    SELECT p_partkey,
+           upper(substring(p_name, 1, 12)) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, '/', p_type) AS brand_type,
+           replace(p_type, ' ', '_') AS type_snake
+    FROM part
+    WHERE p_name LIKE '%a%' AND p_size BETWEEN 5 AND 40
+    """,
+    tags=("scalar", "string"),
+)
+def q15_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string functions: substring/upper/length/concat/replace/LIKE."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    return (
+        part.filter(F.col("p_name").like("%a%") & F.col("p_size").between(5, 40))
+        .select(
+            "p_partkey",
+            F.upper(F.substring("p_name", 1, 12)).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat(F.col("p_brand"), F.lit("/"), F.col("p_type")).alias("brand_type"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_snake"),
+        )
+    )
+
+
+@register(
+    "q16_datetime_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_95,
+           CAST(o_orderdate + INTERVAL 30 DAY AS DATE) AS due_date
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    """,
+    tags=("scalar", "datetime"),
+)
+def q16_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar date/time functions: extract, datediff, date arithmetic."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    odate = F.col("o_orderdate").cast("date")
+    return orders.filter(F.col("o_orderstatus") == "O").select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.datediff(odate, F.lit("1995-01-01").cast("date")).alias("days_since_epoch_95"),
+        F.date_add(odate, 30).alias("due_date"),
+    )
+
+
+@register(
+    "q17_math_functions",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_extendedprice - 1000.0) AS abs_delta,
+           CAST(ceil(l_quantity / 7.0) AS BIGINT) AS qty_bucket,
+           CAST(floor(l_extendedprice / 100.0) AS BIGINT) AS price_bucket,
+           sqrt(l_extendedprice) AS price_sqrt,
+           CAST(l_partkey % 13 AS BIGINT) AS partkey_mod
+    FROM lineitem
+    WHERE l_linenumber = 1 AND l_quantity > 45
+    """,
+    tags=("scalar", "math"),
+)
+def q17_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar math: abs/ceil/floor/sqrt/mod. sqrt is IEEE correctly-rounded,
+    so it is safe for cross-engine hashing (ln/exp are not — excluded)."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.filter((F.col("l_linenumber") == 1) & (F.col("l_quantity") > 45)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_extendedprice") - 1000.0).alias("abs_delta"),
+        F.ceil(F.col("l_quantity") / 7.0).alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 100.0).alias("price_bucket"),
+        F.sqrt("l_extendedprice").alias("price_sqrt"),
+        (F.col("l_partkey") % 13).alias("partkey_mod"),
+    )
+
+
+@register(
+    "q18_json_extract",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json"),
+)
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props string column."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sort / limit / subqueries
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q25_top_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    tags=("sort", "limit"),
+)
+def q25_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N: Spark executes as TakeOrderedAndProject (per-partition
+    heap + driver merge), never a full sort at scale. Unique tiebreak key
+    makes the result set deterministic."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q26_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_quantity > 45
+      )
+    GROUP BY o_orderpriority
+    """,
+    tags=("subquery", "semi"),
+)
+def q26_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery (TPC-H Q4 shape) via Spark SQL — Catalyst
+    decorrelates it into a left-semi join."""
+    prep(spark)
+    view(spark, sf_dir, "orders", "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_quantity > 45
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q27_scalar_subquery",
+    oracle=f"""
+    SELECT c_mktsegment,
+           {sql_davg('c_acctbal')} AS avg_bal,
+           COUNT(*) AS n_above_global_avg
+    FROM customer
+    WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer)
+    GROUP BY c_mktsegment
+    """,
+    tags=("subquery",),
+)
+def q27_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery in a predicate."""
+    prep(spark)
+    view(spark, sf_dir, "customer")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment,
+               {sql_davg('c_acctbal')} AS avg_bal,
+               COUNT(*) AS n_above_global_avg
+        FROM customer
+        WHERE c_acctbal > (SELECT {sql_davg('c_acctbal')} FROM customer)
+        GROUP BY c_mktsegment
+        """
+    )
+
+
+@register(
+    "q28_approx_distinct",
+    oracle=None,  # HLL sketch is engine-specific; driver does a rows-only
+    # check, tests/test_relational.py asserts ±5% vs exact.
+    tags=("agg", "approx"),
+)
+def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HyperLogLog++): the 100 TB-scale substitute for
+    exact COUNT(DISTINCT) — one pass, fixed memory, no distinct shuffle."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", 0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )

@@ -1,0 +1,142 @@
+"""Window functions: ranking, running aggregates, lag/lead, per-group top-k.
+
+Scale notes: a window over ``partitionBy(k)`` shuffles once on k and sorts
+within partitions — the same shuffle an aggregation on k would need. Skewed
+partition keys (one giant customer) are the 100 TB hazard; AQE cannot split
+a window partition, so the key choice (custkey, user_id, nation) matters.
+Running double sums use the decimal trick (DuckDB evaluates windowed SUM
+with a segment tree — different addition order than Spark's incremental
+frame evaluation)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import dsum_window
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+
+@register(
+    "q19_window_rank",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_nationkey, c_custkey, c_acctbal,
+               CAST(rank()       OVER w AS INT) AS bal_rank,
+               CAST(row_number() OVER w AS INT) AS bal_row,
+               CAST(dense_rank() OVER w AS INT) AS bal_dense
+        FROM customer
+        WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+    ) WHERE bal_rank <= 3
+    """,
+    tags=("window", "rank"),
+)
+def q19_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank/row_number/dense_rank per nation with a deterministic tiebreak."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        cust.select(
+            "c_nationkey",
+            "c_custkey",
+            "c_acctbal",
+            F.rank().over(w).cast("int").alias("bal_rank"),
+            F.row_number().over(w).cast("int").alias("bal_row"),
+            F.dense_rank().over(w).cast("int").alias("bal_dense"),
+        )
+        .filter(F.col("bal_rank") <= 3)
+    )
+
+
+@register(
+    "q20_running_total",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4)))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running_spend,
+           CAST(row_number() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey) AS INT) AS order_seq
+    FROM orders
+    """,
+    tags=("window", "running"),
+)
+def q20_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running (cumulative) spend per customer over order history."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        dsum_window("o_totalprice", w.rowsBetween(Window.unboundedPreceding, 0)).alias(
+            "running_spend"
+        ),
+        F.row_number().over(w).cast("int").alias("order_seq"),
+    )
+
+
+@register(
+    "q21_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           epoch_us(ts) AS ts_us,
+           epoch_us(lag(ts)  OVER w) AS prev_ts_us,
+           epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us,
+           lead(event_type) OVER w AS next_event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "lag"),
+)
+def q21_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over per-user event streams; time deltas in exact integer
+    microseconds (portable across Spark µs and DuckDB ns timestamps)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros("ts")
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        prev_us.alias("prev_ts_us"),
+        (ts_us - prev_us).alias("gap_us"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@register(
+    "q22_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn FROM (
+        SELECT c_mktsegment, o_orderkey, o_totalprice,
+               CAST(row_number() OVER (PARTITION BY c_mktsegment
+                                       ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 5
+    """,
+    tags=("window", "topk", "join"),
+)
+def q22_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k rows per group via row_number — the distributed top-k idiom
+    (filter immediately after rank so only k rows per group survive)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("int"))
+        .filter(F.col("rn") <= 5)
+    )

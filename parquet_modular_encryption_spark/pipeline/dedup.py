@@ -1,0 +1,277 @@
+"""Near-duplicate detection over documents: MinHash+LSH, SimHash,
+n-gram Jaccard — the fuzzy-dedup family of a training-data pipeline.
+Exact dedup lives in q13 (distinct) and q45 (normalized fingerprint).
+
+Everything is built from portable primitives (md5-based 60-bit hash,
+integer modular arithmetic, distinct word shingles) so the full
+MinHash → banding → candidate-join → Jaccard-verify pipeline is
+reproduced verbatim by the DuckDB oracle — the near-dup results are
+hash-checked, not just smoke-checked.
+
+Scale notes (100 TB): the banding self-join is the only shuffle — its key
+(band_id, band_key) is high-cardinality and uniform by construction, so it
+partitions well; candidate verification joins back to shingle sets by
+doc_id. Pair count is controlled by B/R (banding probability curve), not by
+O(n²) comparison. SimHash is a pure map + one agg; n-gram Jaccard is
+blocked on (source, length bucket) to bound the quadratic term."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.text import (
+    MINHASH_PRIME as P,
+)
+from parquet_modular_encryption_spark.functions.text import (
+    hash60,
+    sql_hash60,
+    sql_tokens,
+    sql_word_shingles,
+    tokens,
+    word_shingles,
+)
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+# 8 fixed MinHash permutations (a*h + b) mod P, P = 2^31-1 (Mersenne).
+# Constants are arbitrary-but-fixed odd multipliers < P; identical literals
+# are embedded in the SQL oracle.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+    (1000000007, 337),
+    (998244353, 7919),
+    (774856787, 104729),
+    (592342111, 29),
+    (429496751, 65521),
+    (275604541, 1299709),
+    (179424673, 15485863),
+    (104395301, 982451653),
+)
+N_BANDS = 4  # 4 bands × 2 rows — s-curve threshold ≈ (1/4)^(1/2) ≈ 0.5
+ROWS_PER_BAND = 2
+JACCARD_THRESHOLD = 0.4
+SHINGLE_N = 3
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sig_0..sig_7): MinHash signature over distinct word shingles."""
+    sh = df.select(
+        F.col(id_col), F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle")
+    )
+    hv = hash60(F.col("shingle")) % P
+    aggs = [
+        F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
+        for j, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
+    """Explode a signature into (id, band_id, band_key) LSH bucket rows."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_id"),
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col(f"sig_{i * ROWS_PER_BAND + r}")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_key"),
+            )
+            for i in range(N_BANDS)
+        ]
+    )
+    return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, F.col("b.band_id").alias("band_id"), F.col("b.band_key").alias("band_key")
+    )
+
+
+def _minhash_oracle() -> str:
+    toks = sql_tokens("text")
+    shingles = sql_word_shingles("toks", SHINGLE_N)
+    hv = f"({sql_hash60('shingle')} % {P})"
+    sig_cols = ", ".join(
+        f"MIN(({a} * {hv} + {b}) % {P}) AS sig_{j}" for j, (a, b) in enumerate(MINHASH_PERMS)
+    )
+    band_selects = " UNION ALL ".join(
+        "SELECT doc_id, {i} AS band_id, concat({cols}) AS band_key FROM sig".format(
+            i=i,
+            cols=", ',', ".join(
+                f"sig_{i * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for i in range(N_BANDS)
+    )
+    return f"""
+    WITH tokenized AS (
+        SELECT doc_id, {toks} AS toks FROM documents
+    ), shingled AS (
+        SELECT doc_id, {shingles} AS shingles FROM tokenized
+    ), exploded AS (
+        SELECT doc_id, unnest(shingles) AS shingle FROM shingled
+    ), sig AS (
+        SELECT doc_id, {sig_cols} FROM exploded GROUP BY doc_id
+    ), bands AS (
+        {band_selects}
+    ), pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+    )
+    SELECT p.doc_a, p.doc_b,
+           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+    FROM pairs p
+    JOIN shingled sa ON sa.doc_id = p.doc_a
+    JOIN shingled sb ON sb.doc_id = p.doc_b
+    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+               / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "q47_minhash_neardup",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh"),
+)
+def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate pairs with Jaccard verification:
+    shingle → 8-perm MinHash → 4×2 banding → bucket self-join → verify.
+    The full pipeline is mirrored in the DuckDB oracle, so candidate
+    generation AND verification are value-checked."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", word_shingles("text", SHINGLE_N).alias("shingles"))
+    sig = minhash_signature(docs, "doc_id", "text")
+    bands = band_keys(sig, "doc_id")
+    left = bands.alias("a")
+    right = bands.alias("b")
+    pairs = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = shingled.select(
+        F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
+    )
+    sb = shingled.select(
+        F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+SIMHASH_BITS = 16
+
+
+@register(
+    "q48_simhash",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+    ), hashed AS (
+        SELECT doc_id, {sql_hash60('token')} AS hv FROM tok
+    ), bits AS (
+        SELECT doc_id,
+               {", ".join(
+                   f"SUM(CASE WHEN (hv >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+                   for b in range(SIMHASH_BITS)
+               )}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST({" + ".join(f"(CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))}
+                AS BIGINT) AS simhash
+    FROM bits
+    """,
+    tags=("dedup", "simhash"),
+)
+def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document from token-hash bit votes. Documents with
+    equal/near signatures are near-dup candidates; Hamming-distance pairing
+    is a self-join on signature prefixes at scale."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    hv = hash60(F.col("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(hv, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"c{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    sim = None
+    for b in range(SIMHASH_BITS):
+        term = F.when(F.col(f"c{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
+
+
+@register(
+    "q49_ngram_jaccard_blocked",
+    oracle=f"""
+    WITH sh AS (
+        SELECT doc_id, source, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket,
+               {sql_word_shingles(sql_tokens('text'), 2)} AS shingles
+        FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.source = b.source AND a.len_bucket = b.len_bucket
+     AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(a.shingles || b.shingles)) >= 0.35
+    """,
+    tags=("dedup", "jaccard"),
+)
+def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked pairwise n-gram Jaccard: candidate pairs restricted to the
+    same (source, length-bucket) block, bounding the quadratic comparison —
+    the classic pre-LSH dedup baseline."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / 50).cast("bigint").alias("len_bucket"),
+        word_shingles("text", 2).alias("shingles"),
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
+        F.array_union("a.shingles", "b.shingles")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jaccard.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.35)
+    )

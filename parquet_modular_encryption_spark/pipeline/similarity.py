@@ -1,0 +1,202 @@
+"""Similarity search over the embeddings table (array<float> vectors).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+set against a full scan of the corpus — at 100 TB this is one pass, no
+shuffle on the corpus side, and the per-query top-k heap is a window over
+query_id. The LSH variant (random-hyperplane buckets) is the scale path:
+candidate generation becomes an equi-join on bucket id.
+
+Determinism: vectors are cast float→double (exact), the dot product is a
+sequential left-to-right double fold in both engines (Spark F.aggregate,
+DuckDB list_dot_product), so cosine values are bit-identical and safe to
+hash-compare.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 10
+
+
+def as_double(vec: Column) -> Column:
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+@register(
+    "q50_knn_bruteforce",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+                   AS cosine_sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "knn"),
+)
+def q50_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: broadcast query vectors × corpus scan × per-query
+    top-k window. The ANN baseline every approximate method is measured
+    against."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    )
+    e = emb.select(F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ee"))
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ee")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+# Random-hyperplane LSH: plane weights from a fixed LCG so Spark and DuckDB
+# compute identical projections with pure integer arithmetic.
+N_PLANES = 8
+LCG_A = 1103515245
+LCG_C = 12345
+LCG_M = 2_147_483_648  # 2^31
+
+
+def _plane_weights(plane: int, dim_col: Column) -> Column:
+    # bigint arithmetic: int32 would overflow (ANSI mode raises).
+    seed = (F.lit(plane * 1024).cast("bigint") + dim_col.cast("bigint"))
+    return ((F.lit(LCG_A).cast("bigint") * seed + F.lit(LCG_C)) % LCG_M) / F.lit(
+        float(LCG_M)
+    ) - 0.5
+
+
+def _sql_plane_weight(plane: int) -> str:
+    return (
+        f"((CAST({LCG_A} AS BIGINT) * ({plane * 1024} + d) + {LCG_C}) % {LCG_M})"
+        f" / {float(LCG_M)} - 0.5"
+    )
+
+
+@register(
+    "q51_lsh_buckets",
+    oracle=f"""
+    WITH planes AS (
+        SELECT e.vec_id,
+               {", ".join(
+                   f"list_dot_product(e.embedding::DOUBLE[], "
+                   f"list_transform(range(0, len(e.embedding)), d -> {_sql_plane_weight(p)})) AS proj_{p}"
+                   for p in range(N_PLANES)
+               )}
+        FROM embeddings e
+    ), sigs AS (
+        SELECT vec_id,
+               CAST({" + ".join(f"(CASE WHEN proj_{p} > 0 THEN {1 << p} ELSE 0 END)" for p in range(N_PLANES))}
+                    AS BIGINT) AS bucket
+        FROM planes
+    )
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM sigs GROUP BY bucket
+    """,
+    tags=("similarity", "lsh"),
+)
+def q51_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing — the 100 TB ANN path: vectors
+    sharing a bucket are cosine-similar candidates, so neighbor search
+    becomes an equi-join on bucket instead of an all-pairs scan."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+
+    def _weight_fn(plane: int):
+        # single-arg closure: a `lambda d, p=p` would be introspected by
+        # PySpark as an (element, index) lambda and silently bind p to the
+        # array index instead of the plane constant.
+        return lambda d: _plane_weights(plane, d)
+
+    bucket = None
+    for p in range(N_PLANES):
+        weights = F.transform(dims, _weight_fn(p))
+        proj = dot(F.col("ee"), weights)
+        bit = F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    out = e.select("vec_id", bucket.cast("bigint").alias("bucket"))
+    return out.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@register(
+    "q52_label_centroids",
+    oracle="""
+    WITH expanded AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    )
+    SELECT label, CAST(dim AS INT) AS dim,
+           CAST(SUM(CAST(floor(val * 10000000.0) AS BIGINT)) AS DOUBLE)
+               / 10000000.0 / COUNT(*) AS centroid,
+           COUNT(*) AS n_vectors
+    FROM expanded
+    GROUP BY label, dim
+    """,
+    tags=("similarity", "centroid"),
+)
+def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors via posexplode + order-independent mean
+    per dimension — the reduce step of distributed k-means / IVF coarse
+    quantization.
+
+    Components are floor-quantized at 1e-7 before the integer sum: floor of
+    an identical double is identical in every engine (no rounding tie —
+    float32 components are coarse dyadic rationals, so decimal-cast ties at
+    any scale are NOT negligible for them), and the integer sum is exact
+    and order-independent."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    expanded = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    qsum = F.sum(F.floor(F.col("val") * F.lit(10000000.0)).cast("bigint"))
+    return expanded.groupBy("label", F.col("dim").cast("int").alias("dim")).agg(
+        (qsum.cast("double") / F.lit(10000000.0) / F.count(F.lit(1))).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

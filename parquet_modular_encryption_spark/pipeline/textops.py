@@ -1,0 +1,242 @@
+"""Text-analysis operators for LLM training-data pipelines, over documents.
+
+All pure built-in expressions (whole-stage codegen, no Python UDFs): token
+counting, quality scoring, language profiling, document fingerprinting.
+The language-ID heuristic lives in ``langid()`` as a reusable column
+expression built from stopword hit-rates.
+
+Scale notes: every query here is scan → map-side expressions → hash agg.
+No joins, no windows; at 100 TB these are embarrassingly parallel and
+bounded by parquet scan throughput."""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import davg, sql_davg
+from parquet_modular_encryption_spark.functions.text import (
+    normalized,
+    sql_normalized,
+    sql_tokens,
+    tokens,
+)
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+# Tiny per-language trigger lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately simple and deterministic (no model weights).
+LANG_TRIGGERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "a"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "de", "los"),
+    "zh": ("的", "是", "了", "在", "我"),
+}
+
+
+@register(
+    "q41_text_stats",
+    oracle="""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars_measured,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_words,
+           CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS BIGINT)
+               AS n_distinct_words,
+           length(replace(text, ' ', '')) AS n_nonspace_chars,
+           CAST(length(replace(text, ' ', '')) AS DOUBLE)
+               / len(string_split_regex(trim(text), '\\s+')) AS avg_word_len
+    FROM documents
+    """,
+    tags=("text", "stats"),
+)
+def q41_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: char/word/distinct-word counts, mean
+    word length — the standard quality-filter features."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_measured"),
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_words"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_nonspace_chars"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double")
+            / F.size(toks)
+        ).alias("avg_word_len"),
+    )
+
+
+_SQL_NTOKENS = "len(string_split_regex(trim(text), '\\s+'))"
+
+
+@register(
+    "q42_token_counts",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           SUM(CAST({_SQL_NTOKENS} AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST({_SQL_NTOKENS} AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
+           SUM(n_chars) AS total_chars
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens"),
+)
+def q42_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token accounting per language (budget estimation for training
+    runs): exact integer token totals, deterministic double average."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    n_tokens = F.size(tokens("text")).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tokens).alias("total_tokens"),
+        (F.sum(n_tokens).cast("double") / F.count(F.lit(1))).alias("avg_tokens_per_doc"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def quality_score(text_col: Column) -> Column:
+    """Heuristic quality score in [0,1]: length saturation × lexical
+    diversity. IEEE double ops only → oracle-reproducible."""
+    toks = tokens(text_col)
+    n = F.size(toks).cast("double")
+    diversity = F.size(F.array_distinct(toks)).cast("double") / n
+    length_sat = F.least(n / F.lit(50.0), F.lit(1.0))
+    return length_sat * F.lit(0.5) + diversity * F.lit(0.5)
+
+
+SQL_QUALITY = (
+    "(least(len(string_split_regex(trim(text), '\\s+')) / 50.0, 1.0) * 0.5"
+    " + (CAST(len(list_distinct(string_split_regex(trim(text), '\\s+'))) AS DOUBLE)"
+    "    / len(string_split_regex(trim(text), '\\s+'))) * 0.5)"
+)
+
+
+@register(
+    "q43_quality_filter",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           {sql_davg(SQL_QUALITY)} AS avg_quality,
+           SUM(CASE WHEN {SQL_QUALITY} >= 0.75 THEN 1 ELSE 0 END) AS n_high_quality
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "quality"),
+)
+def q43_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring + threshold filter accounting per language — the
+    keep/drop decision of a training-data curation pass."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    q = quality_score(F.col("text"))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        davg(q).alias("avg_quality"),
+        F.sum(F.when(q >= 0.75, 1).otherwise(0)).alias("n_high_quality"),
+    )
+
+
+def langid(text_col: Column) -> Column:
+    """Stopword-trigger language-ID heuristic: argmax of per-language
+    trigger-word hit counts (ties broken by language code order).
+    Returns 'und' when nothing triggers."""
+    toks = tokens(text_col)
+
+    def _matches(words):
+        # `Column.isin` is unsupported on lambda variables inside
+        # higher-order functions; an OR chain compiles to the same plan.
+        def pred(t):
+            cond = t == F.lit(words[0])
+            for w in words[1:]:
+                cond = cond | (t == F.lit(w))
+            return cond
+
+        return pred
+
+    scores = [
+        F.struct(
+            F.size(F.filter(toks, _matches(words))).alias("hits"),
+            F.lit(code).alias("code"),
+        )
+        for code, words in sorted(LANG_TRIGGERS.items())
+    ]
+    # array_max over (hits, code) structs: max hits, then max code — invert
+    # code ordering is not needed for a heuristic; keep deterministic.
+    best = F.array_max(F.array(*scores))
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+@register("q44_langid", oracle=None, tags=("text", "langid"))
+def q44_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion profile: heuristic prediction vs labeled lang.
+    Rows-only driver check (struct-argmax not worth mirroring in SQL);
+    tests/test_pipeline.py asserts the confusion matrix is well-formed."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("predicted_lang", langid(F.col("text")))
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@register(
+    "q45_fingerprint",
+    oracle=f"""
+    SELECT md5({sql_normalized('text')}) AS fingerprint,
+           MIN(doc_id) AS canonical_doc_id,
+           COUNT(*) AS n_copies,
+           MIN(n_chars) AS n_chars
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("text", "fingerprint", "dedup"),
+)
+def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized-text fingerprinting (md5 over canonical form) + collapse
+    to canonical doc — whitespace/case-insensitive exact dedup."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return (
+        docs.withColumn("fingerprint", F.md5(normalized("text")))
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("n_chars").alias("n_chars"),
+        )
+    )
+
+
+@register(
+    "q46_lang_profile",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           {sql_davg('n_chars')} AS avg_chars,
+           SUM(CASE WHEN len({sql_tokens('text')}) >= 30 THEN 1 ELSE 0 END) AS n_long_docs
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("text", "profile"),
+)
+def q46_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition profile by (lang, source) — the mix report that
+    drives sampling weights for training-data assembly."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        davg("n_chars").alias("avg_chars"),
+        F.sum(F.when(F.size(tokens("text")) >= 30, 1).otherwise(0)).alias("n_long_docs"),
+    )
