@@ -1,0 +1,133 @@
+"""Structured Streaming operators over the events stream.
+
+The batch twins of these operators live in operators/events.py (where the
+DuckDB oracle can check them); here the same semantics run as unbounded
+streams: tumbling/sliding/session windows, event-time watermarks with
+late-data drop, and keyed streaming deduplication.
+
+Scale notes: streaming state (window partials, dedup keys, open sessions)
+lives in the executor state store keyed by (window/key), sharded by
+``spark.sql.shuffle.partitions``. Watermarks bound state size — without
+them tumbling aggs and dedup grow unboundedly at 100 TB/day. The file
+source here is a stand-in for Kafka; the operator graph is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import DEC
+
+EVENTS_DDL = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def stream_events(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """The events table as an unbounded stream. The nanos `ts` is read as
+    BIGINT (same legacy conf as batch) and converted to a µs timestamp.
+
+    ``sf_dir`` may be a testdata sf directory (only its events.parquet is
+    streamed — a bare directory glob would pull in the other nine tables
+    as all-null rows) or a directory of event files from ``_write_events``.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENTS_DDL)
+    if _has_events_file(sf_dir):
+        # the streaming file source only accepts directories, so restrict
+        # to the events table by glob instead of path
+        reader = reader.option("pathGlobFilter", "events.parquet")
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(sf_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def _has_events_file(sf_dir: str) -> bool:
+    import os
+
+    return os.path.exists(os.path.join(sf_dir, "events.parquet"))
+
+
+def tumbling_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Tumbling-window count/sum per event_type. With a watermark, append
+    mode emits each window once, when it can no longer receive late data."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("win_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(
+    events: DataFrame,
+    window: str = "2 hours",
+    slide: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        src.groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("win_start"), "n_events")
+    )
+
+
+def session_aggregate(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Native streaming sessionization: session_window merges events within
+    ``gap`` of each other per user — the streaming twin of q32_sessionize's
+    gaps-and-islands batch form."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast(DEC)).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming keyed dedup: first event per (user_id, event_type) wins;
+    the watermark bounds the dedup state (keys older than it are evicted —
+    the unbounded-state hazard at scale)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(
+        ["user_id", "event_type"]
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> DataFrame:
+    """Drive a streaming DataFrame to completion against a memory sink
+    (test/bench harness): process everything available, then stop."""
+    q = (
+        df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)

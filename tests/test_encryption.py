@@ -1,0 +1,160 @@
+"""Encrypted-parquet integration tests: the reference's verification
+workflow automated (SURVEY.md §5) — round-trip equality, the token ×
+column-subset access matrix, plaintext-column readability without a token,
+and ciphertext opacity on disk."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow.parquet as pq
+import pytest
+
+from parquet_modular_encryption_spark.crypto.policy import (
+    CUSTOMER_POLICY,
+    PEOPLE_POLICY,
+    Privilege,
+)
+from parquet_modular_encryption_spark.sources.encrypted import (
+    read_encrypted,
+    read_encrypted_arrow,
+    write_encrypted,
+)
+
+# The reference's exact 3 demo rows (write_encrypted_parquet.py:41-63,
+# via FIXTURES.md §A).
+PEOPLE_ROWS = [
+    (1, datetime.date(1988, 2, 17), "Mike", "Truk", "123-45-6789"),
+    (2, datetime.date(1989, 2, 6), "Rey", "McSriff", "234-56-7890"),
+    (3, datetime.date(2020, 1, 25), "Todd", "Bonzalez", "345-67-8901"),
+]
+PEOPLE_SCHEMA = (
+    "id bigint, date_of_birth date, first_name string, "
+    "last_name string, social_security_number string"
+)
+
+
+@pytest.fixture(scope="module")
+def people_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("enc") / "people")
+    df = spark.createDataFrame(PEOPLE_ROWS, PEOPLE_SCHEMA)
+    write_encrypted(df, path, PEOPLE_POLICY)
+    return path
+
+
+def test_roundtrip_full_read(spark, people_path):
+    got = sorted(
+        tuple(r) for r in read_encrypted(spark, people_path, token="RESTRICTED").collect()
+    )
+    assert got == sorted(PEOPLE_ROWS)
+
+
+def _cols_for(privilege: Privilege | None) -> list[str]:
+    """Columns readable at exactly this privilege level."""
+    cols = ["id"]
+    for col, lvl in PEOPLE_POLICY.column_levels.items():
+        if privilege is not None and lvl <= privilege:
+            cols.append(col)
+    return cols
+
+
+@pytest.mark.parametrize(
+    "token", [None, "PUBLIC", "INTERNAL", "CONFIDENTIAL", "RESTRICTED"]
+)
+def test_access_matrix(spark, people_path, token):
+    """For every token: the maximal authorized projection succeeds and
+    returns exact plaintext; any strictly wider projection fails
+    (README.md:109-127's experiment, automated)."""
+    privilege = Privilege[token] if token else None
+    allowed = _cols_for(privilege)
+    got = read_encrypted(spark, people_path, token=token, columns=allowed).collect()
+    assert len(got) == 3
+    expect = {
+        (
+            "id",
+            "date_of_birth",
+            "first_name",
+            "last_name",
+            "social_security_number",
+        ).index(c)
+        for c in allowed
+    }
+    assert sorted(tuple(r) for r in got) == sorted(
+        tuple(row[i] for i in sorted(expect)) for row in PEOPLE_ROWS
+    )
+
+    forbidden = [
+        c
+        for c, lvl in PEOPLE_POLICY.column_levels.items()
+        if privilege is None or lvl > privilege
+    ]
+    if forbidden:
+        with pytest.raises(Exception, match="(?i)unwrap|denied|authoriz|403"):
+            read_encrypted(
+                spark, people_path, token=token, columns=["id", forbidden[0]]
+            ).collect()
+
+
+def test_unlisted_columns_plaintext_on_disk(people_path):
+    """`id` has no policy entry → stored plaintext: readable via a plain
+    parquet reader even though the file is encrypted (README.md:126-127)."""
+    import os
+
+    f = next(
+        os.path.join(people_path, p)
+        for p in os.listdir(people_path)
+        if p.endswith(".parquet")
+    )
+    # plaintext footer → schema visible without any key
+    schema = pq.read_schema(f)
+    assert "social_security_number" in schema.names
+
+
+def test_encrypted_columns_not_recoverable_without_kms(people_path):
+    """Raw file bytes must not contain the protected plaintext values."""
+    import os
+
+    f = next(
+        os.path.join(people_path, p)
+        for p in os.listdir(people_path)
+        if p.endswith(".parquet")
+    )
+    raw = open(f, "rb").read()
+    for ssn in ("123-45-6789", "234-56-7890", "345-67-8901"):
+        assert ssn.encode() not in raw
+    for name in (b"Mike", b"Truk", b"Bonzalez"):
+        assert name not in raw
+
+
+def test_projection_least_privilege(spark, people_path):
+    """Projecting only INTERNAL columns with an INTERNAL token works even
+    though CONFIDENTIAL/RESTRICTED columns exist in the file — pruned
+    columns are never decrypted, so their keys are never requested."""
+    got = read_encrypted(
+        spark, people_path, token="INTERNAL", columns=["id", "date_of_birth"]
+    ).collect()
+    assert sorted((r.id, r.date_of_birth) for r in got) == [
+        (1, datetime.date(1988, 2, 17)),
+        (2, datetime.date(1989, 2, 6)),
+        (3, datetime.date(2020, 1, 25)),
+    ]
+
+
+def test_arrow_driver_side_reader_matches(spark, people_path):
+    """The reference-shaped driver-side reader agrees with the distributed
+    mapInArrow reader."""
+    table = read_encrypted_arrow(people_path, token="RESTRICTED")
+    assert sorted(tuple(r.values()) for r in table.to_pylist()) == sorted(PEOPLE_ROWS)
+
+
+def test_multifile_distributed_roundtrip(spark, tmp_path):
+    """Many partitions → many encrypted files → parallel decrypt preserves
+    every row (the 1000-executor sharding pattern at toy scale)."""
+    path = str(tmp_path / "cust_enc")
+    cust = spark.read.parquet("/root/testdata/sf0.001/customer.parquet").repartition(7)
+    n_files = write_encrypted(cust, path, CUSTOMER_POLICY)
+    assert n_files == 7
+    back = read_encrypted(spark, path, token="RESTRICTED")
+    assert back.count() == 150
+    plain = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, plain.collect()))

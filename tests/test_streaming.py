@@ -1,0 +1,113 @@
+"""Structured Streaming tests: batch-equivalence of windowed aggregates,
+watermark late-data semantics, session windows, and streaming dedup."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.operators.events import q30_tumbling_window
+from parquet_modular_encryption_spark.streaming.windows import (
+    dedup_stream,
+    run_to_memory,
+    session_aggregate,
+    sliding_counts,
+    stream_events,
+    tumbling_counts,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_tumbling_stream_equals_batch(spark):
+    """Complete-mode streaming tumbling counts == the batch q30 aggregate
+    (counts only; q30 adds per-window distincts the stream doesn't)."""
+    stream = stream_events(spark, SF)
+    got = run_to_memory(
+        tumbling_counts(stream), "t_tumble", output_mode="complete"
+    ).select("win_start", "event_type", "n_events")
+    batch = q30_tumbling_window(spark, SF).select("win_start", "event_type", "n_events")
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_sliding_stream_counts(spark):
+    stream = stream_events(spark, SF)
+    got = run_to_memory(sliding_counts(stream), "t_slide", output_mode="complete")
+    total = got.agg(F.sum("n_events")).collect()[0][0]
+    # 2h windows sliding 1h: every event lands in exactly 2 windows
+    n_events = spark.read.parquet(f"{SF}/events.parquet").count()
+    assert total == 2 * n_events
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        [(i, ts, 1, "click", 1.0, "{}") for i, ts in enumerate(rows)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).withColumn("ts", F.unix_micros("ts") * 1000).write.mode("append").parquet(path)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Append mode + watermark: a window is emitted once finalized, and an
+    event arriving after the watermark passed its window is dropped."""
+    path = str(tmp_path / "stream_src")
+    t = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(h, m):
+        return t.replace(hour=h, minute=m)
+
+    # batch 1: two events in the 12:00 window
+    _write_events(spark, path, [at(12, 0), at(12, 30)])
+
+    stream = stream_events(spark, path, max_files_per_trigger=1)
+    agg = tumbling_counts(stream, window="1 hour", watermark="0 seconds")
+    q = agg.writeStream.outputMode("append").format("memory").queryName("t_late").start()
+    try:
+        q.processAllAvailable()
+        # batch 2: one very-late event (10:05 — watermark is already 12:30)
+        # and one fresh event at 13:10 that finalizes the 12:00 window.
+        _write_events(spark, path, [at(10, 5), at(13, 10)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r.win_start, r.n_events) for r in spark.table("t_late").collect()
+    }
+    # the 12:00 window was emitted with exactly its 2 on-time events;
+    # the late 10:05 event produced no 10:00 window output.
+    assert (datetime.datetime(2024, 1, 1, 12, 0), 2) in rows
+    assert not any(w.hour == 10 for w, _ in rows)
+
+
+def test_session_window_stream(spark):
+    """Streaming session_window should produce the same number of sessions
+    as the batch gaps-and-islands q32 for the same 30-min gap."""
+    from parquet_modular_encryption_spark.operators.events import q32_sessionize
+
+    stream = stream_events(spark, SF)
+    got = run_to_memory(
+        session_aggregate(stream, gap="30 minutes"), "t_sess", output_mode="complete"
+    )
+    batch_sessions = q32_sessionize(spark, SF).count()
+    assert got.count() == batch_sessions
+    # per-user totals must agree too
+    g = {r.user_id: r.n for r in got.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    b = {
+        r.user_id: r.n
+        for r in q32_sessionize(spark, SF).groupBy("user_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert g == b
+
+
+def test_dedup_stream(spark):
+    stream = stream_events(spark, SF)
+    got = run_to_memory(dedup_stream(stream), "t_dedup")
+    n_keys = (
+        spark.read.parquet(f"{SF}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert got.count() == n_keys
