@@ -200,3 +200,121 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         (qsum.cast("double") / F.lit(10000000.0) / F.count(F.lit(1))).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+# OR-amplified banded LSH for candidate generation: a pair is a candidate
+# if ALL planes within ANY band agree. Bands of 3 planes balance recall
+# against candidate volume for the ~0.3-0.5 cosine range where "nearest
+# neighbors of random vectors" live.
+LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2), (3, 4, 5))
+
+
+def _sql_bands_cte() -> str:
+    """Oracle fragment: per-vector banded LSH keys (same planes as q51)."""
+    projs = ", ".join(
+        f"list_dot_product(e.embedding::DOUBLE[], "
+        f"list_transform(range(0, len(e.embedding)), d -> {_sql_plane_weight(p)})) AS proj_{p}"
+        for p in range(N_PLANES)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band_id, {key} AS band_key FROM planes".format(
+            b=b,
+            key=" + ".join(
+                f"(CASE WHEN proj_{p} > 0 THEN {1 << i} ELSE 0 END)"
+                for i, p in enumerate(band)
+            ),
+        )
+        for b, band in enumerate(LSH_BANDS)
+    )
+    return f"""
+    planes AS (SELECT e.vec_id, {projs} FROM embeddings e),
+    bands AS ({band_rows})
+    """
+
+
+@register(
+    "q54_ann_lsh_search",
+    oracle=f"""
+    WITH {_sql_bands_cte()},
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ), scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM pairs p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "lsh"),
+)
+def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors, the 100 TB path: banded-LSH equi-join
+    generates candidates (instead of q50's all-pairs scan), exact cosine
+    re-ranks them. OR-amplification over LSH_BANDS trades candidate volume
+    for recall; tests/test_pipeline.py measures recall against q50."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+
+    def _weight_fn(plane: int):
+        return lambda d: _plane_weights(plane, d)
+
+    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in range(N_PLANES)}
+    band_structs = []
+    for b, band in enumerate(LSH_BANDS):
+        key = None
+        for i, p in enumerate(band):
+            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
+        )
+    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_key"
+    )
+    pairs = (
+        F.broadcast(qb)
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    eq = e.select(F.col("vec_id").alias("query_id"), F.col("ee").alias("qe"))
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ce"))
+    scored = (
+        pairs.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -240,3 +240,64 @@ def q46_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("n_chars").alias("avg_chars"),
         F.sum(F.when(F.size(tokens("text")) >= 30, 1).otherwise(0)).alias("n_long_docs"),
     )
+
+
+@register(
+    "q53_tfidf_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS token
+        FROM documents
+    ), tf AS (
+        SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+    ), df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+    ), total AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               tf.tf * (CAST(total.n AS DOUBLE) / (1.0 + df.df)) AS score
+        FROM tf JOIN df ON tf.token = df.token CROSS JOIN total
+        WHERE tf.doc_id < 30
+    )
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           score, CAST(rn AS INT) AS rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, token) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF-style term salience: term frequency × rational inverse
+    document frequency N/(1+df) — rational rather than log-scaled so the
+    score is cross-engine exact (ln is not correctly-rounded-portable).
+    Top-3 terms per document over a doc_id slice.
+
+    Scale notes: tf is a (doc, token) hash agg; df is a token-level agg
+    small enough to broadcast (vocabulary ≪ corpus); the rank window
+    partitions by doc_id — no skew since docs are bounded."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        tf.filter(F.col("doc_id") < 30)
+        .join(F.broadcast(df_), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf") * (F.col("n").cast("double") / (F.lit(1.0) + F.col("df"))),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "token", "tf", "df", "score", "rank")
+    )

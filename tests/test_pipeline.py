@@ -1,0 +1,99 @@
+"""LLM-pipeline operator tests beyond oracle parity: multimodal plumbing,
+ANN recall vs the exact baseline, sketch accuracy, language-ID sanity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.pipeline.multimodal import (
+    decode_payload,
+    extract_features,
+    fake_payload,
+    frame_sample,
+    synthetic_media,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_multimodal_feature_extraction(spark):
+    media = synthetic_media(spark, n=48).repartition(4)
+    feats = extract_features(media)
+    rows = feats.collect()
+    assert len(rows) == 48
+    by_id = {r.media_id: r for r in rows}
+    # spot-check against a driver-side decode of the same payload
+    expect = decode_payload(fake_payload(7, "audio", 32 + (7 % 7) * 16, 32 + (7 % 5) * 16))
+    assert by_id[7].checksum == expect["checksum"]
+    assert by_id[7].n_bytes == expect["n_bytes"]
+    assert abs(by_id[7].mean_byte - expect["mean_byte"]) < 1e-12
+    # schema stability (driver contract requirement for any mapInPandas op)
+    assert [f.name for f in feats.schema.fields] == [
+        "media_id", "modality", "n_bytes", "mean_byte", "checksum", "width", "height",
+    ]
+
+
+def test_multimodal_real_decode_is_stubbed(spark):
+    with pytest.raises(NotImplementedError, match="codec"):
+        decode_payload(fake_payload(0, "image", 32, 32), decode="real")
+
+
+def test_frame_sampling(spark):
+    media = synthetic_media(spark, n=30)
+    frames = frame_sample(media, every_nth=10)
+    rows = frames.collect()
+    # videos have n_frames=30 → frames 0,10,20 per video
+    n_videos = media.filter(F.col("modality") == "video").count()
+    assert len(rows) == 3 * n_videos
+    assert {r.frame_index for r in rows} == {0, 10, 20}
+
+
+def test_ann_lsh_recall_vs_exact(spark):
+    """LSH candidates must recover a reasonable share of the true top-5
+    (8 hyperplanes on 64-dim random vectors is a coarse index; the
+    measurement is what matters — recall is the tunable)."""
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q50_knn_bruteforce,
+        q54_ann_lsh_search,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q50_knn_bruteforce(spark, SF).filter(F.col("rank") <= 5).collect()
+    }
+    approx = {(r.query_id, r.neighbor_id) for r in q54_ann_lsh_search(spark, SF).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"LSH recall collapsed: {recall}"
+
+
+def test_approx_distinct_accuracy(spark):
+    from parquet_modular_encryption_spark.operators.relational import q28_approx_distinct
+
+    got = {r.l_returnflag: r for r in q28_approx_distinct(spark, SF).collect()}
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    exact = {
+        r.l_returnflag: (r.parts, r.orders)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.countDistinct("l_orderkey").alias("orders"),
+        )
+        .collect()
+    }
+    for flag, (parts, orders) in exact.items():
+        assert abs(got[flag].approx_parts - parts) / parts < 0.05
+        assert abs(got[flag].approx_orders - orders) / orders < 0.05
+
+
+def test_langid_prefers_english_saladtext(spark):
+    """The synthetic corpus is English-ish word salad; the trigger heuristic
+    should classify the bulk as 'en' or 'und', never crash, and cover all
+    docs exactly once."""
+    from parquet_modular_encryption_spark.pipeline.textops import q44_langid
+
+    rows = q44_langid(spark, SF).collect()
+    total = sum(r.n_docs for r in rows)
+    assert total == spark.read.parquet(f"{SF}/documents.parquet").count()
+    preds = {r.predicted_lang for r in rows}
+    assert preds <= {"en", "de", "fr", "es", "zh", "und"}
