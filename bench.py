@@ -44,9 +44,18 @@ def main() -> None:
     spark = get_spark("pme-bench", cores=cpus)
     registry = load_all()
 
-    # Warm the JVM + parquet footers once so per-query times measure the
-    # query, not session startup.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm the JVM (whole-stage codegen, parquet reader, shuffle machinery)
+    # with a small aggregate so per-query times measure the query, not
+    # first-use JIT compilation.
+    from pyspark.sql import functions as F
+
+    (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .limit(50_000)
+        .groupBy("l_returnflag")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")), F.count(F.lit(1)))
+        .write.format("noop").mode("overwrite").save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -50,13 +50,19 @@ def sql_normalized(expr: str) -> str:
     return f"regexp_replace(lower(trim({expr})), '\\s+', ' ', 'g')"
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (Spark side): the MinHash input set.
+def shingles_from(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column: the MinHash input set.
+
+    ``toks`` must be a plain column reference (project the tokenization
+    into a column first). Passing the ``tokens(...)`` expression directly
+    would re-run the regex split inside every ``element_at`` of the lambda
+    — O(positions × n) tokenizations per document, which measured ~5×
+    slower than the whole rest of the MinHash pipeline.
 
     Documents shorter than n words yield a single shingle (the whole text),
     so every document has a non-empty set.
     """
-    toks = tokens(c)
     k = F.size(toks)
     grams = F.transform(
         F.sequence(F.lit(1), k - n + 1),
@@ -65,6 +71,13 @@ def word_shingles(c: Column | str, n: int = 3) -> Column:
     return F.array_distinct(
         F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def word_shingles(c: Column | str, n: int = 3) -> Column:
+    """Shingles straight from a text column — convenience form for small
+    inputs; hot paths should project ``tokens()`` first and use
+    :func:`shingles_from`."""
+    return shingles_from(tokens(c), n)
 
 
 def sql_word_shingles(toks_expr: str, n: int = 3) -> str:

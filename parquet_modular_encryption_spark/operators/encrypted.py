@@ -47,7 +47,10 @@ def q60_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_encrypted,
     )
 
-    plain = load(spark, sf_dir, "customer")
+    # coalesce: the customer table is small relative to executor count, and
+    # each output file costs one KMS wrap round-trip per key-id (double
+    # wrapping) — fewer, larger encrypted files is the right shape.
+    plain = load(spark, sf_dir, "customer").coalesce(8)
     scratch = tempfile.mkdtemp(prefix="pme_q60_")
     write_encrypted(plain, f"{scratch}/customer_enc", CUSTOMER_POLICY)
     enc = read_encrypted(spark, f"{scratch}/customer_enc", token="RESTRICTED")

@@ -25,11 +25,11 @@ from parquet_modular_encryption_spark.functions.text import (
 )
 from parquet_modular_encryption_spark.functions.text import (
     hash60,
+    shingles_from,
     sql_hash60,
     sql_tokens,
     sql_word_shingles,
     tokens,
-    word_shingles,
 )
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
@@ -56,8 +56,8 @@ SHINGLE_N = 3
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sig_0..sig_7): MinHash signature over distinct word shingles."""
-    sh = df.select(
-        F.col(id_col), F.explode(word_shingles(text_col, SHINGLE_N)).alias("shingle")
+    sh = df.select(F.col(id_col), tokens(text_col).alias("toks")).select(
+        F.col(id_col), F.explode(shingles_from(F.col("toks"), SHINGLE_N)).alias("shingle")
     )
     hv = hash60(F.col("shingle")) % P
     aggs = [
@@ -145,8 +145,24 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation AND verification are value-checked."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    shingled = docs.select("doc_id", word_shingles("text", SHINGLE_N).alias("shingles"))
-    sig = minhash_signature(docs, "doc_id", "text")
+    # Persist the shingle sets: they feed both the signature pipeline and
+    # the Jaccard verification, and re-shingling (regex tokenize + n-gram
+    # assembly) dominates recomputation cost. Tokens are projected into a
+    # column BEFORE shingling so the regex split runs once per doc, not
+    # once per element_at (see functions.text.shingles_from).
+    shingled = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
+        .persist()
+    )
+    sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
+    hv = hash60(F.col("shingle")) % P
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
     bands = band_keys(sig, "doc_id")
     left = bands.alias("a")
     right = bands.alias("b")
@@ -169,9 +185,12 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
+    # Candidate pairs are orders of magnitude fewer than documents (that is
+    # the point of banding), so broadcast them: the shingle table streams
+    # through two broadcast-hash joins instead of shuffling its arrays.
+    enriched = sa.join(F.broadcast(pairs), "doc_a")
     return (
-        pairs.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        sb.join(F.broadcast(enriched), "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
@@ -254,7 +273,9 @@ def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "source",
         F.floor(F.col("n_chars") / 50).cast("bigint").alias("len_bucket"),
-        word_shingles("text", 2).alias("shingles"),
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id", "source", "len_bucket", shingles_from(F.col("toks"), 2).alias("shingles")
     )
     a = sh.alias("a")
     b = sh.alias("b")

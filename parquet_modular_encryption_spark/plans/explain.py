@@ -1,0 +1,63 @@
+"""Physical-plan inspection helpers.
+
+Scale discipline: a query that *works* but reads every column, skips
+pushdown, or shuffle-joins a broadcastable dimension is wrong at 100 TB
+even when correct at sf0.01. These helpers let tests assert the plan
+shape, not just the result values.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Formatted physical plan — unlike the one-line tree string, scan
+    details (PushedFilters, ReadSchema) are printed in full, untruncated."""
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All parquet PushedFilters entries in the scan nodes."""
+    return re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema strings of the parquet scans (column pruning evidence)."""
+    return re.findall(r"ReadSchema: struct<([^>]*)", executed_plan(df))
+
+
+def has_pushed_filter(df: DataFrame, column: str) -> bool:
+    return any(column in f for f in pushed_filters(df))
+
+
+def scan_reads_column(df: DataFrame, column: str) -> bool:
+    return any(column in s for s in read_schemas(df))
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in executed_plan(df)
+
+
+def uses_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in executed_plan(df)
+
+
+def is_take_ordered(df: DataFrame) -> bool:
+    """Global ORDER BY + LIMIT should compile to TakeOrderedAndProject
+    (per-partition heap + driver merge), never a full sort."""
+    return "TakeOrderedAndProject" in executed_plan(df)
+
+
+def whole_stage_codegen_spans(df: DataFrame) -> int:
+    """Distinct whole-stage-codegen stages, from the tree string's `*(n)`
+    markers. AQE only finalizes the plan during execution, so the
+    DataFrame's own query execution is driven with a collect() first —
+    call on small (test-scale) frames only."""
+    df.collect()
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    return len(set(re.findall(r"\*\((\d+)\)", tree)))

@@ -1,0 +1,72 @@
+"""Physical-plan shape tests: pushdown, pruning, broadcast, top-k.
+
+These fail when a refactor silently degrades the plan even though results
+stay correct — the difference between working at sf0.01 and at 100 TB."""
+
+from __future__ import annotations
+
+from parquet_modular_encryption_spark.operators.relational import (
+    q01_pricing_summary,
+    q02_filter_project,
+    q04_broadcast_brand_revenue,
+    q05_regional_revenue,
+    q06_forecast_revenue,
+    q25_top_orders,
+)
+from parquet_modular_encryption_spark.plans.explain import (
+    executed_plan,
+    has_pushed_filter,
+    is_take_ordered,
+    read_schemas,
+    scan_reads_column,
+    uses_broadcast_join,
+    whole_stage_codegen_spans,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    df = q02_filter_project(spark, SF)
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_quantity")
+
+
+def test_column_pruning(spark):
+    df = q02_filter_project(spark, SF)
+    # only the 5 referenced columns may reach the scan
+    schema = read_schemas(df)[0]
+    assert "l_orderkey" in schema and "l_extendedprice" in schema
+    assert not scan_reads_column(df, "l_returnflag")
+    assert not scan_reads_column(df, "l_partkey")
+
+
+def test_q01_prunes_unused_columns(spark):
+    df = q01_pricing_summary(spark, SF)
+    assert not scan_reads_column(df, "l_orderkey")
+    assert not scan_reads_column(df, "l_suppkey")
+    assert has_pushed_filter(df, "l_shipdate")
+
+
+def test_q06_all_predicates_pushed(spark):
+    df = q06_forecast_revenue(spark, SF)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), f"{col} not pushed to parquet scan"
+
+
+def test_dimension_joins_broadcast(spark):
+    assert uses_broadcast_join(q04_broadcast_brand_revenue(spark, SF))
+    assert uses_broadcast_join(q05_regional_revenue(spark, SF))
+
+
+def test_top_n_is_heap_not_sort(spark):
+    df = q25_top_orders(spark, SF)
+    assert is_take_ordered(df), executed_plan(df)[:500]
+
+
+def test_aggregates_stay_in_codegen(spark):
+    # decimal-accumulator aggregation must not fall out of whole-stage
+    # codegen (it would if we used UDFs for the deterministic sums)
+    df = q01_pricing_summary(spark, SF)
+    assert whole_stage_codegen_spans(df) >= 2
+    assert "BatchEvalPython" not in executed_plan(df)
