@@ -1,0 +1,100 @@
+package pmespark;
+
+import java.io.IOException;
+import java.net.URI;
+import java.net.http.HttpClient;
+import java.net.http.HttpRequest;
+import java.net.http.HttpResponse;
+import java.time.Duration;
+import java.util.Base64;
+
+import org.apache.hadoop.conf.Configuration;
+import org.apache.parquet.crypto.KeyAccessDeniedException;
+import org.apache.parquet.crypto.ParquetCryptoRuntimeException;
+import org.apache.parquet.crypto.keytools.KmsClient;
+
+/**
+ * parquet-mr KmsClient speaking the engine's REST wrap/unwrap protocol
+ * (the JVM twin of crypto/kms_client.py, which itself mirrors the
+ * reference repo's kms_client.py): POST {"key": "&lt;b64&gt;"} to
+ * /api/v1/{wrap|unwrap}/{keyId} with the caller's token in the x-api-key
+ * header, 5 s timeout. Registered via
+ * parquet.encryption.kms.client.class so Spark's own parquet
+ * reader/writer (PropertiesDrivenCryptoFactory) encrypts and decrypts
+ * natively — distributed scans, vectorized reader, no Python in the path.
+ *
+ * A 403 surfaces as KeyAccessDeniedException, which parquet-mr propagates
+ * as a task failure: unauthorized projections fail the query, matching
+ * the reference's failure semantics.
+ *
+ * No JSON library dependency: the body is a single base64 string field,
+ * extracted with string operations (base64 cannot contain '"').
+ */
+public class RestKmsClient implements KmsClient {
+
+  private String kmsUrl;
+  private String token;
+  private HttpClient http;
+
+  @Override
+  public void initialize(
+      Configuration configuration, String kmsInstanceID, String kmsInstanceURL, String accessToken)
+      throws KeyAccessDeniedException {
+    this.kmsUrl = kmsInstanceURL.replaceAll("/+$", "");
+    this.token = accessToken;
+    this.http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5)).build();
+  }
+
+  @Override
+  public String wrapKey(byte[] keyBytes, String masterKeyIdentifier)
+      throws KeyAccessDeniedException {
+    return post("wrap", masterKeyIdentifier, Base64.getEncoder().encodeToString(keyBytes));
+  }
+
+  @Override
+  public byte[] unwrapKey(String wrappedKey, String masterKeyIdentifier)
+      throws KeyAccessDeniedException {
+    return Base64.getDecoder().decode(post("unwrap", masterKeyIdentifier, wrappedKey));
+  }
+
+  private String post(String action, String keyId, String keyB64) throws KeyAccessDeniedException {
+    HttpRequest.Builder builder =
+        HttpRequest.newBuilder()
+            .uri(URI.create(kmsUrl + "/api/v1/" + action + "/" + keyId))
+            .timeout(Duration.ofSeconds(5))
+            .header("Content-Type", "application/json")
+            .POST(HttpRequest.BodyPublishers.ofString("{\"key\": \"" + keyB64 + "\"}"));
+    if (token != null && !token.isEmpty() && !"DEFAULT".equals(token)) {
+      builder.header("x-api-key", token);
+    }
+    HttpResponse<String> resp;
+    try {
+      resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString());
+    } catch (IOException | InterruptedException e) {
+      throw new ParquetCryptoRuntimeException("KMS " + action + " request failed", e);
+    }
+    if (resp.statusCode() == 403) {
+      throw new KeyAccessDeniedException(
+          "token not authorized to " + action + " key " + keyId + ": " + resp.body());
+    }
+    if (resp.statusCode() != 200) {
+      throw new ParquetCryptoRuntimeException(
+          "KMS " + action + " failed (" + resp.statusCode() + "): " + resp.body());
+    }
+    return extractKey(resp.body());
+  }
+
+  /** Pull the value of the "key" field out of {"key": "..."}. */
+  static String extractKey(String body) {
+    int idx = body.indexOf("\"key\"");
+    if (idx < 0) {
+      throw new ParquetCryptoRuntimeException("malformed KMS response: " + body);
+    }
+    int start = body.indexOf('"', body.indexOf(':', idx) + 1) + 1;
+    int end = body.indexOf('"', start);
+    if (start <= 0 || end < start) {
+      throw new ParquetCryptoRuntimeException("malformed KMS response: " + body);
+    }
+    return body.substring(start, end);
+  }
+}

@@ -1,0 +1,31 @@
+"""JVM-native PME integration: runs tests/native_pme_driver.py in a fresh
+process (the kms jar must be on the classpath at JVM launch) and checks
+every interop assertion passed."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+EXPECTED = [
+    "OK native_roundtrip",
+    "OK ciphertext_opaque",
+    "OK authz_denied",
+    "OK interop_arrow_to_jvm",
+    "OK interop_jvm_to_arrow",
+]
+
+
+def test_native_pme_end_to_end():
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tests", "native_pme_driver.py"), REPO],
+        capture_output=True,
+        text=True,
+        timeout=280,
+    )
+    assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
+    for line in EXPECTED:
+        assert line in proc.stdout, f"missing {line!r}; got:\n{proc.stdout}"
