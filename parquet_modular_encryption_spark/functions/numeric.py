@@ -11,6 +11,12 @@ driver's value-hash comparison. The fix used throughout this engine:
    performs NO rounding — it is exact in both engines. (A lower scale would
    round, and Spark's HALF_UP disagrees with DuckDB on exact `..xx50` ties,
    which 6-decimal products hit at the ~1% level.)
+   MAGNITUDE BOUND: the per-row |value| must stay under ~9e5 — DuckDB's
+   double→decimal cast scales by 10^10 in double arithmetic, so beyond
+   2^53/10^10 it loses ulps and disagrees with Spark's exact-expansion
+   rounding (measured: 667/4599 rows off by 1-2e-10 for ~5e6 values).
+   Scale larger expressions into range first and unscale after the sum
+   (see q37_derived_stats).
 3. SUM in decimal — exact, order-independent. The result is returned AS
    DECIMAL(38,10): bit-exact in both engines, no final float cast to go
    wrong. (DuckDB's decimal→double cast is not correctly rounded once the
@@ -72,6 +78,26 @@ def sql_davg(expr: str) -> str:
     return (
         f"(CAST(CAST(floor(SUM(CAST(({expr}) AS DECIMAL(38,10))) * 10000) AS BIGINT)"
         f" AS DOUBLE) / 10000.0 / COUNT({expr}))"
+    )
+
+
+def dsum_floor(c: Column | str, shift: int = 10_000) -> Column:
+    """Exact decimal sum floored at 1/shift, returned as DOUBLE.
+
+    Building block for derived statistics (variance, correlation): the
+    floored integer is < 2^53 for |sum| < 2^53/shift, so the →double cast
+    is exact in both engines and downstream IEEE arithmetic on it is
+    bit-identical. Use a smaller shift for large-magnitude sums (e.g.
+    Σx·y of money products)."""
+    return F.floor(F.sum(_col(c).cast(DEC)) * shift).cast("bigint").cast("double") / F.lit(
+        float(shift)
+    )
+
+
+def sql_dsum_floor(expr: str, shift: int = 10_000) -> str:
+    return (
+        f"(CAST(CAST(floor(SUM(CAST(({expr}) AS DECIMAL(38,10))) * {shift}) AS BIGINT)"
+        f" AS DOUBLE) / {float(shift)})"
     )
 
 

@@ -1,0 +1,274 @@
+"""Advanced relational operators: as-of join, range join, unpivot,
+derived statistics, regexp scalars, CSV/JSON source round-trips.
+
+These cover the operator families Spark has no single built-in for —
+each is expressed as a composition of DataFrame primitives (SURVEY.md §2B
+preference order: built-ins first, Pandas UDFs only when semantics force
+it; none of these do)."""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.numeric import (
+    dsum,
+    dsum_floor,
+    sql_dsum,
+    sql_dsum_floor,
+)
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+
+@register(
+    "q34_asof_join",
+    oracle="""
+    WITH funnel AS (
+        SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+               last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                   OVER w AS last_click_id,
+               last_value(CASE WHEN event_type = 'click' THEN epoch_us(ts) END IGNORE NULLS)
+                   OVER w AS last_click_ts_us
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT user_id, event_id, ts_us, last_click_id, last_click_ts_us,
+           ts_us - last_click_ts_us AS click_to_purchase_us
+    FROM funnel WHERE event_type = 'purchase'
+    """,
+    tags=("join", "asof", "window"),
+)
+def q34_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (merge_asof semantics) as a window composition: for each
+    purchase, the most recent strictly-earlier click by the same user.
+
+    Spark lacks a native as-of join; the scalable form is this tagged-union
+    + last_value(IGNORE NULLS) over a 1-PRECEDING frame — one shuffle on
+    user_id, no per-group Python. (`applyInPandas` + pd.merge_asof is the
+    fallback when the match condition can't be expressed as a frame.)"""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ts_us = F.unix_micros("ts")
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", ts_us)
+    funnel = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        ts_us.alias("ts_us"),
+        F.last(click_id, ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("last_click_ts_us"),
+    )
+    return funnel.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        "ts_us",
+        "last_click_id",
+        "last_click_ts_us",
+        (F.col("ts_us") - F.col("last_click_ts_us")).alias("click_to_purchase_us"),
+    )
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 10_000.0),
+    ("mid", 10_000.0, 30_000.0),
+    ("premium", 30_000.0, 60_000.0),
+    ("luxury", 60_000.0, 1e12),
+]
+
+
+@register(
+    "q35_range_join_bands",
+    oracle=f"""
+    WITH bands(band, lo, hi) AS (VALUES
+        {", ".join(f"('{b}', {lo}, {hi})" for b, lo, hi in PRICE_BANDS)}
+    )
+    SELECT band, COUNT(*) AS n_lines,
+           {sql_dsum('l_extendedprice')} AS band_value
+    FROM lineitem JOIN bands
+      ON l_extendedprice >= lo AND l_extendedprice < hi
+    GROUP BY band
+    """,
+    tags=("join", "range"),
+)
+def q35_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: lineitem → unequal-width price
+    bands. The band table broadcasts, so the non-equi condition runs as a
+    broadcast nested-loop over 4 rows — the right plan when the build side
+    is tiny. For two LARGE interval sets the scalable form is bucketing
+    both sides to a common grid + equi-join on bucket + residual filter."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(PRICE_BANDS, "band string, lo double, hi double")
+    return (
+        li.join(
+            F.broadcast(bands),
+            (li.l_extendedprice >= bands.lo) & (li.l_extendedprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice").alias("band_value"),
+        )
+    )
+
+
+@register(
+    "q36_unpivot",
+    oracle="""
+    WITH long AS (
+        SELECT l_returnflag, 'quantity' AS measure, l_quantity AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'discount' AS measure, l_discount AS value FROM lineitem
+        UNION ALL
+        SELECT l_returnflag, 'tax' AS measure, l_tax AS value FROM lineitem
+    )
+    SELECT l_returnflag, measure,
+           COUNT(*) AS n, MIN(value) AS min_value, MAX(value) AS max_value
+    FROM long GROUP BY l_returnflag, measure
+    """,
+    tags=("unpivot",),
+)
+def q36_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long) via stack(): per-measure profiling in one pass
+    over the fact table instead of one query per measure."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    long = li.selectExpr(
+        "l_returnflag",
+        "stack(3, 'quantity', l_quantity, 'discount', l_discount, 'tax', l_tax)"
+        " AS (measure, value)",
+    )
+    return long.groupBy("l_returnflag", "measure").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+@register(
+    "q37_derived_stats",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {sql_dsum_floor('l_quantity')} / COUNT(*) AS mean_qty,
+           ({sql_dsum_floor('l_quantity * l_quantity', 100)}
+             - {sql_dsum_floor('l_quantity')} * {sql_dsum_floor('l_quantity')} / COUNT(*))
+             / (COUNT(*) - 1) AS var_qty,
+           sqrt(({sql_dsum_floor('l_quantity * l_quantity', 100)}
+             - {sql_dsum_floor('l_quantity')} * {sql_dsum_floor('l_quantity')} / COUNT(*))
+             / (COUNT(*) - 1)) AS std_qty,
+           ({sql_dsum_floor('l_quantity * (l_extendedprice / 10000.0)')} * 10000.0
+             - {sql_dsum_floor('l_quantity')} * {sql_dsum_floor('l_extendedprice')} / COUNT(*))
+             / (COUNT(*) - 1) AS cov_qty_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "stats"),
+)
+def q37_derived_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic variance/stddev/covariance from exact floored sums —
+    engine-native stddev/corr are single-pass streaming algorithms whose
+    float results differ across engines, so derived stats are rebuilt from
+    the sum/sum-of-squares identity on cross-engine-exact doubles."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
+    sx = dsum_floor("l_quantity")
+    sxx = dsum_floor(F.col("l_quantity") * F.col("l_quantity"), 100)
+    sp = dsum_floor("l_extendedprice")
+    # qty*price reaches ~5e6 per row — beyond the ~9e5 bound where the
+    # DECIMAL(38,10) cast stays exact in both engines (DuckDB scales the
+    # double by 10^10 before rounding, losing ulps past 2^53). Scale the
+    # product into range, sum, then unscale in double (IEEE both sides).
+    sxy = dsum_floor(F.col("l_quantity") * (F.col("l_extendedprice") / 10000.0)) * 10000.0
+    var = (sxx - sx * sx / n) / (n - 1)
+    cov = (sxy - sx * sp / n) / (n - 1)
+    return li.groupBy("l_returnflag").agg(
+        n.alias("n"),
+        (sx / n).alias("mean_qty"),
+        var.alias("var_qty"),
+        F.sqrt(var).alias("std_qty"),
+        cov.alias("cov_qty_price"),
+    )
+
+
+@register(
+    "q38_regexp_scalars",
+    oracle="""
+    SELECT p_partkey,
+           regexp_extract(p_type, '^(\\w+)', 1) AS type_head,
+           split_part(p_type, ' ', -1) AS type_tail,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           CAST(length(p_name) - length(replace(p_name, ' ', '')) + 1 AS INT) AS name_words,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded
+    FROM part
+    WHERE regexp_matches(p_type, 'ED$|SS$')
+    """,
+    tags=("scalar", "regexp"),
+)
+def q38_regexp_scalars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp scalar coverage: extract / replace / match-filter /
+    split_part / lpad."""
+    prep(spark)
+    part = load(spark, sf_dir, "part")
+    return part.filter(F.col("p_type").rlike("ED$|SS$")).select(
+        "p_partkey",
+        F.regexp_extract("p_type", r"^(\w+)", 1).alias("type_head"),
+        F.split_part(F.col("p_type"), F.lit(" "), F.lit(-1)).alias("type_tail"),
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_devoweled"),
+        (
+            F.length("p_name") - F.length(F.replace(F.col("p_name"), F.lit(" "), F.lit("")))
+            + 1
+        ).cast("int").alias("name_words"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+    )
+
+
+@register(
+    "q39_csv_json_sources",
+    oracle="""
+    SELECT r_name, COUNT(*) AS n_nations, MIN(n_name) AS first_nation
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    tags=("sources", "csv", "json"),
+)
+def q39_csv_json_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV + JSON source connectors: nation→CSV, region→JSON (written to
+    scratch), read back with explicit schemas (never inferSchema at scale)
+    and joined. The oracle runs on the parquet originals — equality proves
+    the round-trip is lossless. Int/string columns only: CSV float
+    round-trips are not bit-stable by design."""
+    prep(spark)
+    scratch = tempfile.mkdtemp(prefix="pme_q39_")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    nation.write.mode("overwrite").option("header", True).csv(f"{scratch}/nation_csv")
+    region.write.mode("overwrite").json(f"{scratch}/region_json")
+
+    nation_back = spark.read.option("header", True).schema(
+        "n_nationkey int, n_name string, n_regionkey int"
+    ).csv(f"{scratch}/nation_csv")
+    region_back = spark.read.schema("r_regionkey int, r_name string").json(
+        f"{scratch}/region_json"
+    )
+    return (
+        nation_back.join(
+            F.broadcast(region_back),
+            nation_back.n_regionkey == region_back.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_nation"))
+    )

@@ -28,6 +28,7 @@ _QUERY_MODULES = (
     "parquet_modular_encryption_spark.operators.window",
     "parquet_modular_encryption_spark.operators.grouping",
     "parquet_modular_encryption_spark.operators.events",
+    "parquet_modular_encryption_spark.operators.advanced",
     "parquet_modular_encryption_spark.operators.encrypted",
     "parquet_modular_encryption_spark.pipeline.textops",
     "parquet_modular_encryption_spark.pipeline.dedup",

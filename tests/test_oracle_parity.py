@@ -41,7 +41,9 @@ def _canon(v):
 
 def _rows_canon(cols, rows):
     idx = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_canon(r[i]) for i in idx) for r in rows)
+    # repr-keyed sort: total order even with NULL cells (None is not
+    # comparable to int); identical rows get identical keys on both sides
+    return sorted((tuple(_canon(r[i]) for i in idx) for r in rows), key=repr)
 
 
 @pytest.mark.parametrize("query", WITH_ORACLE, ids=[q.name for q in WITH_ORACLE])
