@@ -29,7 +29,9 @@ _QUERY_MODULES = (
     "parquet_modular_encryption_spark.operators.grouping",
     "parquet_modular_encryption_spark.operators.events",
     "parquet_modular_encryption_spark.operators.advanced",
+    "parquet_modular_encryption_spark.operators.storage",
     "parquet_modular_encryption_spark.operators.encrypted",
+    "parquet_modular_encryption_spark.pipeline.pandas_ops",
     "parquet_modular_encryption_spark.pipeline.textops",
     "parquet_modular_encryption_spark.pipeline.dedup",
     "parquet_modular_encryption_spark.pipeline.similarity",

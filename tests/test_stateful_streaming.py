@@ -1,0 +1,49 @@
+"""applyInPandasWithState: running per-user profiles must converge to the
+batch aggregate when the stream is exhausted."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.streaming.stateful import user_profiles
+from parquet_modular_encryption_spark.streaming.windows import stream_events
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_user_profiles_match_batch(spark):
+    stream = stream_events(spark, SF)
+    q = (
+        user_profiles(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("t_profiles")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # update mode re-emits a key on every batch it appears in; the LAST
+    # emission per key is the final state
+    got = (
+        spark.table("t_profiles")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("last_ts_us").alias("last_ts_us"),
+        )
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    batch = (
+        load(spark, SF, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_micros(F.max("ts")).alias("last_ts_us"),
+        )
+    )
+    g = {r.user_id: (r.n_events, r.last_ts_us) for r in got.collect()}
+    b = {r.user_id: (r.n_events, r.last_ts_us) for r in batch.collect()}
+    assert g == b

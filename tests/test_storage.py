@@ -1,0 +1,78 @@
+"""Storage-layout tests: partition pruning reaches the file listing, and
+bucketed tables join without an exchange."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.operators.storage import (
+    q62_partition_pruning,
+    write_partitioned,
+)
+from parquet_modular_encryption_spark.plans.explain import executed_plan
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_partition_pruning_in_plan(spark, tmp_path):
+    path = str(tmp_path / "orders_by_year")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, path, ["order_year"])
+    df = spark.read.parquet(path).filter(F.col("order_year") == 1997)
+    plan = executed_plan(df)
+    assert "PartitionFilters" in plan and "order_year" in plan
+    # the pruned scan must not read the partition column from data files
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "1997" in m.group(1), plan[:800]
+
+
+def test_partitioned_roundtrip_counts(spark, tmp_path):
+    path = str(tmp_path / "orders_part")
+    orders = spark.read.parquet(f"{SF}/orders.parquet").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    write_partitioned(orders, path, ["order_year"])
+    back = spark.read.parquet(path)
+    assert back.count() == orders.count()
+    got = {r.order_year: r.n for r in back.groupBy("order_year").agg(F.count("*").alias("n")).collect()}
+    want = {r.order_year: r.n for r in orders.groupBy("order_year").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """bucketBy pre-pays the join shuffle at write time: a join of two
+    tables bucketed on the same key by the same count needs no Exchange."""
+    # spark.sql.warehouse.dir is static — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
+    try:
+        orders = spark.read.parquet(f"{SF}/orders.parquet")
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders.write.mode("overwrite").bucketBy(4, "o_orderkey").sortBy(
+            "o_orderkey"
+        ).saveAsTable("orders_b")
+        lineitem.write.mode("overwrite").bucketBy(4, "l_orderkey").sortBy(
+            "l_orderkey"
+        ).saveAsTable("lineitem_b")
+        joined = spark.table("lineitem_b").join(
+            spark.table("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        n = joined.count()
+        assert n == lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        plan = executed_plan(joined)
+        assert "Exchange" not in plan, plan[:1200]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q62_runs(spark):
+    rows = q62_partition_pruning(spark, SF).collect()
+    assert len(rows) > 0
