@@ -30,11 +30,16 @@ HEADLINE = [
     "q22_topk_per_group",
     "q30_tumbling_window",
     "q32_sessionize",
+    "q34_asof_join",
+    "q37_derived_stats",
     "q45_fingerprint",
     "q47_minhash_neardup",
     "q48_simhash",
     "q50_knn_bruteforce",
+    "q54_ann_lsh_search",
     "q60_encrypted_roundtrip",
+    "q62_partition_pruning",
+    "q64_pandas_percentile_rank",
 ]
 
 

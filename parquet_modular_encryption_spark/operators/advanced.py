@@ -272,3 +272,32 @@ def q39_csv_json_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name")
         .agg(F.count(F.lit(1)).alias("n_nations"), F.min("n_name").alias("first_nation"))
     )
+
+
+@register(
+    "q66_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.25) AS p25,
+           quantile_cont(l_extendedprice, 0.50) AS median,
+           quantile_cont(l_extendedprice, 0.90) AS p90,
+           quantile_cont(l_quantity, 0.50) AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def q66_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (linear interpolation): Spark `percentile` and
+    DuckDB `quantile_cont` share the interpolation definition, and the
+    arithmetic on identical doubles is IEEE-identical — verified bit-exact
+    at sf0.01. At 100 TB use approx_percentile (KLL/GK sketch); the exact
+    form sorts each group."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, 0.25)").alias("p25"),
+        F.expr("percentile(l_extendedprice, 0.50)").alias("median"),
+        F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
+        F.expr("percentile(l_quantity, 0.50)").alias("median_qty"),
+    )

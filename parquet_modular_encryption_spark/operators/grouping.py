@@ -88,3 +88,36 @@ def q29_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(qty_f).alias("qty_filled"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q65_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(grouping(l_returnflag) AS INT) AS g_flag,
+           CAST(grouping(l_linestatus) AS INT) AS g_status,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_extendedprice')} AS total_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("grouping",),
+)
+def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (an arbitrary subset of the cube lattice) via
+    Spark SQL — the general form behind rollup/cube."""
+    prep(spark)
+    from parquet_modular_encryption_spark.sources.datasets import view
+
+    view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS INT) AS g_flag,
+               CAST(grouping(l_linestatus) AS INT) AS g_status,
+               COUNT(*) AS n_rows,
+               {sql_dsum('l_extendedprice')} AS total_price
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )

@@ -318,3 +318,81 @@ def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
+# cosine ≈ 0.48), so the threshold sits low to exercise the operator; real
+# corpora use ~0.9+.
+
+
+@register(
+    "q55_embedding_neardup",
+    oracle=f"""
+    WITH {_sql_bands_cte()},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+               AS cosine_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.vec_a
+    JOIN embeddings eb ON eb.vec_id = cand.vec_b
+    WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+          >= {NEARDUP_COSINE}
+    """,
+    tags=("dedup", "similarity", "embedding"),
+)
+def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate detection — semantic dedup: LSH
+    bands generate candidate pairs across the WHOLE corpus (no query-set
+    restriction, unlike q54), exact cosine keeps pairs above threshold.
+    The all-pairs comparison never materializes; candidate volume is
+    governed by the banding curve."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+
+    def _weight_fn(plane: int):
+        return lambda d: _plane_weights(plane, d)
+
+    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in range(N_PLANES)}
+    band_structs = []
+    for b, band in enumerate(LSH_BANDS):
+        key = None
+        for i, p in enumerate(band):
+            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
+    )

@@ -301,3 +301,71 @@ def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 3)
         .select("doc_id", "token", "tf", "df", "score", "rank")
     )
+
+
+# PII patterns for the scrubbing operator — mirrors the data classes the
+# reference protects with encryption (SSN/name/DOB, write_encrypted_parquet
+# .py:75-79); scrubbing is the complementary control for free text.
+SSN_PATTERN = r"\d{3}-\d{2}-\d{4}"
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+
+
+@register(
+    "q56_pii_scrub",
+    oracle=f"""
+    WITH synth AS (
+        SELECT c_custkey,
+               concat('Contact ', c_name, ' at user', CAST(c_custkey AS VARCHAR),
+                      '@example.com or SSN ',
+                      lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0'), '-',
+                      lpad(CAST(c_custkey % 90 + 10 AS VARCHAR), 2, '0'), '-',
+                      lpad(CAST(c_custkey % 9000 + 1000 AS VARCHAR), 4, '0'))
+                   AS raw_text
+        FROM customer
+    )
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(raw_text, '{SSN_PATTERN}', '[SSN]', 'g'),
+                          '{EMAIL_PATTERN}', '[EMAIL]', 'g') AS scrubbed,
+           CAST(length(regexp_replace(raw_text, '{SSN_PATTERN}', '', 'g'))
+                < length(raw_text) AS INT) AS had_ssn,
+           CAST(length(regexp_replace(raw_text, '{EMAIL_PATTERN}', '', 'g'))
+                < length(raw_text) AS INT) AS had_email
+    FROM synth
+    """,
+    tags=("text", "pii", "scrub"),
+)
+def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing over free text: regex redaction of SSN/email patterns
+    plus per-row detection flags — the text-pipeline complement to the
+    column-level encryption the reference applies to structured PII. The
+    PII-bearing text is synthesized deterministically from customer rows
+    (the corpus itself contains none)."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    raw = F.concat(
+        F.lit("Contact "), F.col("c_name"),
+        F.lit(" at user"), F.col("c_custkey").cast("string"), F.lit("@example.com or SSN "),
+        F.lpad((F.col("c_custkey") % 900 + 100).cast("string"), 3, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 90 + 10).cast("string"), 2, "0"), F.lit("-"),
+        F.lpad((F.col("c_custkey") % 9000 + 1000).cast("string"), 4, "0"),
+    )
+    synth = cust.select("c_custkey", raw.alias("raw_text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("raw_text"), SSN_PATTERN, "[SSN]"),
+        EMAIL_PATTERN,
+        "[EMAIL]",
+    )
+    had_ssn = (
+        F.length(F.regexp_replace(F.col("raw_text"), SSN_PATTERN, ""))
+        < F.length(F.col("raw_text"))
+    ).cast("int")
+    had_email = (
+        F.length(F.regexp_replace(F.col("raw_text"), EMAIL_PATTERN, ""))
+        < F.length(F.col("raw_text"))
+    ).cast("int")
+    return synth.select(
+        "c_custkey",
+        scrubbed.alias("scrubbed"),
+        had_ssn.alias("had_ssn"),
+        had_email.alias("had_email"),
+    )
