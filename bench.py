@@ -46,7 +46,19 @@ HEADLINE = [
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    spark = get_spark("pme-bench", cores=cpus)
+    extra_conf = {}
+    try:
+        # JVM-native PME needs the kms jar on the classpath at launch
+        from parquet_modular_encryption_spark.sources.encrypted_native import (
+            build_jar,
+            native_session_conf,
+        )
+
+        build_jar()
+        extra_conf = native_session_conf()
+    except Exception as exc:  # noqa: BLE001
+        print(f"# native PME jar unavailable: {exc}", file=sys.stderr)
+    spark = get_spark("pme-bench", cores=cpus, extra_conf=extra_conf)
     registry = load_all()
 
     # Warm the JVM (whole-stage codegen, parquet reader, shuffle machinery)
@@ -77,18 +89,91 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "headline_queries_total_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    try:
+        result["encryption_overhead"] = measure_encryption_overhead(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001 — overhead stats are best-effort
+        print(f"# encryption overhead measurement skipped: {exc}", file=sys.stderr)
+    print(json.dumps(result))
     spark.stop()
+
+
+def measure_encryption_overhead(spark, sf_dir: str) -> dict:
+    """BASELINE.md M5 gate: encrypted scan wall-clock vs plain scan, and
+    encrypted file size vs plain (AES-GCM tags + key material).
+
+    Measured on lineitem (the largest table) through the JVM-native PME
+    path — Spark's own vectorized parquet reader doing the decryption —
+    which is the deployment-relevant comparison. The Arrow/mapInArrow
+    fallback path is measured alongside for reference."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+    from parquet_modular_encryption_spark.crypto.policy import (
+        EncryptionPolicy,
+        Privilege,
+    )
+    from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
+    from parquet_modular_encryption_spark.sources.encrypted_native import (
+        read_encrypted_native,
+        write_encrypted_native,
+    )
+
+    policy = EncryptionPolicy(
+        column_levels={
+            "l_extendedprice": Privilege.CONFIDENTIAL,
+            "l_discount": Privilege.CONFIDENTIAL,
+            "l_tax": Privilege.INTERNAL,
+        },
+        name="lineitem_financials",
+    )
+    kms_url = shared_kms_url()
+    scratch = tempfile.mkdtemp(prefix="pme_bench_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").coalesce(4)
+
+    li.write.mode("overwrite").parquet(f"{scratch}/plain")
+    write_encrypted_native(li, f"{scratch}/enc", policy, kms_url)
+
+    def _dir_bytes(p):
+        return sum(
+            os.path.getsize(os.path.join(p, f))
+            for f in os.listdir(p)
+            if f.endswith(".parquet")
+        )
+
+    def _time_scan(df):
+        start = time.perf_counter()
+        df.agg(
+            F.count("l_orderkey"), F.sum("l_extendedprice"), F.sum("l_discount")
+        ).collect()
+        return time.perf_counter() - start
+
+    plain_sec = _time_scan(spark.read.parquet(f"{scratch}/plain"))
+    native_sec = _time_scan(
+        read_encrypted_native(spark, f"{scratch}/enc", kms_url, "RESTRICTED")
+    )
+    arrow_sec = _time_scan(
+        read_encrypted(spark, f"{scratch}/enc", token="RESTRICTED", kms_url=kms_url)
+    )
+    plain_bytes = _dir_bytes(f"{scratch}/plain")
+    enc_bytes = _dir_bytes(f"{scratch}/enc")
+    return {
+        "plain_scan_sec": round(plain_sec, 3),
+        "encrypted_scan_native_sec": round(native_sec, 3),
+        "encrypted_scan_arrow_sec": round(arrow_sec, 3),
+        "native_scan_ratio": round(native_sec / plain_sec, 2),
+        "plain_bytes": plain_bytes,
+        "encrypted_bytes": enc_bytes,
+        "size_ratio": round(enc_bytes / plain_bytes, 3),
+    }
 
 
 if __name__ == "__main__":
