@@ -25,6 +25,17 @@ from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
 
 
+def _native_pme_available(spark: SparkSession) -> bool:
+    """True when the compiled pmespark.RestKmsClient is on the JVM
+    classpath (bench/our sessions add it at launch; the driver's vanilla
+    session won't have it and falls back to the Arrow path)."""
+    try:
+        spark._jvm.java.lang.Class.forName("pmespark.RestKmsClient")
+        return True
+    except Exception:  # noqa: BLE001
+        return False
+
+
 @register(
     "q60_encrypted_roundtrip",
     oracle=f"""
@@ -39,21 +50,38 @@ from parquet_modular_encryption_spark.sources.datasets import load
 def q60_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Encrypt customer under the privilege-lattice policy, read it back
     with a RESTRICTED token, aggregate. Oracle aggregates the plaintext
-    table — equality proves the encrypted round-trip is lossless."""
+    table — equality proves the encrypted round-trip is lossless.
+
+    Backend-swapped: the JVM-native PME path (Spark's own parquet sink and
+    vectorized reader, ~zero overhead) when the kms jar is on the
+    classpath, else the Arrow per-partition path — same API, same result."""
     prep(spark)
     from parquet_modular_encryption_spark.crypto.policy import CUSTOMER_POLICY
-    from parquet_modular_encryption_spark.sources.encrypted import (
-        read_encrypted,
-        write_encrypted,
-    )
 
     # coalesce: the customer table is small relative to executor count, and
     # each output file costs one KMS wrap round-trip per key-id (double
     # wrapping) — fewer, larger encrypted files is the right shape.
     plain = load(spark, sf_dir, "customer").coalesce(8)
     scratch = tempfile.mkdtemp(prefix="pme_q60_")
-    write_encrypted(plain, f"{scratch}/customer_enc", CUSTOMER_POLICY)
-    enc = read_encrypted(spark, f"{scratch}/customer_enc", token="RESTRICTED")
+    path = f"{scratch}/customer_enc"
+    if _native_pme_available(spark):
+        from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+        from parquet_modular_encryption_spark.sources.encrypted_native import (
+            read_encrypted_native,
+            write_encrypted_native,
+        )
+
+        kms_url = shared_kms_url()
+        write_encrypted_native(plain, path, CUSTOMER_POLICY, kms_url)
+        enc = read_encrypted_native(spark, path, kms_url, "RESTRICTED")
+    else:
+        from parquet_modular_encryption_spark.sources.encrypted import (
+            read_encrypted,
+            write_encrypted,
+        )
+
+        write_encrypted(plain, path, CUSTOMER_POLICY)
+        enc = read_encrypted(spark, path, token="RESTRICTED")
     return enc.groupBy("c_mktsegment").agg(
         F.count(F.lit(1)).alias("n_customers"),
         davg("c_acctbal").alias("avg_acctbal"),

@@ -157,3 +157,53 @@ def q33_event_dedup_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", F.unix_micros("ts").alias("ts_us"))
     )
+
+
+@register(
+    "q67_session_window_batch",
+    oracle=f"""
+    WITH flagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                         OR lag(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM flagged
+    )
+    SELECT user_id,
+           epoch_us(MIN(ts)) AS session_start_us,
+           epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+           COUNT(*) AS n_events,
+           {sql_dsum('value')} AS session_value
+    FROM numbered
+    GROUP BY user_id, session_id
+    """,
+    tags=("window", "session"),
+)
+def q67_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window operator in batch mode, cross-checked
+    against the gaps-and-islands formulation (q32's manual construction is
+    the oracle here): session end = last event + gap, per the operator's
+    definition. Validates the built-in's merge semantics exactly."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.unix_micros(F.col("s.start")).alias("session_start_us"),
+            F.unix_micros(F.col("s.end")).alias("session_end_us"),
+            "n_events",
+            "session_value",
+        )
+    )

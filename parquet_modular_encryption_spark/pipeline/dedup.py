@@ -296,3 +296,71 @@ def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("jaccard") >= 0.35)
     )
+
+
+def connected_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+    """Connected components over a near-duplicate pair graph by iterative
+    label propagation: every node repeatedly adopts the smallest label in
+    its neighborhood until fixpoint. Converges in O(diameter) rounds —
+    near-dup clusters are tiny and dense, so a handful of iterations.
+
+    Each iteration is two shuffles (join + min-agg). At 100 TB scale this
+    is the standard alternating-star pattern; the loop is driver-
+    coordinated but all data stays distributed. Returns (node, component)
+    with component = min doc_id of the cluster."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for _ in range(20):  # diameter bound; near-dup clusters converge fast
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("component").alias("neighbor_component"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"),
+                    F.coalesce(F.col("neighbor_component"), F.col("component")),
+                ).alias("component"),
+            )
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "node")
+            .filter(F.col("u.component") != F.col("l.component"))
+            .limit(1)
+            .count()
+        )
+        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        if changed == 0:
+            break
+    return labels
+
+
+@register("q57_neardup_clusters", oracle=None, tags=("dedup", "clusters", "iterative"))
+def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash candidate pairs → connected
+    components → one canonical doc per cluster. The keep/drop decision of
+    a dedup pass (keep component representative, drop the rest).
+
+    Iterative label propagation is not SQL-expressible in one statement →
+    rows-only driver check; tests/test_pipeline.py verifies components
+    against a driver-side union-find on the same pairs."""
+    prep(spark)
+    pairs = q47_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("canonical_doc_id"),
+        F.max("node").alias("max_doc_id"),
+    )

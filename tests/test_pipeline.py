@@ -97,3 +97,39 @@ def test_langid_prefers_english_saladtext(spark):
     assert total == spark.read.parquet(f"{SF}/documents.parquet").count()
     preds = {r.predicted_lang for r in rows}
     assert preds <= {"en", "de", "fr", "es", "zh", "und"}
+
+
+def test_neardup_clusters_match_union_find(spark):
+    """Distributed label propagation must produce exactly the components a
+    driver-side union-find computes on the same candidate pairs."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        connected_components,
+        q47_minhash_neardup,
+    )
+
+    pairs = [(r.doc_a, r.doc_b) for r in q47_minhash_neardup(spark, SF).collect()]
+    assert pairs, "expected some near-dup pairs at sf0.001"
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    got_df = connected_components(
+        spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+    )
+    got = {r.node: r.component for r in got_df.collect()}
+    assert got == want
