@@ -70,3 +70,30 @@ def test_aggregates_stay_in_codegen(spark):
     df = q01_pricing_summary(spark, SF)
     assert whole_stage_codegen_spans(df) >= 2
     assert "BatchEvalPython" not in executed_plan(df)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting must change only the shuffle distribution, never the result
+    — verified on a deliberately skewed fact (every row the same key)."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.functions.skew import salted_join
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    # 90% of rows forced onto one hot supplier key
+    skewed = li.withColumn(
+        "hot_key",
+        F.when(F.col("l_linenumber") > 1, F.lit(1)).otherwise(F.col("l_suppkey")),
+    )
+    supp = spark.read.parquet(f"{SF}/supplier.parquet")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = skewed.join(supp, skewed.hot_key == supp.s_suppkey).select(
+            "l_orderkey", "l_linenumber", "s_suppkey"
+        )
+        salted = salted_join(skewed, supp, "hot_key", "s_suppkey").select(
+            "l_orderkey", "l_linenumber", "s_suppkey"
+        )
+        assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
