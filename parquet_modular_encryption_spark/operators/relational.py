@@ -674,3 +674,35 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey", 0.02).alias("approx_orders"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+@register(
+    "q68_correlated_agg_subquery",
+    oracle="""
+    SELECT COUNT(*) AS n_small_orders,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS total_value
+    FROM lineitem l1
+    WHERE l_quantity < 0.5 * (
+        SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+    )
+    """,
+    tags=("subquery", "correlated", "agg"),
+)
+def q68_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated aggregate subquery (TPC-H Q17 shape): rows below half
+    their part's average quantity. Catalyst decorrelates into an aggregate
+    + join — no per-row re-execution. Plain AVG is safe here only because
+    l_quantity is integer-valued (integer-valued doubles sum exactly in
+    any order); for fractional columns use the decimal pattern."""
+    prep(spark)
+    view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT COUNT(*) AS n_small_orders,
+               SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS total_value
+        FROM lineitem l1
+        WHERE l_quantity < 0.5 * (
+            SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
+        )
+        """
+    )
