@@ -140,3 +140,88 @@ def q22_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("int"))
         .filter(F.col("rn") <= 5)
     )
+
+
+@register(
+    "q69_range_frame",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey, day_key,
+           COUNT(*) OVER w AS n_orders_90d,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER w AS DOUBLE)
+               AS spend_90d
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               CAST(datediff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE)) AS BIGINT)
+                   AS day_key
+        FROM orders
+    )
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_key
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "range-frame"),
+)
+def q69_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE window frame (value-based, not row-based): trailing-90-day
+    order count and spend per customer. Unlike ROWS frames, ties on the
+    order key share a frame, so no tiebreak column is needed — the frame
+    is a deterministic function of the key value."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    with_day = orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1990-01-01").cast("date"))
+        .cast("bigint")
+        .alias("day_key"),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_key")
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return with_day.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_key",
+        F.count(F.lit(1)).over(w).alias("n_orders_90d"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,4)")).over(w).cast("double").alias(
+            "spend_90d"
+        ),
+    )
+
+
+@register(
+    "q70_window_navigation",
+    oracle="""
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           first_value(c_custkey) OVER w AS richest_custkey,
+           nth_value(c_custkey, 2) OVER w AS second_custkey,
+           CAST(ntile(4) OVER w AS INT) AS wealth_quartile
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+    tags=("window", "navigation"),
+)
+def q70_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window navigation functions: first_value / nth_value over the full
+    partition frame, plus ntile bucketing — deterministic under the unique
+    (balance, custkey) total order."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_nationkey")
+        .orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return cust.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.first("c_custkey").over(w).alias("richest_custkey"),
+        F.nth_value("c_custkey", 2).over(w).alias("second_custkey"),
+        F.ntile(4).over(
+            Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+        ).cast("int").alias("wealth_quartile"),
+    )
