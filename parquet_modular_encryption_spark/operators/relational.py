@@ -706,3 +706,55 @@ def q68_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "q71_array_agg",
+    oracle="""
+    SELECT c_nationkey,
+           list_sort(list(c_mktsegment)) AS segments,
+           list_sort(list(DISTINCT c_mktsegment)) AS distinct_segments,
+           COUNT(*) AS n_customers
+    FROM customer
+    WHERE c_acctbal > 7000
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "array"),
+)
+def q71_array_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: collect_list/collect_set are order-nondeterministic
+    in a distributed engine, so results are canonicalized with sort_array —
+    the only way array-valued aggregates can be value-compared at all."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_acctbal") > 7000)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sort_array(F.collect_list("c_mktsegment")).alias("segments"),
+            F.sort_array(F.collect_set("c_mktsegment")).alias("distinct_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+@register(
+    "q72_string_agg",
+    oracle="""
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations,
+           COUNT(*) AS n_nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+    tags=("agg", "string"),
+)
+def q72_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG semantics) via the portable
+    sort_array(collect_list) → concat_ws composition."""
+    prep(spark)
+    nation = load(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+        F.count(F.lit(1)).alias("n_nations"),
+    )

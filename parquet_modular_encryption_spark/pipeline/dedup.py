@@ -364,3 +364,37 @@ def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("canonical_doc_id"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+@register("q58_ml_minhash_lsh", oracle=None, tags=("dedup", "minhash", "ml"))
+def q58_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark ML's MinHashLSH (SURVEY.md §2B's mapped primitive) as the
+    library-backed near-dup path: shingles → binarized HashingTF vectors →
+    seeded MinHashLSH → approxSimilarityJoin on Jaccard distance. Fixed
+    seed keeps output stable; rows-only driver check (Spark ML's internal
+    hash family is not reproducible in SQL) — tests cross-check overlap
+    with the hand-rolled q47 pipeline."""
+    prep(spark)
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    docs = load(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    model = lsh.fit(feats)
+    pairs = model.approxSimilarityJoin(
+        feats, feats, threshold=1.0 - JACCARD_THRESHOLD, distCol="jaccard_dist"
+    )
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+            (1.0 - F.col("jaccard_dist")).alias("jaccard"),
+        )
+    )

@@ -133,3 +133,20 @@ def test_neardup_clusters_match_union_find(spark):
     )
     got = {r.node: r.component for r in got_df.collect()}
     assert got == want
+
+
+def test_ml_minhash_overlaps_handrolled(spark):
+    """Spark ML's MinHashLSH and the hand-rolled q47 pipeline hunt the same
+    ground truth; their verified pair sets must substantially overlap."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q47_minhash_neardup,
+        q58_ml_minhash_lsh,
+    )
+
+    ours = {(r.doc_a, r.doc_b) for r in q47_minhash_neardup(spark, SF).collect()}
+    ml = {(r.doc_a, r.doc_b) for r in q58_ml_minhash_lsh(spark, SF).collect()}
+    assert ml, "ML MinHashLSH found no pairs"
+    # both are LSH approximations of the same Jaccard graph: require
+    # meaningful agreement, not equality (different hash families)
+    overlap = len(ours & ml) / max(1, len(ours))
+    assert overlap >= 0.5, f"overlap {overlap}: ours={len(ours)} ml={len(ml)}"
