@@ -396,3 +396,38 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
     )
+
+
+@register(
+    "q74_embedding_stats",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS n_dims,
+           sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS l2_norm,
+           list_min(embedding::DOUBLE[]) AS min_val,
+           list_max(embedding::DOUBLE[]) AS max_val,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> x > 0)) AS INT) AS n_positive,
+           CAST(len(list_filter(embedding::DOUBLE[], x -> abs(x) > 0.2)) AS INT)
+               AS n_large_mag
+    FROM embeddings
+    """,
+    tags=("similarity", "higher-order"),
+)
+def q74_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector feature statistics via higher-order array functions
+    (transform/filter/aggregate — SparkSQL's lambda surface). Everything is
+    whole-stage-codegen JVM expressions over the array column: no explode, no
+    shuffle, no Python. Determinism: float32→double casts are exact and the
+    norm is the sequential-fold dot product shared with q50."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.sqrt(dot(e, e)).alias("l2_norm"),
+        F.array_min(e).alias("min_val"),
+        F.array_max(e).alias("max_val"),
+        F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
+        F.size(F.filter(e, lambda x: F.abs(x) > 0.2)).alias("n_large_mag"),
+    )

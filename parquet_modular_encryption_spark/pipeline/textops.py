@@ -369,3 +369,46 @@ def q56_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         had_ssn.alias("had_ssn"),
         had_email.alias("had_email"),
     )
+
+
+MIN_DOC_FREQ = 100  # vocabulary cut: term must appear in >= this many docs
+
+
+@register(
+    "q73_term_doc_freq",
+    oracle=f"""
+    SELECT term,
+           COUNT(*) AS occurrences,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM (
+        SELECT doc_id, lang,
+               unnest({sql_tokens('text')}) AS term
+        FROM documents
+    )
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= {MIN_DOC_FREQ}
+    """,
+    tags=("text", "lateral", "explode"),
+)
+def q73_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary extraction via lateral explode (LATERAL VIEW/UNNEST
+    semantics): token stream → per-term occurrence and document frequency
+    with a HAVING cut. Scale design: explode is pipelined inside codegen (no
+    shuffle), the groupBy shuffles on term with map-side partial aggregation;
+    count(DISTINCT doc_id) expands to a two-phase aggregate that Spark plans
+    without a second shuffle of the raw token stream."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    exploded = docs.select(
+        "doc_id", "lang", F.explode(tokens("text")).alias("term")
+    )
+    return (
+        exploded.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("occurrences"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+        .filter(F.col("doc_freq") >= MIN_DOC_FREQ)
+    )
