@@ -207,3 +207,71 @@ def q67_session_window_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "session_value",
         )
     )
+
+
+MIN_EVENTS_PER_DAY = 3  # a day counts as "active" at this event volume
+
+
+@register(
+    "q81_activity_streaks",
+    oracle=f"""
+    WITH active_days AS (
+        SELECT user_id, CAST(ts AS DATE) AS d
+        FROM events
+        GROUP BY user_id, CAST(ts AS DATE)
+        HAVING COUNT(*) >= {MIN_EVENTS_PER_DAY}
+    ), islands AS (
+        SELECT user_id, d,
+               date_diff('day', DATE '2024-01-01', d)
+                   - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+        FROM active_days
+    ), streaks AS (
+        SELECT user_id, grp, COUNT(*) AS streak_days,
+               MIN(d) AS streak_start, MAX(d) AS streak_end
+        FROM islands
+        GROUP BY user_id, grp
+    )
+    SELECT user_id,
+           COUNT(*) AS n_streaks,
+           MAX(streak_days) AS longest_streak,
+           SUM(streak_days) AS total_active_days,
+           MIN(streak_start) AS first_active_day,
+           MAX(streak_end) AS last_active_day
+    FROM streaks
+    GROUP BY user_id
+    """,
+    tags=("window", "gaps-islands"),
+)
+def q81_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consecutive-day activity streaks via the row_number-difference
+    gaps-and-islands technique (the calendar-adjacency dual of q32's
+    time-gap sessionization): day - row_number() is constant within each
+    run of consecutive active days. Scale: the day-level pre-aggregation
+    shrinks the stream ~events-per-day-fold before the single per-user
+    window shuffle; all three aggregations share the user_id partitioning
+    so Catalyst reuses one exchange."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    active = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_EVENTS_PER_DAY)
+    )
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = active.select(
+        "user_id",
+        "d",
+        (F.datediff("d", F.lit("2024-01-01").cast("date")) - F.row_number().over(w)).alias("grp"),
+    )
+    streaks = islands.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_days"),
+        F.min("d").alias("streak_start"),
+        F.max("d").alias("streak_end"),
+    )
+    return streaks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_streaks"),
+        F.max("streak_days").alias("longest_streak"),
+        F.sum("streak_days").alias("total_active_days"),
+        F.min("streak_start").alias("first_active_day"),
+        F.max("streak_end").alias("last_active_day"),
+    )

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_modular_encryption_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from parquet_modular_encryption_spark.functions.numeric import (
+    davg,
+    dsum,
+    dsum_floor,
+    sql_davg,
+    sql_dsum,
+    sql_dsum_floor,
+)
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load, view
@@ -816,4 +823,115 @@ def q77_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@register(
+    "q78_market_share",
+    oracle=f"""
+    WITH sales AS (
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               n2.n_name AS supp_nation,
+               l_extendedprice * (1 - l_discount) AS rev
+        FROM lineitem
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'EUROPE'
+    )
+    SELECT o_year,
+           {sql_dsum_floor("CASE WHEN supp_nation = 'NATION_7' THEN rev ELSE 0.0 END", 100)}
+               / {sql_dsum_floor('rev', 100)} AS mkt_share,
+           {sql_dsum('rev')} AS total_revenue,
+           COUNT(*) AS n_lineitems
+    FROM sales
+    GROUP BY o_year
+    """,
+    tags=("join", "multiway", "ratio"),
+)
+def q78_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one supplier nation's yearly revenue share inside a
+    customer region — a 6-table join feeding a conditional-aggregate ratio.
+    Determinism: numerator and denominator are exact decimal sums floored at
+    2 decimals (tie-free), so the final double division is IEEE-identical in
+    both engines. Scale: region/nation broadcast; customer/supplier pruned
+    by the region filter then AQE-planned; single fact-fact shuffle."""
+    prep(spark)
+    lineitem = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    supplier = load(spark, sf_dir, "supplier")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    eur_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cust_nk"))
+    cust = customer.join(
+        F.broadcast(eur_nations), F.col("c_nationkey") == F.col("cust_nk")
+    ).select("c_custkey")
+    supp = supplier.join(
+        F.broadcast(nation.select(F.col("n_nationkey").alias("supp_nk"), F.col("n_name").alias("supp_nation"))),
+        F.col("s_nationkey") == F.col("supp_nk"),
+    ).select("s_suppkey", "supp_nation")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sales = (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            F.col("supp_nation"),
+            rev.alias("rev"),
+        )
+    )
+    national = F.when(F.col("supp_nation") == "NATION_7", F.col("rev")).otherwise(F.lit(0.0))
+    return sales.groupBy("o_year").agg(
+        (dsum_floor(national, 100) / dsum_floor(F.col("rev"), 100)).alias("mkt_share"),
+        dsum(F.col("rev")).alias("total_revenue"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+# Unique bigint ordering key for arg_max/arg_min parity: 2-decimal acctbal
+# scaled to an exact integer, custkey as tiebreaker (custkey < 1e10).
+_ORD_SQL = "(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) * 10000000000 + c_custkey)"
+
+
+@register(
+    "q80_argmax_customer",
+    oracle=f"""
+    SELECT c_nationkey,
+           arg_max(c_name, {_ORD_SQL}) AS richest_customer,
+           arg_min(c_name, {_ORD_SQL}) AS poorest_customer,
+           MAX(c_acctbal) AS max_acctbal,
+           MIN(c_acctbal) AS min_acctbal,
+           COUNT(*) AS n_customers
+    FROM customer
+    GROUP BY c_nationkey
+    """,
+    tags=("agg", "argmax"),
+)
+def q80_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (arg_max/arg_min) aggregates: the 'row attached to
+    the extreme' without a self-join or window. Ties are broken by folding
+    the 2-decimal balance and the unique custkey into one exact bigint
+    ordering key — deterministic in any engine and any partitioning. One
+    map-side-combinable aggregate; no window shuffle, unlike the q22
+    top-k-per-group shape."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    ordkey = (
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("bigint") * F.lit(10000000000).cast("bigint")
+        + F.col("c_custkey")
+    )
+    return cust.groupBy("c_nationkey").agg(
+        F.max_by("c_name", ordkey).alias("richest_customer"),
+        F.min_by("c_name", ordkey).alias("poorest_customer"),
+        F.max("c_acctbal").alias("max_acctbal"),
+        F.min("c_acctbal").alias("min_acctbal"),
+        F.count(F.lit(1)).alias("n_customers"),
     )

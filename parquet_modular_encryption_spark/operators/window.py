@@ -225,3 +225,44 @@ def q70_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
         ).cast("int").alias("wealth_quartile"),
     )
+
+
+@register(
+    "q79_decile_stats",
+    oracle="""
+    SELECT decile,
+           COUNT(*) AS n_customers,
+           MIN(c_acctbal) AS min_bal,
+           MAX(c_acctbal) AS max_bal,
+           SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS total_bal
+    FROM (
+        SELECT c_acctbal,
+               CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS decile
+        FROM customer
+    )
+    GROUP BY decile
+    """,
+    tags=("window", "ntile"),
+)
+def q79_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE decile bucketing → per-decile stats. The unpartitioned global
+    ORDER BY is the worst case for a window at scale (single-task sort);
+    the production path for a global ntile over 100 TB is approx quantile
+    cut-points + a stateless bucket projection — q79 keeps the exact NTILE
+    semantics as the correctness anchor, with c_custkey as tiebreaker so
+    the bucket assignment is total-order deterministic."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        cust.select(
+            "c_acctbal", F.ntile(10).over(w).cast("int").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("total_bal"),
+        )
+    )
