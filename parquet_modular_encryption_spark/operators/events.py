@@ -275,3 +275,57 @@ def q81_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("streak_start").alias("first_active_day"),
         F.max("streak_end").alias("last_active_day"),
     )
+
+
+SPINE_START, SPINE_END = "2024-01-01", "2024-01-30"
+
+
+@register(
+    "q84_inactive_days_spine",
+    oracle=f"""
+    WITH spine AS (
+        SELECT unnest(generate_series(DATE '{SPINE_START}', DATE '{SPINE_END}',
+                                      INTERVAL 1 DAY))::DATE AS d
+    ), users AS (
+        SELECT DISTINCT user_id FROM events
+    ), active AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    )
+    SELECT u.user_id,
+           COUNT(*) AS n_inactive_days,
+           MIN(s.d) AS first_inactive_day,
+           MAX(s.d) AS last_inactive_day
+    FROM users u CROSS JOIN spine s
+    LEFT JOIN active a ON a.user_id = u.user_id AND a.d = s.d
+    WHERE a.user_id IS NULL
+    GROUP BY u.user_id
+    """,
+    tags=("generator", "spine", "anti-join"),
+)
+def q84_inactive_days_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-spine gap detection: generate the calendar with sequence()
+    (a generator source — no input table), cross join the user dimension,
+    anti-join observed activity → days with NO events per user. Scale: the
+    spine is |days|×|users| rows but only (user, day) pairs — tiny next to
+    the event stream it indexes; the anti join shuffles on (user_id, d)
+    after the distinct pre-aggregation shrinks the probe side."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(SPINE_START).cast("date"),
+                F.lit(SPINE_END).cast("date"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("d")
+    )
+    users = ev.select("user_id").distinct()
+    active = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    grid = users.crossJoin(F.broadcast(spine))
+    inactive = grid.join(active, ["user_id", "d"], "left_anti")
+    return inactive.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_inactive_days"),
+        F.min("d").alias("first_inactive_day"),
+        F.max("d").alias("last_inactive_day"),
+    )

@@ -121,3 +121,109 @@ def q65_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+HIST_WIDTH = 50_000.0  # o_totalprice bucket width
+HIST_BUCKETS = 10
+
+
+@register(
+    "q82_price_histogram",
+    oracle=f"""
+    SELECT CAST(least(floor(o_totalprice / {HIST_WIDTH}), {HIST_BUCKETS - 1}) AS INT)
+               AS bucket,
+           COUNT(*) AS n_orders,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM orders
+    GROUP BY bucket
+    """,
+    tags=("agg", "histogram"),
+)
+def q82_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram as a stateless bucket projection + groupBy —
+    the distributed histogram shape (width_bucket semantics, written as an
+    explicit floor so both engines evaluate the identical IEEE expression).
+    One map-side-combinable shuffle of at most {HIST_BUCKETS} groups."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / HIST_WIDTH), F.lit(HIST_BUCKETS - 1)
+    ).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+
+
+N_SALTS = 16
+
+
+@register(
+    "q86_salted_aggregation",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n_rows,
+           {sql_dsum('l_quantity')} AS sum_qty,
+           {sql_dsum('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    tags=("agg", "skew", "salted"),
+)
+def q86_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase salted aggregation for pathologically skewed group keys
+    (l_returnflag has 3 values — every row lands on 3 reducers unsalted).
+    Phase 1 groups on (key, salt) spreading each hot key over {N_SALTS}
+    sub-groups; phase 2 re-aggregates the {N_SALTS}× smaller partials.
+    The salt derivation is engine-local (it never leaves the plan), so the
+    oracle is the plain one-phase GROUP BY — results are identical because
+    count/sum are associative and the decimal sums are order-independent."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    salted = li.withColumn(
+        "__salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(N_SALTS))
+    )
+    partial = salted.groupBy("l_returnflag", "__salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        dsum("l_quantity").alias("pq"),
+        dsum("l_extendedprice").alias("pp"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n_rows"),
+        F.sum("pq").cast("decimal(38,10)").alias("sum_qty"),
+        F.sum("pp").cast("decimal(38,10)").alias("sum_price"),
+    )
+
+
+@register("q87_approx_percentiles", oracle=None, tags=("agg", "approx", "sketch"))
+def q87_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles via the Greenwald-Khanna sketch
+    (approx_percentile, accuracy 10000 → ε=1e-4): the mergeable-summary
+    path for quantiles over 100 TB, where an exact percentile would need a
+    global sort. Rows-only driver check (sketch internals are
+    engine-specific); tests/test_properties.py asserts each value within
+    sketch tolerance of the exact q66 percentiles."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    pct = F.expr(
+        "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.75, 0.95), 10000)"
+    )
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            pct.alias("pcts"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("pcts")[0].alias("p25"),
+            F.col("pcts")[1].alias("p50"),
+            F.col("pcts")[2].alias("p75"),
+            F.col("pcts")[3].alias("p95"),
+            "n_rows",
+        )
+    )

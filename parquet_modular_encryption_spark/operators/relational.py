@@ -935,3 +935,71 @@ def q80_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_acctbal").alias("min_acctbal"),
         F.count(F.lit(1)).alias("n_customers"),
     )
+
+
+@register(
+    "q85_region_segment_grid",
+    oracle=f"""
+    WITH grid AS (
+        SELECT r_name, seg
+        FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment AS seg FROM customer)
+    ), actual AS (
+        SELECT r_name AS a_region, c_mktsegment AS a_seg,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation   ON c_nationkey = n_nationkey
+        JOIN region   ON n_regionkey = r_regionkey
+        WHERE o_orderstatus = 'F'
+        GROUP BY a_region, a_seg
+    )
+    SELECT g.r_name AS region, g.seg AS segment,
+           COALESCE(n_orders, 0) AS n_orders,
+           COALESCE(revenue, CAST(0 AS DECIMAL(38,10))) AS revenue,
+           (n_orders IS NULL) AS is_empty_cell
+    FROM grid g
+    LEFT JOIN actual ON g.r_name = a_region AND g.seg = a_seg
+    """,
+    tags=("join", "cross", "nulls"),
+)
+def q85_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense reporting grid: CROSS JOIN of two small dimensions, LEFT JOIN
+    of the sparse fact aggregate, NULL-handling (COALESCE + IS NULL flag)
+    for empty cells. The cross join is dimension×dimension (25 cells at any
+    SF) — the one place a cartesian product is the right plan — and both
+    grid sides broadcast; the fact aggregation happens BEFORE the join, so
+    the outer join probes a tiny aggregate, never raw orders."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+    nation = load(spark, sf_dir, "nation")
+    region = load(spark, sf_dir, "region")
+    segments = customer.select(F.col("c_mktsegment").alias("seg")).distinct()
+    grid = region.select("r_name").crossJoin(segments)
+    actual = (
+        orders.filter(F.col("o_orderstatus") == "F")
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("a_region"), F.col("c_mktsegment").alias("a_seg"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_raw"),
+            dsum("o_totalprice").alias("revenue_raw"),
+        )
+    )
+    return (
+        F.broadcast(grid)
+        .join(
+            actual,
+            (F.col("r_name") == F.col("a_region")) & (F.col("seg") == F.col("a_seg")),
+            "left",
+        )
+        .select(
+            F.col("r_name").alias("region"),
+            F.col("seg").alias("segment"),
+            F.coalesce("n_orders_raw", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue_raw", F.lit(0).cast("decimal(38,10)")).alias("revenue"),
+            F.col("n_orders_raw").isNull().alias("is_empty_cell"),
+        )
+    )

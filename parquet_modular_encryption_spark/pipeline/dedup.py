@@ -25,8 +25,10 @@ from parquet_modular_encryption_spark.functions.text import (
 )
 from parquet_modular_encryption_spark.functions.text import (
     hash60,
+    normalized,
     shingles_from,
     sql_hash60,
+    sql_normalized,
     sql_tokens,
     sql_word_shingles,
     tokens,
@@ -397,4 +399,69 @@ def q58_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("datasetB.doc_id").alias("doc_b"),
             (1.0 - F.col("jaccard_dist")).alias("jaccard"),
         )
+    )
+
+
+LEV_PREFIX = 80  # compare normalized prefixes, bounding O(n·m) cost per pair
+LEV_MAX = 20  # edit-distance acceptance threshold
+BLOCK_PREFIX = 12  # blocking key: normalized 12-char prefix + language
+
+
+@register(
+    "q59_fuzzy_match_levenshtein",
+    oracle=f"""
+    WITH canon AS (
+        SELECT doc_id, lang,
+               {sql_normalized('text')} AS norm
+        FROM documents
+    ), blocked AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               levenshtein(substr(a.norm, 1, {LEV_PREFIX}),
+                           substr(b.norm, 1, {LEV_PREFIX})) AS edit_dist
+        FROM canon a JOIN canon b
+          ON a.lang = b.lang
+         AND substr(a.norm, 1, {BLOCK_PREFIX}) = substr(b.norm, 1, {BLOCK_PREFIX})
+         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist
+    FROM blocked
+    WHERE edit_dist <= {LEV_MAX}
+    """,
+    tags=("dedup", "fuzzy", "levenshtein"),
+)
+def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy matching: edit-distance near-dup detection with a
+    (lang, normalized-prefix) blocking key so the quadratic levenshtein
+    only runs inside small candidate blocks — the classic record-linkage
+    decomposition. Scale: the block join is an equi-join (shuffles on the
+    block key, no cross product); prefix truncation bounds the per-pair
+    DP cost at {LEV_PREFIX}² regardless of document length."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", "lang", normalized("text").alias("norm"))
+    a = canon.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.substring("norm", 1, BLOCK_PREFIX).alias("block_a"),
+        F.substring("norm", 1, LEV_PREFIX).alias("prefix_a"),
+    )
+    b = canon.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.substring("norm", 1, BLOCK_PREFIX).alias("block_b"),
+        F.substring("norm", 1, LEV_PREFIX).alias("prefix_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("block_a") == F.col("block_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("prefix_a", "prefix_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX)
     )

@@ -73,3 +73,32 @@ def test_python_hash60_range(s):
 
     h = int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
     assert 0 <= h < 1 << 60
+
+
+def test_approx_percentiles_within_tolerance(spark):
+    """q87's sketch values must bracket the exact rank within ε·n ranks."""
+    from parquet_modular_encryption_spark.operators.grouping import (
+        q87_approx_percentiles,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    approx = {r.l_returnflag: r for r in q87_approx_percentiles(spark, sf).collect()}
+    li = spark.read.parquet(f"{sf}/lineitem.parquet")
+    for flag, row in approx.items():
+        vals = sorted(
+            v.l_extendedprice
+            for v in li.filter(li.l_returnflag == flag).select("l_extendedprice").collect()
+        )
+        n = len(vals)
+        for q, got in ((0.25, row.p25), (0.5, row.p50), (0.75, row.p75), (0.95, row.p95)):
+            # rank of the sketch answer must be within ε·n of the target rank
+            import bisect
+
+            lo = bisect.bisect_left(vals, got)
+            hi = bisect.bisect_right(vals, got)
+            target = q * n
+            eps_ranks = max(2.0, 1e-4 * n * 2)
+            assert lo - eps_ranks <= target <= hi + eps_ranks, (
+                f"{flag} p{int(q*100)}: value {got} at ranks [{lo},{hi}], "
+                f"target {target}"
+            )
