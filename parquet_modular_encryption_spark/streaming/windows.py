@@ -131,3 +131,53 @@ def run_to_memory(
     finally:
         q.stop()
     return df.sparkSession.table(name)
+
+
+def click_purchase_join(
+    events: DataFrame,
+    events2: DataFrame,
+    attribution_window: str = "2 hours",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same user's
+    click within the preceding ``attribution_window`` (ad-attribution shape).
+
+    Both sides carry watermarks plus a time-range join condition — the two
+    requirements Structured Streaming imposes so it can bound the join
+    state buffers and GC rows that can no longer match. State is keyed by
+    user_id (the equi-join key), sharded across shuffle partitions; at
+    scale the range width directly sets state size, so it is the knob to
+    tune, not the watermark alone.
+    """
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events2.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("amount"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"interval {attribution_window}")),
+    ).select(
+        F.col("p_user").alias("user_id"),
+        "purchase_id",
+        "click_id",
+        "purchase_ts",
+        "click_ts",
+        "amount",
+    )

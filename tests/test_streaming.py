@@ -111,3 +111,41 @@ def test_dedup_stream(spark):
         .count()
     )
     assert got.count() == n_keys
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """The streaming click→purchase attribution join must produce exactly
+    the rows of the equivalent batch time-range join."""
+    from parquet_modular_encryption_spark.sources.datasets import load
+    from parquet_modular_encryption_spark.streaming.windows import (
+        click_purchase_join,
+        run_to_memory,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    s1 = stream_events(spark, sf)
+    s2 = stream_events(spark, sf)
+    got_df = run_to_memory(click_purchase_join(s1, s2), "ss_join")
+    got = {(r.purchase_id, r.click_id) for r in got_df.collect()}
+
+    ev = load(spark, sf, "events")
+    clicks = ev.filter(ev.event_type == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = ev.filter(ev.event_type == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    want_df = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr("interval 2 hours")),
+    )
+    want = {(r.purchase_id, r.click_id) for r in want_df.collect()}
+    assert got, "stream-stream join produced no rows"
+    assert got == want
