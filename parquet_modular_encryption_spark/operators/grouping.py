@@ -227,3 +227,36 @@ def q87_approx_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_rows",
         )
     )
+
+
+@register(
+    "q88_misc_aggregates",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           bool_or(o_orderstatus = 'F') AS any_finished,
+           bool_and(o_totalprice > 1000) AS all_over_1k,
+           CAST(bit_or(CAST(1 << (EXTRACT(month FROM o_orderdate) - 1) AS BIGINT))
+                AS BIGINT) AS months_mask,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "filter", "boolean", "bitwise"),
+)
+def q88_misc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional/boolean/bitwise aggregate surface: FILTER-style
+    conditional counts (count_if), bool_or/bool_and quantifiers, and a
+    months-present bitmask via bit_or over a shifted one-hot — all
+    map-side-combinable single-pass aggregates."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+        F.bool_or(F.col("o_orderstatus") == "F").alias("any_finished"),
+        F.bool_and(F.col("o_totalprice") > 1000).alias("all_over_1k"),
+        F.bit_or(
+            F.expr("CAST(shiftleft(1, month(o_orderdate) - 1) AS BIGINT)")
+        ).alias("months_mask"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

@@ -62,3 +62,50 @@ def q62_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("month_value"),
         )
     )
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Small-file compaction: rewrite a fragmented dataset into files of
+    ~``target_file_bytes``. The small-files problem is the dominant
+    operational failure of long-lived 100 TB tables (every file is a task +
+    a namenode entry + a footer fetch); periodic compaction restores scan
+    efficiency. Returns the number of output files.
+
+    The file count is derived from the dataset's actual on-disk bytes, and
+    the rewrite is one round-robin repartition — no shuffle-by-key, so it
+    scales linearly with data size regardless of skew."""
+    import os
+
+    df = spark.read.parquet(path)
+    total = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_files = max(1, round(total / target_file_bytes))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return sum(
+        1 for f in os.listdir(out_path) if f.endswith(".parquet")
+    )
+
+
+def sorted_layout(
+    df: DataFrame, path: str, sort_cols: list[str], n_files: int
+) -> None:
+    """Range-clustered data layout: repartitionByRange + sortWithinPartitions
+    before writing, so each parquet row group covers a narrow range of
+    ``sort_cols``. Row-group min/max statistics then let ANY engine skip
+    row groups on range predicates — the poor man's Z-order, and the right
+    single-dimension clustering for time-series fact tables."""
+    (
+        df.repartitionByRange(n_files, *sort_cols)
+        .sortWithinPartitions(*sort_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -76,3 +76,60 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
 def test_q62_runs(spark):
     rows = q62_partition_pruning(spark, SF).collect()
     assert len(rows) > 0
+
+
+def test_compaction_shrinks_files_preserves_data(spark, tmp_path):
+    from parquet_modular_encryption_spark.operators.storage import compact
+
+    src = str(tmp_path / "fragmented")
+    out = str(tmp_path / "compacted")
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    li.repartition(64).write.parquet(src)  # simulate small-file buildup
+    import os
+
+    n_in = sum(1 for f in os.listdir(src) if f.endswith(".parquet"))
+    n_out = compact(spark, src, out, target_file_bytes=4 * 1024 * 1024)
+    assert n_out < n_in / 4, f"{n_in} -> {n_out}"
+    a = spark.read.parquet(src).orderBy("l_orderkey", "l_linenumber").collect()
+    b = spark.read.parquet(out).orderBy("l_orderkey", "l_linenumber").collect()
+    assert a == b
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Appending files with a widened schema must read back as the merged
+    superset with nulls for the missing column (mergeSchema)."""
+    p = str(tmp_path / "evolving")
+    v1 = spark.range(3).selectExpr("id", "id * 2 AS a")
+    v1.write.parquet(p)
+    v2 = spark.range(3, 6).selectExpr("id", "id * 2 AS a", "id * 10 AS b")
+    v2.write.mode("append").parquet(p)
+    merged = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(merged.columns) == {"id", "a", "b"}
+    rows = {r.id: (r.a, r.b) for r in merged.collect()}
+    assert rows[0] == (0, None) and rows[5] == (10, 50)
+
+
+def test_sorted_layout_rowgroup_stats(spark, tmp_path):
+    """Range-clustered layout: each file's l_orderkey span must be a small
+    slice of the global span (that's what makes min/max skipping work)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.operators.storage import sorted_layout
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    p = str(tmp_path / "clustered")
+    sorted_layout(li, p, ["l_orderkey"], n_files=8)
+    lo, hi = li.selectExpr("min(l_orderkey)", "max(l_orderkey)").first()
+    spans = []
+    for f in os.listdir(p):
+        if not f.endswith(".parquet"):
+            continue
+        md = pq.ParquetFile(os.path.join(p, f)).metadata
+        idx = md.schema.names.index("l_orderkey")
+        fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+        fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+        spans.append((fmax - fmin) / (hi - lo))
+    assert len(spans) >= 4
+    assert sorted(spans)[len(spans) // 2] < 0.3, f"median file span too wide: {spans}"
