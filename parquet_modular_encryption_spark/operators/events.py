@@ -329,3 +329,46 @@ def q84_inactive_days_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("d").alias("first_inactive_day"),
         F.max("d").alias("last_inactive_day"),
     )
+
+
+@register(
+    "q89_map_profile",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT user_id, event_type, {sql_dsum('value')} AS type_value
+        FROM events
+        GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           COUNT(*) AS n_types,
+           MAX(CASE WHEN event_type = 'click' THEN type_value END) AS click_value,
+           MAX(CASE WHEN event_type = 'purchase' THEN type_value END) AS purchase_value
+    FROM per_type
+    GROUP BY user_id
+    """,
+    tags=("map", "agg"),
+)
+def q89_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType surface: per-user event_type→value map built with
+    map_from_entries(collect_list(struct(...))), then consumed via
+    map_keys/element_at. The map column is genuine plumbing (schema
+    map<string,decimal>) — the oracle checks the scalars extracted from it,
+    since engines cannot hash-compare raw maps portably. Scale: one shuffle
+    to (user, type) partials, a second tiny one to the per-user map — the
+    map never exceeds |event types| entries per row."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        dsum("value").alias("type_value")
+    )
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "type_value"))
+        ).alias("profile")
+    )
+    return mapped.select(
+        "user_id",
+        F.size(F.map_keys(F.col("profile"))).cast("bigint").alias("n_types"),
+        F.element_at(F.col("profile"), "click").alias("click_value"),
+        F.element_at(F.col("profile"), "purchase").alias("purchase_value"),
+    )

@@ -132,3 +132,33 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.coalesce(F.col("meta.n_frames"), F.lit(0)) - 1, F.lit(every_nth))
         ).alias("frame_index"),
     )
+
+
+# -- driver-visible registration -------------------------------------------
+
+from parquet_modular_encryption_spark.registry import register  # noqa: E402
+from parquet_modular_encryption_spark.session import prep  # noqa: E402
+
+
+@register("q91_multimodal_features", oracle=None, tags=("multimodal", "pandas-udf"))
+def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline on the synthetic media table: binary
+    payload + metadata struct → mapInPandas feature extraction → per-modality
+    aggregate joined with frame-sampling counts. Rows-only driver check (the
+    payload decode is not SQL-expressible); tests/test_pipeline.py checks the
+    per-payload features exactly against the pure-Python decoder."""
+    prep(spark)
+    media = synthetic_media(spark, n=96)
+    feats = extract_features(media)
+    frames = frame_sample(media, every_nth=10).groupBy("media_id").count()
+    agg = feats.groupBy("modality").agg(
+        F.count(F.lit(1)).alias("n_media"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.sum("checksum").alias("checksum_sum"),
+    )
+    sampled = (
+        feats.join(frames, "media_id", "left")
+        .groupBy("modality")
+        .agg(F.sum(F.coalesce(F.col("count"), F.lit(0))).alias("n_sampled_frames"))
+    )
+    return agg.join(sampled, "modality").orderBy("modality")

@@ -431,3 +431,56 @@ def q74_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(e, lambda x: x > 0)).alias("n_positive"),
         F.size(F.filter(e, lambda x: F.abs(x) > 0.2)).alias("n_large_mag"),
     )
+
+
+QUANT_BITS = 127.0  # int8 symmetric quantization range
+
+
+@register(
+    "q90_embedding_quantization",
+    oracle=f"""
+    WITH scaled AS (
+        SELECT vec_id, label,
+               embedding::DOUBLE[] AS e,
+               {QUANT_BITS} / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   AS scale
+        FROM embeddings
+    ), quant AS (
+        SELECT vec_id, label, scale,
+               list_transform(e, x -> floor(x * scale + 0.5)) AS q,
+               e
+        FROM scaled
+    )
+    SELECT vec_id, label, scale,
+           CAST(list_max(list_transform(q, x -> abs(x))) AS INT) AS max_q,
+           list_max(
+               list_transform(range(1, len(e) + 1),
+                              i -> abs(e[i] - q[i] / scale))
+           ) AS max_abs_err
+    FROM quant
+    """,
+    tags=("similarity", "quantization"),
+)
+def q90_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization — the 4× storage/bandwidth
+    reduction that makes 100 TB-scale ANN affordable — plus per-vector
+    reconstruction-error audit. Pure higher-order array expressions
+    (transform/zip_with/array_max): no explode, no shuffle, no Python.
+    floor(x*scale+0.5) is the tie-free portable rounding shared with q80."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = as_double(F.col("embedding"))
+    scale = F.lit(QUANT_BITS) / F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scaled = emb.select("vec_id", "label", e.alias("e"), scale.alias("scale"))
+    q = F.transform(F.col("e"), lambda x: F.floor(x * F.col("scale") + 0.5))
+    quant = scaled.select("vec_id", "label", "scale", F.col("e"), q.alias("q"))
+    err = F.zip_with(
+        F.col("e"), F.col("q"), lambda x, qv: F.abs(x - qv / F.col("scale"))
+    )
+    return quant.select(
+        "vec_id",
+        "label",
+        "scale",
+        F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).cast("int").alias("max_q"),
+        F.array_max(err).alias("max_abs_err"),
+    )

@@ -36,6 +36,7 @@ _QUERY_MODULES = (
     "parquet_modular_encryption_spark.pipeline.textops",
     "parquet_modular_encryption_spark.pipeline.dedup",
     "parquet_modular_encryption_spark.pipeline.similarity",
+    "parquet_modular_encryption_spark.pipeline.multimodal",
 )
 
 
