@@ -1003,3 +1003,46 @@ def q85_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_orders_raw").isNull().alias("is_empty_cell"),
         )
     )
+
+
+@register(
+    "q92_union_by_name",
+    oracle=f"""
+    WITH unified AS (
+        SELECT o_orderkey, o_totalprice, NULL AS o_orderpriority, '1996' AS src
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996
+        UNION ALL BY NAME
+        SELECT o_orderkey, o_orderpriority, o_totalprice, '1997' AS src
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+    )
+    SELECT src,
+           COUNT(*) AS n_orders,
+           COUNT(o_orderpriority) AS n_with_priority,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM unified
+    GROUP BY src
+    """,
+    tags=("setops", "union-by-name", "schema-evolution"),
+)
+def q92_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution-tolerant UNION: two extracts with different column
+    sets and orders are aligned BY NAME (missing columns become NULL) —
+    how heterogeneous historical partitions of an evolving table are
+    unioned without positional bugs. The aggregate counts the NULL-filled
+    column to prove alignment."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    y96 = (
+        orders.filter(F.year("o_orderdate") == 1996)
+        .select("o_orderkey", "o_totalprice", F.lit("1996").alias("src"))
+    )
+    y97 = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice", F.lit("1997").alias("src"))
+    )
+    unified = y96.unionByName(y97, allowMissingColumns=True)
+    return unified.groupBy("src").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        dsum("o_totalprice").alias("total_price"),
+    )

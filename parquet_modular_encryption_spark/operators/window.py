@@ -266,3 +266,38 @@ def q79_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("total_bal"),
         )
     )
+
+
+@register(
+    "q93_last_value_ignore_nulls",
+    oracle="""
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type <> 'error' THEN value END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_good_value,
+           (event_type = 'error') AS is_error
+    FROM events
+    """,
+    tags=("window", "ignore-nulls"),
+)
+def q93_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill via IGNORE NULLS: every event carries the most recent
+    non-error value for its user (gap-filling / last-observation-carried-
+    forward — the standard telemetry repair). One window shuffle on
+    user_id; the running frame is evaluated incrementally, not re-scanned
+    per row."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(good, ignorenulls=True).over(w).alias("last_good_value"),
+        (F.col("event_type") == "error").alias("is_error"),
+    )

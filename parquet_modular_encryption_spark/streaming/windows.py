@@ -181,3 +181,49 @@ def click_purchase_join(
         "click_ts",
         "amount",
     )
+
+
+def run_foreach_batch_upsert(
+    df: DataFrame, out_dir: str, key_cols: list[str]
+) -> None:
+    """Drive a streaming aggregate into a parquet directory via
+    foreachBatch with last-write-wins upsert semantics.
+
+    foreachBatch is the general-purpose streaming sink: each micro-batch
+    arrives as a batch DataFrame plus a monotonically increasing batch_id.
+    Writing the batch to a batch_id-stamped subdirectory makes replays
+    idempotent (a restarted query re-emits the same batch_id and simply
+    overwrites its own directory), and the read side resolves the latest
+    value per key — the same log-compaction contract a Delta/Iceberg MERGE
+    provides, built from plain parquet.
+    """
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.withColumn("__batch_id", F.lit(batch_id))
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/batch_id={batch_id}")
+        )
+
+    q = (
+        df.writeStream.outputMode("update")
+        .foreachBatch(per_batch)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_upsert_dir(spark: SparkSession, out_dir: str, key_cols: list[str]) -> DataFrame:
+    """Resolve the foreachBatch log: latest batch wins per key."""
+    from pyspark.sql import Window
+
+    log = spark.read.parquet(out_dir)
+    w = Window.partitionBy(*key_cols).orderBy(F.desc("batch_id"))
+    return (
+        log.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "batch_id", "__batch_id")
+    )

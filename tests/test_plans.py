@@ -97,3 +97,44 @@ def test_salted_join_equals_plain_join(spark):
         assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_q77_single_fact_shuffle_join(spark):
+    """The Q7-shape multiway join must resolve every dimension side as a
+    broadcast: exactly one sort-merge (or shuffled-hash) join — the
+    orders⋈lineitem fact join — may remain."""
+    from parquet_modular_encryption_spark.operators.relational import (
+        q77_volume_shipping,
+    )
+
+    df = q77_volume_shipping(spark, SF)
+    df.collect()  # let AQE finalize
+    plan = executed_plan(df)
+    n_smj = plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin")
+    assert n_smj <= 1, f"expected <=1 shuffle join, plan has {n_smj}"
+    assert uses_broadcast_join(df)
+
+
+def test_q86_two_phase_aggregation(spark):
+    """Salted aggregation must keep both groupBys partial-aggregated
+    (HashAggregate pairs) and not collapse the salt before the shuffle."""
+    from parquet_modular_encryption_spark.operators.grouping import (
+        q86_salted_aggregation,
+    )
+
+    df = q86_salted_aggregation(spark, SF)
+    df.collect()
+    plan = executed_plan(df)
+    assert plan.count("HashAggregate") >= 4  # partial+final × two phases
+
+
+def test_q50_broadcasts_query_vectors(spark):
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q50_knn_bruteforce,
+    )
+
+    df = q50_knn_bruteforce(spark, SF)
+    df.collect()
+    # the != predicate makes this a non-equi join: the correct plan
+    # broadcasts the tiny query side and nested-loops the corpus scan
+    assert "BroadcastNestedLoopJoin" in executed_plan(df)

@@ -149,3 +149,30 @@ def test_stream_stream_join_matches_batch(spark):
     want = {(r.purchase_id, r.click_id) for r in want_df.collect()}
     assert got, "stream-stream join produced no rows"
     assert got == want
+
+
+def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
+    """Streaming counts written via foreachBatch upsert must resolve to the
+    same totals as the batch aggregate, even across multiple micro-batches
+    that update the same keys."""
+    from parquet_modular_encryption_spark.sources.datasets import load
+    from parquet_modular_encryption_spark.streaming.windows import (
+        read_upsert_dir,
+        run_foreach_batch_upsert,
+        stream_events,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = str(tmp_path / "upsert")
+    counts = (
+        stream_events(spark, sf)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    run_foreach_batch_upsert(counts, out, ["event_type"])
+    got = {r.event_type: r.n for r in read_upsert_dir(spark, out, ["event_type"]).collect()}
+    want = {
+        r.event_type: r.n
+        for r in load(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == want
