@@ -1046,3 +1046,78 @@ def q92_union_by_name(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("o_orderpriority").alias("n_with_priority"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "q95_cdc_latest_wins",
+    oracle=f"""
+    WITH changes AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 0 AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 'U' AS o_orderstatus,
+               1 AS version
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.2 AS o_totalprice, 'U' AS o_orderstatus,
+               2 AS version
+        FROM orders WHERE o_orderkey % 21 = 0
+    ), resolved AS (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY version DESC) AS rn
+        FROM changes
+    )
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           CAST(MAX(version) AS INT) AS max_version,
+           {sql_dsum('o_totalprice')} AS total_price
+    FROM resolved WHERE rn = 1
+    GROUP BY o_orderstatus
+    """,
+    tags=("cdc", "merge", "dedup"),
+)
+def q95_cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: base snapshot + two change batches resolved to
+    latest-version-wins per key — the batch MERGE/upsert pattern (the batch
+    twin of streaming read_upsert_dir). Scale: one window shuffle on the
+    key; at 100 TB the change batches are tiny next to the snapshot, so AQE
+    plans the union cheaply and the rank-filter prunes during the shuffle
+    read. Versions are synthesized deterministically from orderkey so the
+    oracle replays the identical change log."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    base = orders.select(
+        "o_orderkey", "o_totalprice", "o_orderstatus", F.lit(0).alias("version")
+    )
+    upd1 = (
+        orders.filter(F.col("o_orderkey") % 7 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.1).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+            F.lit(1).alias("version"),
+        )
+    )
+    upd2 = (
+        orders.filter(F.col("o_orderkey") % 21 == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") * 1.2).alias("o_totalprice"),
+            F.lit("U").alias("o_orderstatus"),
+            F.lit(2).alias("version"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderkey").orderBy(F.desc("version"))
+    resolved = (
+        base.unionByName(upd1)
+        .unionByName(upd2)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+    )
+    return resolved.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.max("version").cast("int").alias("max_version"),
+        dsum("o_totalprice").alias("total_price"),
+    )
