@@ -372,3 +372,172 @@ def q89_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.col("profile"), "click").alias("click_value"),
         F.element_at(F.col("profile"), "purchase").alias("purchase_value"),
     )
+
+
+@register(
+    "q96_map_higher_order",
+    oracle=f"""
+    WITH per_type AS (
+        SELECT user_id, event_type, {sql_dsum('value')} AS type_value
+        FROM events GROUP BY user_id, event_type
+    ), with_share AS (
+        SELECT user_id, event_type,
+               CAST(type_value AS DOUBLE)
+                   / CAST(SUM(type_value) OVER (PARTITION BY user_id) AS DOUBLE)
+                   AS share
+        FROM per_type
+    )
+    SELECT user_id, event_type, share
+    FROM with_share
+    WHERE share >= 0.25
+    """,
+    tags=("map", "higher-order"),
+)
+def q96_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map higher-order functions: the per-user event_type→value map is
+    normalized with transform_values (share of the user's total), pruned
+    with map_filter (dominant types only), and exploded back to rows.
+    The oracle computes identical shares relationally — the map lambdas are
+    the Spark-side plumbing under test. Decimal sums keep the shares'
+    inputs exact, so the final double division is engine-identical."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    per_type = ev.groupBy("user_id", "event_type").agg(dsum("value").alias("type_value"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "type_value"))
+        ).alias("profile"),
+        F.sum("type_value").cast("decimal(38,10)").alias("total"),
+    )
+    shares = mapped.select(
+        "user_id",
+        F.map_filter(
+            F.transform_values(
+                F.col("profile"),
+                lambda k, v: v.cast("double") / F.col("total").cast("double"),
+            ),
+            lambda k, v: v >= 0.25,
+        ).alias("dominant"),
+    )
+    return shares.select(
+        "user_id", F.explode("dominant").alias("event_type", "share")
+    )
+
+
+@register(
+    "q97_time_weighted_avg",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, value,
+               epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   - epoch_us(ts) AS dur_us
+        FROM events
+    )
+    SELECT user_id,
+           SUM(CAST(floor(value * dur_us / 10000.0) AS BIGINT)) AS wsum_q,
+           SUM(dur_us) AS total_dur_us,
+           (CAST(SUM(CAST(floor(value * dur_us / 10000.0) AS BIGINT)) AS DOUBLE) / 100.0)
+               / (CAST(SUM(dur_us) AS DOUBLE) / 1e6) AS time_weighted_avg
+    FROM seq
+    WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("window", "time-weighted"),
+)
+def q97_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a telemetry signal: each reading holds its
+    value until the next one (step interpolation), so the mean weights each
+    value by its holding duration — the correct aggregate for irregularly
+    sampled metrics. Determinism: duration micros are exact integers, the
+    value×duration product is one IEEE multiply (identical in both
+    engines), and the tie-free floor quantization makes the weighted sum an
+    exact bigint before the final double division."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dur = F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts"))
+    seq = ev.select("user_id", "value", dur.alias("dur_us")).filter(
+        F.col("dur_us").isNotNull()
+    )
+    wsum_q = F.sum(
+        F.floor(F.col("value") * F.col("dur_us") / F.lit(10000.0)).cast("bigint")
+    )
+    total_dur = F.sum("dur_us")
+    return seq.groupBy("user_id").agg(
+        wsum_q.alias("wsum_q"),
+        total_dur.alias("total_dur_us"),
+        (
+            (wsum_q.cast("double") / 100.0) / (total_dur.cast("double") / 1e6)
+        ).alias("time_weighted_avg"),
+    )
+
+
+@register(
+    "q99_conversion_funnel",
+    oracle="""
+    WITH su AS (
+        SELECT user_id, MIN(ts) AS signup_ts FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), ck AS (
+        SELECT e.user_id, MIN(e.ts) AS click_ts
+        FROM events e JOIN su ON e.user_id = su.user_id
+        WHERE e.event_type = 'click' AND e.ts > su.signup_ts
+        GROUP BY e.user_id
+    ), pu AS (
+        SELECT e.user_id, MIN(e.ts) AS purchase_ts
+        FROM events e JOIN ck ON e.user_id = ck.user_id
+        WHERE e.event_type = 'purchase' AND e.ts > ck.click_ts
+        GROUP BY e.user_id
+    )
+    SELECT su.user_id,
+           epoch_us(su.signup_ts) AS signup_us,
+           epoch_us(ck.click_ts) AS click_us,
+           epoch_us(pu.purchase_ts) AS purchase_us,
+           (ck.user_id IS NOT NULL) AS reached_click,
+           (pu.user_id IS NOT NULL) AS reached_purchase
+    FROM su
+    LEFT JOIN ck ON su.user_id = ck.user_id
+    LEFT JOIN pu ON su.user_id = pu.user_id
+    """,
+    tags=("funnel", "sequence"),
+)
+def q99_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (signup → first later click → first later
+    purchase): each stage is the earliest qualifying event strictly after
+    the previous stage — the product-analytics sequence query. Scale: three
+    narrow aggregates joined on user_id; every stage input is pre-filtered
+    by event_type before the shuffle, and all three joins share the
+    user_id partitioning so AQE coalesces them into one exchange chain."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    su = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    ck = (
+        ev.filter(F.col("event_type") == "click")
+        .join(su, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    pu = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(ck, "user_id")
+        .filter(F.col("ts") > F.col("click_ts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    return (
+        su.join(ck, "user_id", "left")
+        .join(pu, "user_id", "left")
+        .select(
+            "user_id",
+            F.unix_micros("signup_ts").alias("signup_us"),
+            F.unix_micros("click_ts").alias("click_us"),
+            F.unix_micros("purchase_ts").alias("purchase_us"),
+            F.col("click_ts").isNotNull().alias("reached_click"),
+            F.col("purchase_ts").isNotNull().alias("reached_purchase"),
+        )
+    )

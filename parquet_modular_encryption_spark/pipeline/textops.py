@@ -412,3 +412,52 @@ def q73_term_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= MIN_DOC_FREQ)
     )
+
+
+POSTING_MIN_DF = 80  # index only terms appearing in >= this many docs
+
+
+@register(
+    "q98_inverted_index",
+    oracle=f"""
+    WITH tokenized AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), postings AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS term
+        FROM tokenized, unnest(range(1, len(toks) + 1)) AS t(i)
+    )
+    SELECT term,
+           COUNT(*) AS n_postings,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           array_to_string(
+               list_sort(list(doc_id || ':' || pos)), ','
+           ) AS posting_list
+    FROM postings
+    GROUP BY term
+    HAVING COUNT(DISTINCT doc_id) >= {POSTING_MIN_DF}
+    """,
+    tags=("text", "index", "posexplode"),
+)
+def q98_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction (term → positional posting list) via
+    posexplode — the search-infrastructure build step. The posting list is
+    canonicalized to a lexicographically sorted string (collect_list order
+    is partition-dependent; the sort makes it comparable, same rule as
+    q71). Scale: one shuffle on term; the df cut bounds posting-list width,
+    and a real deployment would range-partition terms and write the lists
+    as the sorted layout from operators/storage.py."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    postings = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "term")
+    )
+    entry = F.concat_ws(":", F.col("doc_id"), F.col("pos"))
+    return (
+        postings.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("n_postings"),
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.concat_ws(",", F.sort_array(F.collect_list(entry))).alias("posting_list"),
+        )
+        .filter(F.col("doc_freq") >= POSTING_MIN_DF)
+    )
