@@ -1121,3 +1121,76 @@ def q95_cdc_latest_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("version").cast("int").alias("max_version"),
         dsum("o_totalprice").alias("total_price"),
     )
+
+
+@register(
+    "q101_data_quality_audit",
+    oracle="""
+    SELECT 'orphan_lineitems' AS check_name,
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey))
+               AS n_violations
+    UNION ALL
+    SELECT 'orders_without_customer',
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'negative_quantity',
+           (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0)
+    UNION ALL
+    SELECT 'discount_out_of_range',
+           (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 1)
+    UNION ALL
+    SELECT 'null_ship_date',
+           (SELECT COUNT(*) FROM lineitem WHERE l_shipdate IS NULL)
+    UNION ALL
+    SELECT 'duplicate_order_lines',
+           (SELECT COUNT(*) FROM (
+               SELECT l_orderkey, l_linenumber FROM lineitem
+               GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1))
+    """,
+    tags=("quality", "audit", "anti-join"),
+)
+def q101_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit suite: referential integrity (anti joins), range
+    checks, null checks, and key-uniqueness — the validation pass that gates
+    a 100 TB ingest before it reaches training. Each check is one
+    aggregate; the union of scalar results is the audit report. Scale: the
+    two anti joins shuffle on their keys (AQE-broadcast when the parent
+    side is small); every other check is a map-side count."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    customer = load(spark, sf_dir, "customer")
+
+    def one(name: str, df_count) -> DataFrame:
+        return df_count.select(
+            F.lit(name).alias("check_name"),
+            F.col("n").cast("bigint").alias("n_violations"),
+        )
+
+    orphans = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    no_cust = orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    neg_qty = li.agg(F.count_if(F.col("l_quantity") <= 0).alias("n"))
+    bad_disc = li.agg(
+        F.count_if((F.col("l_discount") < 0) | (F.col("l_discount") > 1)).alias("n")
+    )
+    null_ship = li.agg(F.count_if(F.col("l_shipdate").isNull()).alias("n"))
+    dup_lines = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        one("orphan_lineitems", orphans)
+        .unionByName(one("orders_without_customer", no_cust))
+        .unionByName(one("negative_quantity", neg_qty))
+        .unionByName(one("discount_out_of_range", bad_disc))
+        .unionByName(one("null_ship_date", null_ship))
+        .unionByName(one("duplicate_order_lines", dup_lines))
+    )

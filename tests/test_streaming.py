@@ -176,3 +176,41 @@ def test_foreach_batch_upsert_latest_wins(spark, tmp_path):
         for r in load(spark, sf, "events").groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     assert got == want
+
+
+def test_checkpoint_restart_exactly_once(spark, tmp_path):
+    """A checkpointed query restarted over the same source must not
+    re-emit processed batches: the second run resumes from the offset log
+    and only its NEW file produces output (exactly-once sink contract)."""
+    src = str(tmp_path / "ckpt_src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "ckpt_out")
+    t = datetime.datetime(2024, 3, 1, 9, 0, 0)
+
+    _write_events(spark, src, [t, t.replace(minute=30)])
+
+    def run_once():
+        stream = stream_events(spark, src)
+        q = (
+            stream.select("event_id", "ts", "user_id")
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once()
+    first = spark.read.parquet(out).count()
+    assert first == 2
+
+    # restart with one more file: only the delta may appear
+    _write_events(spark, src, [t.replace(hour=10)])
+    run_once()
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 3, f"expected 3 rows after restart, got {len(rows)}"
+    assert len({r.event_id for r in rows}) == 2  # ids 0,1 from the two files
