@@ -465,3 +465,70 @@ def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("edit_dist") <= LEV_MAX)
     )
+
+
+CONTAM_SHINGLE_N = 5  # longer n-grams: contamination wants high precision
+
+
+@register(
+    "q61_contamination_check",
+    oracle=f"""
+    WITH tokenized AS (
+        SELECT doc_id, {sql_normalized('text')} AS norm,
+               {sql_tokens(sql_normalized('text'))} AS toks,
+               CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'
+                    THEN 'train' ELSE 'eval' END AS split
+        FROM documents
+    ), shingled AS (
+        SELECT doc_id, split,
+               unnest({sql_word_shingles('toks', CONTAM_SHINGLE_N)}) AS shingle
+        FROM tokenized
+    )
+    SELECT e.doc_id AS eval_doc,
+           COUNT(DISTINCT t.doc_id) AS n_train_docs,
+           COUNT(DISTINCT e.shingle) AS n_shared_shingles
+    FROM shingled e
+    JOIN shingled t ON e.shingle = t.shingle
+    WHERE e.split = 'eval' AND t.split = 'train'
+    GROUP BY e.doc_id
+    """,
+    tags=("dedup", "contamination", "eval"),
+)
+def q61_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection: hash-split the corpus (the q75
+    rule collapsed to train vs eval), then find eval documents sharing
+    {CONTAM_SHINGLE_N}-gram shingles with ANY training document — the
+    benchmark-leakage audit every training pipeline must run. Scale: the
+    shingle equi-join shuffles on the shingle string (the same blocked
+    decomposition as the LSH pipelines — never a doc×doc product); at
+    100 TB the train side would be a bloom/minhash sketch instead of raw
+    shingles, with this exact query as the verification pass."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b", "train"
+    ).otherwise("eval")
+    tokenized = docs.select(
+        "doc_id",
+        split.alias("split"),
+        tokens(normalized("text")).alias("toks"),
+    )
+    shingled = tokenized.select(
+        "doc_id",
+        "split",
+        F.explode(shingles_from(F.col("toks"), CONTAM_SHINGLE_N)).alias("shingle"),
+    )
+    ev = shingled.filter(F.col("split") == "eval").select(
+        F.col("doc_id").alias("eval_doc"), F.col("shingle")
+    )
+    tr = shingled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), F.col("shingle")
+    )
+    return (
+        ev.join(tr, "shingle")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )

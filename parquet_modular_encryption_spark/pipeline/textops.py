@@ -461,3 +461,67 @@ def q98_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= POSTING_MIN_DF)
     )
+
+
+CTX_TOKENS = 2048  # context-window budget for packing
+
+
+@register(
+    "q63_document_packing",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, lang,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), placed AS (
+        SELECT doc_id, lang, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS tokens_before
+        FROM counted
+    )
+    SELECT lang,
+           CAST(floor(tokens_before / {CTX_TOKENS}.0) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS pack_tokens,
+           CAST(SUM(n_tokens) AS DOUBLE) / {CTX_TOKENS}.0 AS fill_ratio
+    FROM placed
+    GROUP BY lang, pack_id
+    """,
+    tags=("text", "packing", "window"),
+)
+def q63_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window document packing (sequence assembly for pretraining):
+    documents stream per language in stable doc_id order and a running
+    token total assigns each to a ~{CTX_TOKENS}-token pack — the streaming
+    approximation of bin packing (no lookahead, one window pass, exact
+    integer arithmetic). Scale: one window shuffle on lang; a production
+    packer adds a salt-within-lang partition key so a single language
+    doesn't serialize, at the cost of cross-salt fragmentation."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("bigint").alias("n_tokens")
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = counted.withColumn(
+        "tokens_before", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    )
+    return (
+        placed.groupBy(
+            "lang",
+            F.floor(F.col("tokens_before") / float(CTX_TOKENS)).alias("pack_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            (F.sum("n_tokens").cast("double") / float(CTX_TOKENS)).alias("fill_ratio"),
+        )
+    )
