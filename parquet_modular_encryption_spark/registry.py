@@ -30,6 +30,7 @@ _QUERY_MODULES = (
     "parquet_modular_encryption_spark.operators.events",
     "parquet_modular_encryption_spark.operators.advanced",
     "parquet_modular_encryption_spark.operators.tpch_extra",
+    "parquet_modular_encryption_spark.operators.lifecycle",
     "parquet_modular_encryption_spark.operators.storage",
     "parquet_modular_encryption_spark.operators.sampling",
     "parquet_modular_encryption_spark.operators.encrypted",
