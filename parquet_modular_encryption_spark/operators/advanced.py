@@ -301,3 +301,75 @@ def q66_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("percentile(l_extendedprice, 0.90)").alias("p90"),
         F.expr("percentile(l_quantity, 0.50)").alias("median_qty"),
     )
+
+
+@register(
+    "q113_orc_source",
+    oracle="""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           MIN(o_orderkey) AS first_key,
+           MAX(o_orderkey) AS last_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    tags=("sources", "orc"),
+)
+def q113_orc_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source/sink connector (Spark built-in, no extra packages):
+    orders→ORC in scratch, read back, aggregate. The oracle runs on the
+    parquet original — equality proves the round-trip is lossless.
+    Int/string columns only (ORC timestamp zone semantics differ from
+    parquet's NTZ; a lossless timestamp round-trip would need
+    spark.sql.orc z-conversion pinning, out of scope for the connector
+    check). Scale: ORC splits by stripe like parquet by row group — the
+    read side parallelizes identically."""
+    prep(spark)
+    scratch = tempfile.mkdtemp(prefix="pme_q113_")
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    orders.write.mode("overwrite").orc(f"{scratch}/orders_orc")
+    back = spark.read.orc(f"{scratch}/orders_orc")
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+    )
+
+
+@register(
+    "q114_binary_file_source",
+    oracle="""
+    SELECT doc_id, n_chars, md5(text) AS text_md5
+    FROM documents
+    WHERE doc_id % 20 = 0
+    """,
+    tags=("sources", "binary", "multimodal"),
+)
+def q114_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile source — the ingestion path for multimodal blobs
+    (pipeline/multimodal.py consumes exactly this shape): a sample of
+    documents is materialized as loose .txt files (driver-side fixture
+    write, deliberately tiny: 1-in-20 docs), then read back distributed
+    via spark.read.format("binaryFile") and verified byte-exact against
+    the table through length + md5. At 100 TB the fixture step disappears
+    — blobs already live in the object store and binaryFile lists/reads
+    them across executors; content hashing stays JVM-side (F.md5 on the
+    binary column, no Python)."""
+    prep(spark)
+    scratch = tempfile.mkdtemp(prefix="pme_q114_")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select("doc_id", "text")
+    )
+    for row in docs.collect():  # fixture write only; the read is distributed
+        with open(f"{scratch}/{row.doc_id}.txt", "wb") as fh:
+            fh.write(row.text.encode("utf-8"))
+    blobs = spark.read.format("binaryFile").load(f"{scratch}/*.txt")
+    return blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.txt$", 1)
+        .cast("bigint")
+        .alias("doc_id"),
+        F.length(F.decode(F.col("content"), "UTF-8")).cast("bigint").alias("n_chars"),
+        F.md5(F.col("content")).alias("text_md5"),
+    )
