@@ -54,6 +54,11 @@ EXTENDED = [
     "q86_salted_aggregation",
     "q90_embedding_quantization",
     "q95_cdc_latest_wins",
+    "q104_large_volume_customers",
+    "q106_waiting_supplier",
+    "q110_scd2_history",
+    "q111_interval_merge",
+    "q115_epoch_shard_reshuffle",
 ]
 
 

@@ -195,3 +195,65 @@ def q112_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "q115_epoch_shard_reshuffle",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, n_chars,
+               epoch,
+               CAST(concat('0x', substr(md5(concat(CAST(epoch AS VARCHAR), ':',
+                    CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT) % 8 AS shard
+        FROM documents
+        CROSS JOIN (SELECT unnest(range(3)) AS epoch)
+    )
+    SELECT CAST(epoch AS INT) AS epoch,
+           CAST(shard AS INT) AS shard,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS sum_chars,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM assigned
+    GROUP BY epoch, shard
+    """,
+    tags=("training", "shuffle", "hash"),
+)
+def q115_epoch_shard_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch reshuffle — the training-loader operator: every
+    epoch re-deals documents into 8 shards via the portable 60-bit hash of
+    (epoch, doc_id), so shard membership changes each epoch yet is fully
+    reproducible with no stored state or RNG. Output is the per-(epoch,
+    shard) manifest (doc count + char budget) a loader would use for
+    balanced scheduling. Scale: the epoch grid is a 3-row broadcasted
+    cross join (rows scale as epochs × docs but never shuffle until the
+    tiny manifest aggregate); hash sharding is uniform so no shard skew
+    regardless of doc-id distribution."""
+    from parquet_modular_encryption_spark.functions.text import hash60
+
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    epochs = spark.range(3).select(F.col("id").cast("int").alias("epoch"))
+    assigned = docs.crossJoin(F.broadcast(epochs)).select(
+        "doc_id",
+        "n_chars",
+        "epoch",
+        (
+            hash60(
+                F.concat(
+                    F.col("epoch").cast("string"),
+                    F.lit(":"),
+                    F.col("doc_id").cast("string"),
+                )
+            )
+            % 8
+        )
+        .cast("int")
+        .alias("shard"),
+    )
+    return assigned.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )
