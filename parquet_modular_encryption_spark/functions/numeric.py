@@ -17,10 +17,16 @@ driver's value-hash comparison. The fix used throughout this engine:
    rounding (measured: 667/4599 rows off by 1-2e-10 for ~5e6 values).
    Scale larger expressions into range first and unscale after the sum
    (see q37_derived_stats).
-3. SUM in decimal — exact, order-independent. The result is returned AS
-   DECIMAL(38,10): bit-exact in both engines, no final float cast to go
-   wrong. (DuckDB's decimal→double cast is not correctly rounded once the
-   unscaled value exceeds 2^53, so casting big sums to double is unsafe.)
+3. SUM in decimal — exact, order-independent. The result is then FLOORed
+   at scale 4 and returned as DOUBLE: the floored integer is < 2^53 for
+   |sum| < ~9e11 so the →double cast is exact in both engines, and the
+   driver's typed value-hash sees a plain DOUBLE on both sides. (Returning
+   DECIMAL directly is value-exact but hash-incompatible: Spark
+   DecimalType vs DuckDB DECIMAL/HUGEINT cells hash differently — the
+   round-1 driver failure mode. And DuckDB's decimal→double cast is not
+   correctly rounded once the unscaled value exceeds 2^53, so a full
+   scale-10 →double cast of big sums is unsafe; flooring to scale 4
+   first is.)
 4. For averages, the exact sum is first cast to DECIMAL(38,4) — at scale 4
    the unscaled value stays below 2^53 for magnitudes up to ~9e11, making
    the →double cast exact in both engines — then divided by the count in
@@ -49,11 +55,16 @@ def _col(c: Column | str) -> Column:
 
 
 def dsum(c: Column | str) -> Column:
-    """Order-independent, cross-engine-exact SUM of a double expr.
+    """Order-independent, cross-engine-exact SUM of a double expr, as DOUBLE.
 
-    Returns DECIMAL(38,10) — identical value AND type in both engines.
+    Round-1 lesson: returning DECIMAL(38,10) is value-exact in both engines
+    but the driver hashes *typed* values, and a Spark DecimalType vs DuckDB
+    DECIMAL/HUGEINT cell never hashes equal to a DOUBLE. So the exact decimal
+    sum is floored at scale 4 (floor is tie-free — no HALF_UP/HALF_EVEN
+    divergence) and returned as DOUBLE: the floored integer stays < 2^53 for
+    |sum| < ~9e11, making the →double cast exact in both engines.
     """
-    return F.sum(_col(c).cast(DEC))
+    return dsum_floor(c, 10_000)
 
 
 def davg(c: Column | str) -> Column:
@@ -71,7 +82,8 @@ def davg(c: Column | str) -> Column:
 
 
 def sql_dsum(expr: str) -> str:
-    return f"SUM(CAST(({expr}) AS DECIMAL(38,10)))"
+    """DuckDB twin of :func:`dsum` — floored exact decimal sum as DOUBLE."""
+    return sql_dsum_floor(expr, 10_000)
 
 
 def sql_davg(expr: str) -> str:
@@ -99,6 +111,22 @@ def sql_dsum_floor(expr: str, shift: int = 10_000) -> str:
         f"(CAST(CAST(floor(SUM(CAST(({expr}) AS DECIMAL(38,10))) * {shift}) AS BIGINT)"
         f" AS DOUBLE) / {float(shift)})"
     )
+
+
+def dsum_partial(c: Column | str) -> Column:
+    """Exact DECIMAL(38,10) partial sum for multi-phase aggregation.
+
+    Multi-phase (e.g. salted) aggregations must NOT floor per-partial —
+    flooring each partial then summing doubles diverges from flooring the
+    grand total once. Keep partials in exact decimal and apply
+    :func:`dsum_finalize` on the re-aggregation."""
+    return F.sum(_col(c).cast(DEC))
+
+
+def dsum_finalize(c: Column | str, shift: int = 10_000) -> Column:
+    """Re-aggregate decimal partials and finalize as driver-hashable DOUBLE
+    (single floor over the exact grand total — matches ``sql_dsum``)."""
+    return F.floor(F.sum(_col(c)) * shift).cast("bigint").cast("double") / F.lit(float(shift))
 
 
 def dsum_window(c: Column | str, window) -> Column:

@@ -234,7 +234,7 @@ MIN_EVENTS_PER_DAY = 3  # a day counts as "active" at this event volume
     SELECT user_id,
            COUNT(*) AS n_streaks,
            MAX(streak_days) AS longest_streak,
-           SUM(streak_days) AS total_active_days,
+           CAST(SUM(streak_days) AS BIGINT) AS total_active_days,
            MIN(streak_start) AS first_active_day,
            MAX(streak_end) AS last_active_day
     FROM streaks
@@ -378,12 +378,13 @@ def q89_map_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q96_map_higher_order",
     oracle=f"""
     WITH per_type AS (
-        SELECT user_id, event_type, {sql_dsum('value')} AS type_value
+        SELECT user_id, event_type,
+               CAST(floor(SUM(CAST(value AS DECIMAL(38,10))) * 10000) AS BIGINT) AS tv_i4
         FROM events GROUP BY user_id, event_type
     ), with_share AS (
         SELECT user_id, event_type,
-               CAST(type_value AS DOUBLE)
-                   / CAST(SUM(type_value) OVER (PARTITION BY user_id) AS DOUBLE)
+               CAST(tv_i4 AS DOUBLE)
+                   / CAST(SUM(tv_i4) OVER (PARTITION BY user_id) AS DOUBLE)
                    AS share
         FROM per_type
     )
@@ -398,16 +399,22 @@ def q96_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalized with transform_values (share of the user's total), pruned
     with map_filter (dominant types only), and exploded back to rows.
     The oracle computes identical shares relationally — the map lambdas are
-    the Spark-side plumbing under test. Decimal sums keep the shares'
-    inputs exact, so the final double division is engine-identical."""
+    the Spark-side plumbing under test. Per-type sums are floored to exact
+    scale-4 BIGINTs and the per-user total is an exact integer sum, so both
+    division operands — and hence the IEEE double shares — are bit-identical
+    in both engines (re-summing floored doubles would be order-dependent)."""
     prep(spark)
     ev = load(spark, sf_dir, "events")
-    per_type = ev.groupBy("user_id", "event_type").agg(dsum("value").alias("type_value"))
+    per_type = ev.groupBy("user_id", "event_type").agg(
+        F.floor(F.sum(F.col("value").cast("decimal(38,10)")) * 10000)
+        .cast("bigint")
+        .alias("tv_i4")
+    )
     mapped = per_type.groupBy("user_id").agg(
         F.map_from_entries(
-            F.collect_list(F.struct("event_type", "type_value"))
+            F.collect_list(F.struct("event_type", "tv_i4"))
         ).alias("profile"),
-        F.sum("type_value").cast("decimal(38,10)").alias("total"),
+        F.sum("tv_i4").alias("total"),
     )
     shares = mapped.select(
         "user_id",
@@ -434,8 +441,8 @@ def q96_map_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           SUM(CAST(floor(value * dur_us / 10000.0) AS BIGINT)) AS wsum_q,
-           SUM(dur_us) AS total_dur_us,
+           CAST(SUM(CAST(floor(value * dur_us / 10000.0) AS BIGINT)) AS BIGINT) AS wsum_q,
+           CAST(SUM(dur_us) AS BIGINT) AS total_dur_us,
            (CAST(SUM(CAST(floor(value * dur_us / 10000.0) AS BIGINT)) AS DOUBLE) / 100.0)
                / (CAST(SUM(dur_us) AS DOUBLE) / 1e6) AS time_weighted_avg
     FROM seq

@@ -9,7 +9,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parquet_modular_encryption_spark.functions.numeric import dsum, sql_dsum
+from parquet_modular_encryption_spark.functions.numeric import (
+    dsum,
+    dsum_finalize,
+    dsum_partial,
+    sql_dsum,
+)
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -189,13 +194,13 @@ def q86_salted_aggregation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     partial = salted.groupBy("l_returnflag", "__salt").agg(
         F.count(F.lit(1)).alias("pn"),
-        dsum("l_quantity").alias("pq"),
-        dsum("l_extendedprice").alias("pp"),
+        dsum_partial("l_quantity").alias("pq"),
+        dsum_partial("l_extendedprice").alias("pp"),
     )
     return partial.groupBy("l_returnflag").agg(
         F.sum("pn").alias("n_rows"),
-        F.sum("pq").cast("decimal(38,10)").alias("sum_qty"),
-        F.sum("pp").cast("decimal(38,10)").alias("sum_price"),
+        dsum_finalize("pq").alias("sum_qty"),
+        dsum_finalize("pp").alias("sum_price"),
     )
 
 

@@ -211,7 +211,7 @@ def q112_event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(epoch AS INT) AS epoch,
            CAST(shard AS INT) AS shard,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS sum_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
            MIN(doc_id) AS first_doc,
            MAX(doc_id) AS last_doc
     FROM assigned

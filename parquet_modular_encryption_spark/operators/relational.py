@@ -441,7 +441,7 @@ def q13_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_linestatus,
            {sql_dsum("CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END")} AS returned_value,
            {sql_dsum("CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END")} AS kept_value,
-           SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS n_bulk,
+           CAST(SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS BIGINT) AS n_bulk,
            COUNT(*) AS n_total
     FROM lineitem
     GROUP BY l_linestatus
@@ -555,7 +555,7 @@ def q17_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
     FROM events
@@ -687,7 +687,8 @@ def q28_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q68_correlated_agg_subquery",
     oracle="""
     SELECT COUNT(*) AS n_small_orders,
-           SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS total_value
+           (CAST(CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) * 10000) AS BIGINT)
+             AS DOUBLE) / 10000.0) AS total_value
     FROM lineitem l1
     WHERE l_quantity < 0.5 * (
         SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
@@ -706,7 +707,8 @@ def q68_correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT COUNT(*) AS n_small_orders,
-               SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS total_value
+               (CAST(CAST(floor(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) * 10000) AS BIGINT)
+                 AS DOUBLE) / 10000.0) AS total_value
         FROM lineitem l1
         WHERE l_quantity < 0.5 * (
             SELECT AVG(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey
@@ -956,7 +958,7 @@ def q80_argmax_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g.r_name AS region, g.seg AS segment,
            COALESCE(n_orders, 0) AS n_orders,
-           COALESCE(revenue, CAST(0 AS DECIMAL(38,10))) AS revenue,
+           COALESCE(revenue, CAST(0 AS DOUBLE)) AS revenue,
            (n_orders IS NULL) AS is_empty_cell
     FROM grid g
     LEFT JOIN actual ON g.r_name = a_region AND g.seg = a_seg
@@ -999,7 +1001,7 @@ def q85_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"),
             F.col("seg").alias("segment"),
             F.coalesce("n_orders_raw", F.lit(0)).alias("n_orders"),
-            F.coalesce("revenue_raw", F.lit(0).cast("decimal(38,10)")).alias("revenue"),
+            F.coalesce("revenue_raw", F.lit(0.0)).alias("revenue"),
             F.col("n_orders_raw").isNull().alias("is_empty_cell"),
         )
     )

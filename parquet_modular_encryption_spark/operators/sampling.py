@@ -58,7 +58,7 @@ def sql_split_of(expr: str) -> str:
     SELECT {sql_split_of('doc_id')} AS split,
            lang,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
     FROM documents
     GROUP BY split, lang

@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_modular_encryption_spark.functions.numeric import dsum_window
+from parquet_modular_encryption_spark.functions.numeric import dsum, dsum_window
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -234,7 +234,8 @@ def q70_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_customers,
            MIN(c_acctbal) AS min_bal,
            MAX(c_acctbal) AS max_bal,
-           SUM(CAST(c_acctbal AS DECIMAL(38,10))) AS total_bal
+           (CAST(CAST(floor(SUM(CAST(c_acctbal AS DECIMAL(38,10))) * 10000) AS BIGINT)
+             AS DOUBLE) / 10000.0) AS total_bal
     FROM (
         SELECT c_acctbal,
                CAST(ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS INT) AS decile
@@ -263,7 +264,7 @@ def q79_decile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_customers"),
             F.min("c_acctbal").alias("min_bal"),
             F.max("c_acctbal").alias("max_bal"),
-            F.sum(F.col("c_acctbal").cast("decimal(38,10)")).alias("total_bal"),
+            dsum("c_acctbal").alias("total_bal"),
         )
     )
 

@@ -80,9 +80,9 @@ _SQL_NTOKENS = "len(string_split_regex(trim(text), '\\s+'))"
     oracle=f"""
     SELECT lang,
            COUNT(*) AS n_docs,
-           SUM(CAST({_SQL_NTOKENS} AS BIGINT)) AS total_tokens,
+           CAST(SUM(CAST({_SQL_NTOKENS} AS BIGINT)) AS BIGINT) AS total_tokens,
            CAST(SUM(CAST({_SQL_NTOKENS} AS BIGINT)) AS DOUBLE) / COUNT(*) AS avg_tokens_per_doc,
-           SUM(n_chars) AS total_chars
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
     FROM documents
     GROUP BY lang
     """,
@@ -125,7 +125,7 @@ SQL_QUALITY = (
     SELECT lang,
            COUNT(*) AS n_docs,
            {sql_davg(SQL_QUALITY)} AS avg_quality,
-           SUM(CASE WHEN {SQL_QUALITY} >= 0.75 THEN 1 ELSE 0 END) AS n_high_quality
+           CAST(SUM(CASE WHEN {SQL_QUALITY} >= 0.75 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
     FROM documents
     GROUP BY lang
     """,
@@ -221,9 +221,9 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            {sql_davg('n_chars')} AS avg_chars,
-           SUM(CASE WHEN len({sql_tokens('text')}) >= 30 THEN 1 ELSE 0 END) AS n_long_docs
+           CAST(SUM(CASE WHEN len({sql_tokens('text')}) >= 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_long_docs
     FROM documents
     GROUP BY lang, source
     """,
@@ -484,7 +484,7 @@ CTX_TOKENS = 2048  # context-window budget for packing
     SELECT lang,
            CAST(floor(tokens_before / {CTX_TOKENS}.0) AS BIGINT) AS pack_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS pack_tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
            CAST(SUM(n_tokens) AS DOUBLE) / {CTX_TOKENS}.0 AS fill_ratio
     FROM placed
     GROUP BY lang, pack_id
