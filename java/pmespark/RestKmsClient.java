@@ -1,12 +1,19 @@
 package pmespark;
 
+import java.io.FileInputStream;
 import java.io.IOException;
 import java.net.URI;
 import java.net.http.HttpClient;
 import java.net.http.HttpRequest;
 import java.net.http.HttpResponse;
+import java.security.KeyStore;
+import java.security.cert.Certificate;
+import java.security.cert.CertificateFactory;
 import java.time.Duration;
 import java.util.Base64;
+
+import javax.net.ssl.SSLContext;
+import javax.net.ssl.TrustManagerFactory;
 
 import org.apache.hadoop.conf.Configuration;
 import org.apache.parquet.crypto.KeyAccessDeniedException;
@@ -42,7 +49,36 @@ public class RestKmsClient implements KmsClient {
       throws KeyAccessDeniedException {
     this.kmsUrl = kmsInstanceURL.replaceAll("/+$", "");
     this.token = accessToken;
-    this.http = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5)).build();
+    HttpClient.Builder builder = HttpClient.newBuilder().connectTimeout(Duration.ofSeconds(5));
+    // TLS: trust SSL_CERT_FILE when set, like the Python/reference clients
+    // (reference kms_client.py:36-37 builds an ssl context from the same
+    // env var). Absent the var, the JDK default truststore applies.
+    String certFile = System.getenv("SSL_CERT_FILE");
+    if (this.kmsUrl.startsWith("https") && certFile != null && !certFile.isEmpty()) {
+      builder.sslContext(sslContextFrom(certFile));
+    }
+    this.http = builder.build();
+  }
+
+  /** SSLContext trusting the PEM certificate(s) in the given file. */
+  static SSLContext sslContextFrom(String pemPath) {
+    try (FileInputStream in = new FileInputStream(pemPath)) {
+      CertificateFactory cf = CertificateFactory.getInstance("X.509");
+      KeyStore ks = KeyStore.getInstance(KeyStore.getDefaultType());
+      ks.load(null, null);
+      int i = 0;
+      for (Certificate cert : cf.generateCertificates(in)) {
+        ks.setCertificateEntry("ssl-cert-file-" + (i++), cert);
+      }
+      TrustManagerFactory tmf =
+          TrustManagerFactory.getInstance(TrustManagerFactory.getDefaultAlgorithm());
+      tmf.init(ks);
+      SSLContext ctx = SSLContext.getInstance("TLS");
+      ctx.init(null, tmf.getTrustManagers(), null);
+      return ctx;
+    } catch (Exception e) {
+      throw new ParquetCryptoRuntimeException("failed to load SSL_CERT_FILE " + pemPath, e);
+    }
   }
 
   @Override

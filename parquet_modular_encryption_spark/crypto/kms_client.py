@@ -10,6 +10,8 @@ query, the reference's failure semantics (SURVEY.md §3).
 from __future__ import annotations
 
 import json
+import os
+import ssl
 import urllib.error
 import urllib.request
 
@@ -18,6 +20,12 @@ import pyarrow.parquet.encryption as pe
 from parquet_modular_encryption_spark.crypto.kms_core import b64d, b64e
 
 TIMEOUT_S = 5.0  # reference kms_client.py:35
+
+
+def _ssl_context() -> ssl.SSLContext:
+    """Default TLS verification, trusting ``SSL_CERT_FILE`` when set —
+    the reference's channel security (reference kms_client.py:36-37)."""
+    return ssl.create_default_context(cafile=os.environ.get("SSL_CERT_FILE"))
 
 
 class KmsAuthorizationError(PermissionError):
@@ -30,6 +38,7 @@ class RestKmsClient:
     def __init__(self, base_url: str, access_token: str | None = None) -> None:
         self.base_url = base_url.rstrip("/")
         self.access_token = access_token
+        self._ctx = _ssl_context() if self.base_url.startswith("https") else None
 
     def _post(self, action: str, key_id: str, key_b64: str) -> str:
         req = urllib.request.Request(
@@ -42,7 +51,7 @@ class RestKmsClient:
             method="POST",
         )
         try:
-            with urllib.request.urlopen(req, timeout=TIMEOUT_S) as resp:
+            with urllib.request.urlopen(req, timeout=TIMEOUT_S, context=self._ctx) as resp:
                 return json.loads(resp.read())["key"]
         except urllib.error.HTTPError as exc:
             detail = exc.read().decode(errors="replace")

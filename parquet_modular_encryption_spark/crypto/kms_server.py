@@ -20,6 +20,7 @@ client code would interoperate.
 from __future__ import annotations
 
 import json
+import ssl
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
@@ -80,14 +81,28 @@ class _KmsHandler(BaseHTTPRequestHandler):
 class KmsServer:
     """In-process KMS for tests and local runs: ``with KmsServer() as url:``."""
 
-    def __init__(self, port: int = 0) -> None:
+    def __init__(
+        self,
+        port: int = 0,
+        *,
+        certfile: str | None = None,
+        keyfile: str | None = None,
+    ) -> None:
+        """Plain HTTP by default; pass ``certfile``/``keyfile`` to serve TLS
+        (the reference deploys behind TLS and clients trust it via
+        ``SSL_CERT_FILE``, reference kms_client.py:36-37)."""
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), _KmsHandler)
+        self._tls = certfile is not None
+        if self._tls:
+            ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+            ctx.load_cert_chain(certfile, keyfile)
+            self._httpd.socket = ctx.wrap_socket(self._httpd.socket, server_side=True)
         self._thread = threading.Thread(target=self._httpd.serve_forever, daemon=True)
 
     @property
     def url(self) -> str:
         host, port = self._httpd.server_address[:2]
-        return f"http://{host}:{port}"
+        return f"{'https' if self._tls else 'http'}://{host}:{port}"
 
     def start(self) -> "KmsServer":
         self._thread.start()

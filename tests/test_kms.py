@@ -40,6 +40,19 @@ def test_wrap_unwrap_roundtrip_core():
         kms_core.unwrap(kek, bad)
 
 
+def test_rfc3394_test_vector():
+    """Wrap format is real RFC 3394 AES-KW (section 4.6 test vector:
+    256-bit KEK, 128-bit key data) — byte-compatible with the reference
+    server's cryptography.aes_key_wrap (reference kms_server.py:138)."""
+    kek = bytes.fromhex(
+        "000102030405060708090A0B0C0D0E0F101112131415161718191A1B1C1D1E1F"
+    )
+    key = bytes.fromhex("00112233445566778899AABBCCDDEEFF")
+    expect = bytes.fromhex("64E8C3F9CE0F5BA263E9777905818A2A93C8191E7D6E8AE7")
+    assert kms_core.wrap(kek, key) == expect
+    assert kms_core.unwrap(kek, expect) == key
+
+
 def test_key_validation_rules():
     kek = kms_core.WRAPPING_KEYS["PUBLIC"]
     with pytest.raises(kms_core.KeyValidationError):  # not multiple of 8
@@ -48,6 +61,74 @@ def test_key_validation_rules():
         kms_core.wrap(kek, b"x" * 8)
     with pytest.raises(kms_core.KeyValidationError):  # unwrap too short
         kms_core.unwrap(kek, b"x" * 16)
+
+
+def _self_signed_cert(tmp_path):
+    """Generate a localhost self-signed cert + key (PEM) for TLS tests."""
+    import datetime
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import ec
+    from cryptography.x509.oid import NameOID
+
+    key = ec.generate_private_key(ec.SECP256R1())
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, "127.0.0.1")])
+    now = datetime.datetime.now(datetime.timezone.utc)
+    cert = (
+        x509.CertificateBuilder()
+        .subject_name(name)
+        .issuer_name(name)
+        .public_key(key.public_key())
+        .serial_number(x509.random_serial_number())
+        .not_valid_before(now - datetime.timedelta(minutes=5))
+        .not_valid_after(now + datetime.timedelta(hours=1))
+        .add_extension(
+            x509.SubjectAlternativeName([x509.IPAddress(__import__("ipaddress").ip_address("127.0.0.1"))]),
+            critical=False,
+        )
+        .sign(key, hashes.SHA256())
+    )
+    cert_path = tmp_path / "kms.crt"
+    key_path = tmp_path / "kms.key"
+    cert_path.write_bytes(cert.public_bytes(serialization.Encoding.PEM))
+    key_path.write_bytes(
+        key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.PKCS8,
+            serialization.NoEncryption(),
+        )
+    )
+    return str(cert_path), str(key_path)
+
+
+def test_tls_roundtrip(tmp_path, monkeypatch):
+    """The KMS channel supports TLS with the trust anchor taken from
+    SSL_CERT_FILE, matching the reference client (kms_client.py:36-37)."""
+    cert, key = _self_signed_cert(tmp_path)
+    monkeypatch.setenv("SSL_CERT_FILE", cert)
+    server = KmsServer(certfile=cert, keyfile=key).start()
+    try:
+        assert server.url.startswith("https://")
+        client = RestKmsClient(server.url, access_token="INTERNAL")
+        payload = bytes(range(16))
+        assert client.unwrap_key(client.wrap_key(payload, "INTERNAL"), "INTERNAL") == payload
+    finally:
+        server.stop()
+
+
+def test_tls_rejected_without_trust(tmp_path, monkeypatch):
+    """Without the cert in the trust store, the client must refuse the
+    self-signed server — verification is on, not bypassed."""
+    cert, key = _self_signed_cert(tmp_path)
+    monkeypatch.delenv("SSL_CERT_FILE", raising=False)
+    server = KmsServer(certfile=cert, keyfile=key).start()
+    try:
+        client = RestKmsClient(server.url, access_token="INTERNAL")
+        with pytest.raises(urllib.error.URLError):
+            client.wrap_key(bytes(range(16)), "INTERNAL")
+    finally:
+        server.stop()
 
 
 def test_rest_roundtrip_all_levels(kms_url):
