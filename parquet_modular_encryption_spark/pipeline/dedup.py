@@ -187,12 +187,16 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    # Candidate pairs are orders of magnitude fewer than documents (that is
-    # the point of banding), so broadcast them: the shingle table streams
-    # through two broadcast-hash joins instead of shuffling its arrays.
-    enriched = sa.join(F.broadcast(pairs), "doc_a")
+    # Verification joins are plain shuffle joins on doc_a/doc_b: the keys
+    # are high-cardinality so they partition evenly, and candidate-pair
+    # count grows with corpus size x dup rate — it is smaller than n but
+    # NOT bounded, so broadcasting pairs (let alone pairs enriched with
+    # shingle arrays) would eventually exceed any broadcast threshold at
+    # 100 TB. AQE may still choose a broadcast at small SF; the plan must
+    # not force one.
+    enriched = sa.join(pairs, "doc_a")
     return (
-        sb.join(F.broadcast(enriched), "doc_b")
+        sb.join(enriched, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )

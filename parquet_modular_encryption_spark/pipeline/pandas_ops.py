@@ -22,12 +22,21 @@ RANK_SCHEMA = (
     "bal_rank int, pct_rank double"
 )
 
+# Value-range bucket width for the two-pass rank: each applyInPandas group
+# is one (segment, bucket) slice, never a whole segment. Narrower buckets
+# bound each group tighter; the offsets aggregate stays tiny either way.
+RANK_BUCKET_WIDTH = 100.0
 
-def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Per-segment percentile rank of account balance (rank method 'min'
-    == SQL RANK(); pct = (rank-1)/(n-1) == SQL percent_rank())."""
-    n = len(pdf)
-    rank = pdf["c_acctbal"].rank(method="min", ascending=True).astype("int64")
+
+def _rank_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Rank one (segment, value-bucket) slice: local 'min'-method rank plus
+    the precomputed count of segment rows in lower buckets == global SQL
+    RANK(); pct = (rank-1)/(n_segment-1) == SQL percent_rank(). Ties have
+    equal values and therefore share a bucket, so cross-bucket offsets are
+    exact."""
+    local = pdf["c_acctbal"].rank(method="min", ascending=True).astype("int64")
+    rank = local + int(pdf["rank_offset"].iloc[0])
+    n = int(pdf["n_segment"].iloc[0])
     out = pdf[["c_custkey", "c_mktsegment", "c_acctbal"]].copy()
     out["bal_rank"] = rank.astype("int32")
     out["pct_rank"] = (rank - 1) / (n - 1) if n > 1 else 0.0
@@ -46,16 +55,44 @@ def _rank_group(pdf: pd.DataFrame) -> pd.DataFrame:
     tags=("pandas", "window"),
 )
 def q64_pandas_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """applyInPandas grouped-map operator: per-segment percentile ranking.
+    """applyInPandas grouped-map operator: per-segment percentile ranking,
+    bounded for scale via two-pass bucketed ranking.
 
-    Scale notes: one shuffle on the group key, then each group becomes a
-    single Arrow-backed pandas frame in a worker — groups must fit in
-    worker memory (segments here are ~n/5 rows; salt or pre-aggregate when
-    a group can't). The oracle is the SQL window twin, so the Python path
-    is value-checked, not just smoke-checked."""
+    A naive groupBy(segment).applyInPandas holds ~n/5 rows as ONE pandas
+    frame per worker — an executor OOM at 100×. Instead: (1) a tiny
+    (segment, value-bucket) count aggregate, prefix-summed per segment,
+    gives every bucket its global rank offset and segment size; (2)
+    applyInPandas runs per (segment, bucket) — group size is bounded by
+    bucket width, not corpus size — and adds the offset to the local rank.
+    Equal values always share a bucket, so RANK() ties are exact. The
+    offsets join is a genuine bounded broadcast (segments × buckets rows).
+    The oracle is the SQL window twin, so the Python path is value-checked,
+    not just smoke-checked."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
     prep(spark)
-    cust = load(spark, sf_dir, "customer")
-    return cust.groupBy("c_mktsegment").applyInPandas(_rank_group, RANK_SCHEMA)
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", "c_acctbal"
+    )
+    bucketed = cust.withColumn(
+        "bal_bucket", F.floor(F.col("c_acctbal") / RANK_BUCKET_WIDTH).cast("int")
+    )
+    counts = bucketed.groupBy("c_mktsegment", "bal_bucket").agg(
+        F.count(F.lit(1)).alias("n_in_bucket")
+    )
+    per_seg = Window.partitionBy("c_mktsegment")
+    cumul = per_seg.orderBy("bal_bucket")
+    offsets = counts.select(
+        "c_mktsegment",
+        "bal_bucket",
+        (F.sum("n_in_bucket").over(cumul) - F.col("n_in_bucket")).alias("rank_offset"),
+        F.sum("n_in_bucket").over(per_seg).alias("n_segment"),
+    )
+    enriched = bucketed.join(F.broadcast(offsets), ["c_mktsegment", "bal_bucket"])
+    return enriched.groupBy("c_mktsegment", "bal_bucket").applyInPandas(
+        _rank_bucket, RANK_SCHEMA
+    )
 
 
 @register(

@@ -43,6 +43,15 @@ def uses_broadcast_join(df: DataFrame) -> bool:
     return "BroadcastHashJoin" in executed_plan(df)
 
 
+def forced_broadcast_hints(df: DataFrame) -> int:
+    """Count of explicit broadcast() hints surviving analysis. A hint
+    FORCES the broadcast regardless of size — fine for bounded dims,
+    a scale bug on unbounded sides (AQE may still choose a broadcast
+    dynamically below the threshold; that is allowed and size-guarded)."""
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    return len(re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed))
+
+
 def uses_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in executed_plan(df)
 

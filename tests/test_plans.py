@@ -128,6 +128,26 @@ def test_q86_two_phase_aggregation(spark):
     assert plan.count("HashAggregate") >= 4  # partial+final × two phases
 
 
+def test_q47_verify_join_not_forced_broadcast(spark):
+    """The MinHash Jaccard-verify joins must NOT force a broadcast of the
+    candidate-pair side: pair count grows with corpus size x dup rate, so
+    at 100 TB it exceeds any broadcast threshold. Shuffle joins on the
+    high-cardinality doc ids are the scale-safe plan (AQE may still pick
+    a broadcast dynamically at test SF — that's size-guarded and fine)."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q47_minhash_neardup,
+    )
+
+    from parquet_modular_encryption_spark.plans.explain import (
+        forced_broadcast_hints,
+    )
+
+    df = q47_minhash_neardup(spark, SF)
+    assert forced_broadcast_hints(df) == 0, (
+        "q47 re-introduced a forced broadcast on an unbounded side"
+    )
+
+
 def test_q50_broadcasts_query_vectors(spark):
     from parquet_modular_encryption_spark.pipeline.similarity import (
         q50_knn_bruteforce,
