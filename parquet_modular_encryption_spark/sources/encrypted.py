@@ -43,6 +43,26 @@ from parquet_modular_encryption_spark.crypto.policy import EncryptionPolicy, Pri
 CACHE_LIFETIME = timedelta(minutes=1)  # reference write_encrypted_parquet.py:74
 
 
+def _resolve_kms_url(spark: SparkSession, kms_url: str | None) -> str:
+    """Default to the in-process singleton KMS only in local mode: the
+    shared server binds 127.0.0.1 on the driver, and the URL is
+    dereferenced inside executor-side closures — on a real cluster that
+    loopback address is meaningless on the workers, so a reachable KMS URL
+    must be given explicitly."""
+    if kms_url is not None:
+        return kms_url
+    from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+
+    master = spark.conf.get("spark.master", "")
+    if not master.startswith("local"):
+        raise ValueError(
+            "kms_url is required when not running local[*]: the default "
+            "shared KMS binds 127.0.0.1 on the driver and is unreachable "
+            f"from executors under master={master!r}"
+        )
+    return shared_kms_url()
+
+
 def _encryption_config(policy: EncryptionPolicy) -> pe.EncryptionConfiguration:
     return pe.EncryptionConfiguration(
         footer_key=policy.footer_key,
@@ -87,12 +107,15 @@ def write_encrypted(
     policy: EncryptionPolicy,
     kms_url: str | None = None,
     compression: str = "zstd",
+    compression_level: int = 19,
+    data_page_version: str = "2.0",
 ) -> int:
     """Distributed encrypted write: one encrypted parquet file per Spark
-    partition, written executor-side. Returns the number of files."""
-    from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+    partition, written executor-side. Returns the number of files.
 
-    kms_url = kms_url or shared_kms_url()
+    Writer config matches the reference exactly: zstd at level 19 and
+    DataPage v2 (reference write_encrypted_parquet.py:23-25)."""
+    kms_url = _resolve_kms_url(df.sparkSession, kms_url)
     os.makedirs(path, exist_ok=True)
 
     def write_partition(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -109,6 +132,8 @@ def write_encrypted(
                         fname,
                         batch.schema,
                         compression=compression,
+                        compression_level=compression_level,
+                        data_page_version=data_page_version,
                         encryption_properties=_file_encryption_properties(kms_url, policy),
                     )
                 writer.write_batch(batch)
@@ -136,9 +161,7 @@ def read_encrypted(
     """Distributed decrypting scan: schema from the plaintext footer (no
     key needed), file-granular parallel decryption on executors, projection
     pushed into the Arrow scanner."""
-    from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
-
-    kms_url = kms_url or shared_kms_url()
+    kms_url = _resolve_kms_url(spark, kms_url)
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
     )

@@ -91,8 +91,19 @@ def write_encrypted_native(
     policy: EncryptionPolicy,
     kms_url: str,
     mode: str = "overwrite",
+    data_page_version: str = "2.0",
 ) -> None:
-    """Distributed encrypted write through Spark's own parquet sink."""
+    """Distributed encrypted write through Spark's own parquet sink.
+
+    Writer config matches the reference exactly: zstd at level 19 and
+    DataPage v2 (reference write_encrypted_parquet.py:23-25), via the
+    parquet-mr hadoop conf twins of the Arrow writer kwargs.
+
+    Pass ``data_page_version="1.0"`` for files that Arrow/parquet-cpp
+    readers must decrypt: v2-page encryption is not cross-readable between
+    parquet-mr and parquet-cpp (mr keeps rep/def levels outside the
+    ciphertext, cpp encrypts the whole page body — an upstream format
+    ambiguity); v1 pages interop cleanly in both directions."""
     spark = df.sparkSession
     entries = _common_conf(kms_url, None) | {
         "parquet.encryption.column.keys": policy.spark_column_keys(),
@@ -100,24 +111,54 @@ def write_encrypted_native(
         "parquet.encryption.plaintext.footer": str(policy.plaintext_footer).lower(),
         "parquet.encryption.double.wrapping": "true",
         "parquet.encryption.key.material.store.internally": "true",
+        "parquet.compression.codec.zstd.level": "19",
+        "parquet.writer.version": (
+            "PARQUET_2_0" if data_page_version == "2.0" else "PARQUET_1_0"
+        ),
     }
     with _pme_hadoop_conf(spark, entries):
-        df.write.mode(mode).parquet(path)
+        df.write.mode(mode).option("compression", "zstd").parquet(path)
 
 
 def read_encrypted_native(
-    spark: SparkSession, path: str, kms_url: str, token: str | None = None
+    spark: SparkSession,
+    path: str,
+    kms_url: str,
+    token: str | None = None,
+    *,
+    columns: list[str] | None = None,
+    eager: bool = True,
 ) -> DataFrame:
     """Distributed decrypting scan through Spark's own parquet source.
 
-    NOTE: the hadoop conf (including the access token) is captured when the
-    scan EXECUTES, not when the DataFrame is defined — so the returned
-    frame must be consumed inside the conf scope. We therefore eagerly
-    localCheckpoint-free: callers get a DataFrame whose first action should
-    happen before another PME conf change in the same session; tests
-    collect immediately.
+    The hadoop conf (including the access token and crypto factory class)
+    is captured when the scan EXECUTES, not when the DataFrame is defined.
+    With ``eager=True`` (default) the scan runs to completion inside a
+    scoped conf (set → scan → restore, same discipline as the write path)
+    and the result is pinned with an eager ``localCheckpoint`` — the
+    returned frame no longer depends on session-global crypto state, so a
+    later conf change or a concurrent caller's read cannot swap tokens
+    underneath it. An unauthorized projection therefore fails HERE, at
+    call time, not at some later action.
+
+    Pass ``columns`` for least-privilege projection: only the projected
+    columns' keys are requested (the eager scan would otherwise decrypt —
+    and need keys for — every column).
+
+    ``eager=False`` skips the materialization (cheaper for very large
+    scans piped straight into one action) but then the PME conf is left
+    set on the session and the first action must happen before any other
+    PME conf change — the caller owns that window.
     """
-    conf = spark.sparkContext._jsc.hadoopConfiguration()
-    for k, v in _common_conf(kms_url, token).items():
-        conf.set(k, v)
-    return spark.read.parquet(path)
+    entries = _common_conf(kms_url, token)
+    if not eager:
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        for k, v in entries.items():
+            conf.set(k, v)
+        df = spark.read.parquet(path)
+        return df.select(*columns) if columns else df
+    with _pme_hadoop_conf(spark, entries):
+        df = spark.read.parquet(path)
+        if columns:
+            df = df.select(*columns)
+        return df.localCheckpoint(eager=True)

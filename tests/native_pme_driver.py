@@ -53,23 +53,83 @@ def main() -> None:
         assert all(name not in raw for name in sample_names)
         print("OK ciphertext_opaque")
 
-        # 3. unauthorized token → query fails with access denied
-        denied = read_encrypted_native(spark, f"{scratch}/native", kms_url, "PUBLIC")
+        # 3. unauthorized token → the (eager) read itself fails access-denied
         try:
-            denied.select("c_acctbal").collect()
+            read_encrypted_native(
+                spark, f"{scratch}/native", kms_url, "PUBLIC", columns=["c_acctbal"]
+            )
             raise AssertionError("PUBLIC token read a CONFIDENTIAL column")
         except Exception as exc:  # noqa: BLE001
             assert "KeyAccessDenied" in str(exc) or "not authorized" in str(exc), exc
         print("OK authz_denied")
 
-        # 4. interop: Arrow-PME-written dataset read natively by Spark
-        write_encrypted(plain, f"{scratch}/arrow", CUSTOMER_POLICY, kms_url=kms_url)
+        # 3b. least-privilege projection: the same PUBLIC token reading only
+        # plaintext columns succeeds — projection limits which keys are asked
+        pub = read_encrypted_native(
+            spark, f"{scratch}/native", kms_url, "PUBLIC", columns=["c_custkey"]
+        )
+        assert sorted(r[0] for r in pub.collect()) == sorted(t[0] for t in expected)
+        print("OK least_privilege_projection")
+
+        # 3c. conf hygiene: the scoped read restored the session hadoop conf,
+        # so a vanilla parquet read sees no crypto factory and plain writes
+        # are not silently encrypted
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        assert hconf.get("parquet.crypto.factory.class") is None
+        assert hconf.get("parquet.encryption.key.access.token") is None
+        print("OK conf_restored")
+
+        # 3d. reference writer config: DataPage v2 + zstd on the native path
+        # (reference write_encrypted_parquet.py:23-25). Page-header type is
+        # checked at the raw-byte level on a plaintext column: thrift-compact
+        # PageHeader starts 0x15 then zigzag(page_type) — DATA_PAGE_V2=3 →
+        # bytes 15 06 (dictionary pages still 15 00-prefixed at their own
+        # offset, so probe data_page_offset specifically).
+        import pyarrow.parquet as pq
+
+        nf = glob.glob(f"{scratch}/native/*.parquet")[0]
+        meta = pq.ParquetFile(nf).metadata
+        col_idx = next(
+            i
+            for i in range(meta.num_columns)
+            if meta.row_group(0).column(i).path_in_schema == "c_custkey"
+        )
+        cc = meta.row_group(0).column(col_idx).to_dict()
+        assert "ZSTD" in str(cc.get("compression", "")).upper(), cc.get("compression")
+        with open(nf, "rb") as fh:
+            fh.seek(cc["data_page_offset"])
+            header = fh.read(2)
+        assert header == b"\x15\x06", f"expected DataPageV2 header, got {header.hex()}"
+        print("OK datapage_v2_zstd")
+
+        # 4. interop: Arrow-PME-written dataset read natively by Spark.
+        # DataPage v1 for cross-engine files: parquet-cpp encrypts the whole
+        # DataPageV2 body while parquet-mr leaves rep/def levels outside the
+        # ciphertext, so v2+encryption is not cross-readable (upstream format
+        # ambiguity); v1 pages interop cleanly in both directions.
+        write_encrypted(
+            plain,
+            f"{scratch}/arrow",
+            CUSTOMER_POLICY,
+            kms_url=kms_url,
+            data_page_version="1.0",
+        )
         via_native = read_encrypted_native(spark, f"{scratch}/arrow", kms_url, "RESTRICTED")
         assert sorted(map(tuple, via_native.collect())) == expected
         print("OK interop_arrow_to_jvm")
 
-        # 5. interop: natively-written dataset read by the Arrow reader
-        table = read_encrypted_arrow(f"{scratch}/native", token="RESTRICTED", kms_url=kms_url)
+        # 5. interop: natively-written dataset read by the Arrow reader —
+        # v1 pages for the same cross-engine reason as step 4
+        write_encrypted_native(
+            plain,
+            f"{scratch}/native_v1",
+            CUSTOMER_POLICY,
+            kms_url,
+            data_page_version="1.0",
+        )
+        table = read_encrypted_arrow(
+            f"{scratch}/native_v1", token="RESTRICTED", kms_url=kms_url
+        )
         got = sorted(tuple(r.values()) for r in table.to_pylist())
         assert got == expected
         print("OK interop_jvm_to_arrow")

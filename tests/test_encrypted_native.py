@@ -14,6 +14,9 @@ EXPECTED = [
     "OK native_roundtrip",
     "OK ciphertext_opaque",
     "OK authz_denied",
+    "OK least_privilege_projection",
+    "OK conf_restored",
+    "OK datapage_v2_zstd",
     "OK interop_arrow_to_jvm",
     "OK interop_jvm_to_arrow",
 ]

@@ -110,6 +110,31 @@ def test_unlisted_columns_plaintext_on_disk(people_path):
     assert "social_security_number" in schema.names
 
 
+def test_writer_config_matches_reference(people_path):
+    """zstd level-19 + DataPage v2, the reference's writer config
+    (write_encrypted_parquet.py:23-25). Page type is checked at the raw
+    byte level on the plaintext `id` column: thrift-compact PageHeader
+    opens 0x15 then zigzag(page_type), DATA_PAGE_V2=3 → bytes 15 06."""
+    import os
+
+    f = next(
+        os.path.join(people_path, p)
+        for p in os.listdir(people_path)
+        if p.endswith(".parquet")
+    )
+    meta = pq.ParquetFile(f).metadata
+    col_idx = next(
+        i
+        for i in range(meta.num_columns)
+        if meta.row_group(0).column(i).path_in_schema == "id"
+    )
+    cc = meta.row_group(0).column(col_idx).to_dict()
+    assert "ZSTD" in str(cc.get("compression", "")).upper()
+    with open(f, "rb") as fh:
+        fh.seek(cc["data_page_offset"])
+        assert fh.read(2) == b"\x15\x06"
+
+
 def test_encrypted_columns_not_recoverable_without_kms(people_path):
     """Raw file bytes must not contain the protected plaintext values."""
     import os
