@@ -1,0 +1,248 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+The selection/quality layer that sits between raw ingestion and training:
+Gopher-style repetition filtering, C4/RefinedWeb-style per-source caps,
+and token-budget corpus sampling. All three are standard steps in public
+web-scale data recipes (Gopher: Rae et al. 2021 §A1.1; C4: Raffel et al.
+2020 §2.2) re-expressed as declarative DataFrame plans with exact DuckDB
+oracle twins.
+
+Scale notes per operator are in the docstrings; the common theme is that
+selection is driven by deterministic md5-derived ordering (stable under
+re-partitioning, appends, and engine choice — no rand()), and the only
+shuffles are per-group windows whose group counts, not group contents,
+bound driver-side state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.text import sql_tokens, tokens
+from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.session import prep
+from parquet_modular_encryption_spark.sources.datasets import load
+
+# Gopher-style repetition thresholds: a document is dropped when its most
+# frequent word bigram covers more than this fraction of all bigrams, or
+# when the fraction of repeated (non-first-occurrence) words exceeds the
+# word threshold.
+TOP_BIGRAM_MAX_FRAC = 0.20
+DUP_WORD_MAX_FRAC = 0.70
+
+# C4-style per-source cap: keep at most this many documents per source,
+# chosen by deterministic hash order.
+SOURCE_CAP = 300
+
+# Token budget per language for corpus sampling.
+LANG_TOKEN_BUDGET = 50_000
+
+
+@register(
+    "q116_repetition_filter",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, {sql_tokens('text')} AS t FROM documents
+    ), grams AS (
+        SELECT doc_id, lang,
+               len(t) AS n_words,
+               len(list_distinct(t)) AS n_distinct_words,
+               CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [list_aggregate(t, 'string_agg', ' ')] END AS bigrams
+        FROM toks
+    ), exploded AS (
+        SELECT doc_id, lang, n_words, n_distinct_words,
+               len(bigrams) AS n_bigrams, unnest(bigrams) AS bigram
+        FROM grams
+    ), per_gram AS (
+        SELECT doc_id, lang, n_words, n_distinct_words, n_bigrams, bigram,
+               COUNT(*) AS c
+        FROM exploded
+        GROUP BY ALL
+    )
+    SELECT doc_id, lang,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(MAX(c) AS BIGINT) AS top_bigram_count,
+           CAST(MAX(c) AS DOUBLE) / n_bigrams AS top_bigram_frac,
+           CAST(n_words - n_distinct_words AS DOUBLE) / n_words AS dup_word_frac,
+           (CAST(MAX(c) AS DOUBLE) / n_bigrams <= {TOP_BIGRAM_MAX_FRAC}
+            AND CAST(n_words - n_distinct_words AS DOUBLE) / n_words
+                <= {DUP_WORD_MAX_FRAC}) AS keep
+    FROM per_gram
+    GROUP BY doc_id, lang, n_words, n_distinct_words, n_bigrams
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def q116_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter: per-document duplicate-word fraction
+    and most-frequent-bigram coverage, with the keep/drop decision both
+    recipes use (Rae et al. 2021 §A1.1 re-expressed; the reference has no
+    text ops — LLM-pipeline expansion surface).
+
+    Scale: tokenize/bigram are map-side array expressions; the only
+    shuffle is the (doc_id, bigram) count — keys are near-unique so it
+    partitions evenly, and partial aggregation collapses repeats map-side.
+    No Python in the plan."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", tokens("text").alias("t"))
+    n = F.size("t")
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+    grams = docs.select(
+        "doc_id",
+        "lang",
+        n.alias("n_words"),
+        F.size(F.array_distinct("t")).alias("n_distinct_words"),
+        bigrams.alias("bigrams"),
+    )
+    exploded = grams.select(
+        "doc_id",
+        "lang",
+        "n_words",
+        "n_distinct_words",
+        F.size("bigrams").alias("n_bigrams"),
+        F.explode("bigrams").alias("bigram"),
+    )
+    per_gram = exploded.groupBy(
+        "doc_id", "lang", "n_words", "n_distinct_words", "n_bigrams", "bigram"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    top_frac = F.max("c").cast("double") / F.col("n_bigrams")
+    dup_frac = (F.col("n_words") - F.col("n_distinct_words")).cast("double") / F.col(
+        "n_words"
+    )
+    return (
+        per_gram.groupBy("doc_id", "lang", "n_words", "n_distinct_words", "n_bigrams")
+        .agg(F.max("c").alias("top_bigram_count"))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+            F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
+            (F.col("top_bigram_count").cast("double") / F.col("n_bigrams")).alias(
+                "top_bigram_frac"
+            ),
+            dup_frac.alias("dup_word_frac"),
+            (
+                (F.col("top_bigram_count").cast("double") / F.col("n_bigrams") <= TOP_BIGRAM_MAX_FRAC)
+                & (dup_frac <= DUP_WORD_MAX_FRAC)
+            ).alias("keep"),
+        )
+    )
+
+
+_ORDER_KEY = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "q117_source_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, n_chars,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_ORDER_KEY}, doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    SELECT doc_id, source, n_chars, rk
+    FROM ranked WHERE rk <= {SOURCE_CAP}
+    """,
+    tags=("curation", "sampling", "source-cap"),
+)
+def q117_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style per-source cap: keep at most SOURCE_CAP
+    documents per source, selected by deterministic md5 order (so the
+    sample is stable across runs, engines, and repartitioning — no
+    rand()).
+
+    Scale: one shuffle on source for the row_number window. A pathological
+    mega-source makes that partition hot; the standard mitigation is a
+    two-phase cap (cap within (source, shard) at ceil(K/shards), then
+    re-cap within source over the ≤ K·shards survivors) — unnecessary here
+    because output per source is bounded at K regardless, and the window
+    sorts only the per-source slice."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).cast("bigint").alias("rk"),
+        )
+        .filter(F.col("rk") <= SOURCE_CAP)
+    )
+
+
+@register(
+    "q118_token_budget_sample",
+    oracle=f"""
+    WITH counted AS (
+        SELECT doc_id, lang,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM documents
+    ), cum AS (
+        SELECT doc_id, lang, n_tokens,
+               CAST(SUM(n_tokens) OVER (
+                   PARTITION BY lang
+                   ORDER BY {_ORDER_KEY}, doc_id
+                   ROWS UNBOUNDED PRECEDING
+               ) AS BIGINT) AS cum_tokens
+        FROM counted
+    ), kept AS (
+        SELECT * FROM cum WHERE cum_tokens - n_tokens < {LANG_TOKEN_BUDGET}
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           MAX(cum_tokens) AS budget_watermark
+    FROM kept
+    GROUP BY lang
+    """,
+    tags=("curation", "sampling", "token-budget"),
+)
+def q118_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus sampling: walk each language's documents in
+    deterministic md5 order, keeping documents until the language's token
+    budget is exhausted (a document that starts under budget is kept whole
+    — the standard semantics so no document is split).
+
+    Scale: the running sum is a per-lang window — one shuffle; languages
+    are few but each partition streams (running-sum frames need no full
+    materialization). Whole pipeline is codegen'd expressions; the final
+    per-lang report is a tiny agg."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    counted = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept = counted.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.sum("n_tokens").over(w).cast("bigint").alias("cum_tokens"),
+    ).filter(F.col("cum_tokens") - F.col("n_tokens") < LANG_TOKEN_BUDGET)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.max("cum_tokens").alias("budget_watermark"),
+    )

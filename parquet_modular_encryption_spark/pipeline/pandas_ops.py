@@ -23,9 +23,13 @@ RANK_SCHEMA = (
 )
 
 # Value-range bucket width for the two-pass rank: each applyInPandas group
-# is one (segment, bucket) slice, never a whole segment. Narrower buckets
-# bound each group tighter; the offsets aggregate stays tiny either way.
-RANK_BUCKET_WIDTH = 100.0
+# is one (segment, bucket) slice, never a whole segment. The width is the
+# group-size knob: narrower buckets bound each group tighter (shrink it as
+# the corpus grows), wider buckets amortize the per-group Arrow-batch
+# overhead (measured at sf0.1: width 100 → 550 ~27-row groups, 2.8 s;
+# width 1000 → 55 groups, 1.3 s; the naive whole-segment version is 0.4 s
+# but unbounded). The offsets aggregate stays tiny either way.
+RANK_BUCKET_WIDTH = 1000.0
 
 
 def _rank_bucket(pdf: pd.DataFrame) -> pd.DataFrame:

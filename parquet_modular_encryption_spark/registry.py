@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "parquet_modular_encryption_spark.pipeline.dedup",
     "parquet_modular_encryption_spark.pipeline.similarity",
     "parquet_modular_encryption_spark.pipeline.multimodal",
+    "parquet_modular_encryption_spark.pipeline.curation",
 )
 
 
