@@ -92,6 +92,7 @@ def write_encrypted_native(
     kms_url: str,
     mode: str = "overwrite",
     data_page_version: str = "2.0",
+    partition_by: list[str] | None = None,
 ) -> None:
     """Distributed encrypted write through Spark's own parquet sink.
 
@@ -117,7 +118,16 @@ def write_encrypted_native(
         ),
     }
     with _pme_hadoop_conf(spark, entries):
-        df.write.mode(mode).option("compression", "zstd").parquet(path)
+        writer = df.write.mode(mode).option("compression", "zstd")
+        if partition_by:
+            # Hive-partitioned encrypted dataset: every leaf file is PME-
+            # encrypted while the partition directory names stay plaintext
+            # (they are pathnames, not column chunks — partition keys must
+            # be non-sensitive). A filtered decrypting scan then prunes
+            # partitions BEFORE any KMS/decrypt work: at 100 TB a
+            # date-partitioned read touches only the matching days' files.
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
 
 
 def read_encrypted_native(

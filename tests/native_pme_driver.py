@@ -118,6 +118,44 @@ def main() -> None:
         assert sorted(map(tuple, via_native.collect())) == expected
         print("OK interop_arrow_to_jvm")
 
+        # 4b. Hive-partitioned encrypted dataset: leaf files encrypted,
+        # partition pruning still applies before any decrypt work, and a
+        # mktsegment-filtered read matches the flat-table filter exactly.
+        write_encrypted_native(
+            plain,
+            f"{scratch}/native_part",
+            CUSTOMER_POLICY,
+            kms_url,
+            partition_by=["c_nationkey"],
+        )
+        part = read_encrypted_native(
+            spark, f"{scratch}/native_part", kms_url, "RESTRICTED", eager=False
+        )
+        got_part = sorted(
+            tuple(r)
+            for r in part.filter("c_nationkey = 7")
+            .select("c_custkey", "c_name", "c_acctbal")
+            .collect()
+        )
+        want_part = sorted(
+            (t[0], t[1], t[3]) for t in expected if t[2] == 7
+        )
+        plan = part.filter("c_nationkey = 7")._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters: [isnotnull(c_nationkey" in plan, plan[:800]
+        assert got_part == want_part
+        # leaf files under non-matching partitions remain encrypted at rest
+        import os as _os
+
+        leaf = next(
+            _os.path.join(dp, f)
+            for dp, _, fs in _os.walk(f"{scratch}/native_part")
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        raw_leaf = open(leaf, "rb").read()
+        assert all(name not in raw_leaf for name in sample_names)
+        print("OK partitioned_encrypted_pruning")
+
         # 5. interop: natively-written dataset read by the Arrow reader —
         # v1 pages for the same cross-engine reason as step 4
         write_encrypted_native(

@@ -18,6 +18,7 @@ EXPECTED = [
     "OK conf_restored",
     "OK datapage_v2_zstd",
     "OK interop_arrow_to_jvm",
+    "OK partitioned_encrypted_pruning",
     "OK interop_jvm_to_arrow",
 ]
 
