@@ -301,7 +301,15 @@ def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    eq = e.select(F.col("vec_id").alias("query_id"), F.col("ee").alias("qe"))
+    # Rerank fetch: broadcast ONLY the query vectors. Catalyst cannot infer
+    # through pairs (join+distinct) that query_id < N_QUERIES, so without
+    # this filter the broadcast ships the ENTIRE corpus to every executor —
+    # the unbounded-broadcast class that killed q47 pre-fix. The filter
+    # bounds the broadcast at N_QUERIES rows regardless of corpus size;
+    # pinned by tests/test_plans.py::test_q54_broadcast_is_query_vectors_only.
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
+    )
     en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ce"))
     scored = (
         pairs.join(F.broadcast(eq), "query_id")
