@@ -70,3 +70,23 @@ def whole_stage_codegen_spans(df: DataFrame) -> int:
     df.collect()
     tree = df._jdf.queryExecution().executedPlan().toString()
     return len(set(re.findall(r"\*\((\d+)\)", tree)))
+
+
+def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
+    """Subtree strings of each forced broadcast() hint in the analyzed
+    logical plan. Lets tests assert WHAT is being broadcast, not just that
+    a hint exists — the unbounded-broadcast bug class (q47 r1, q54 r2)
+    is a hint whose subtree lacks the bounding filter."""
+    text = df._jdf.queryExecution().analyzed().toString()
+    lines = text.splitlines()
+    depths = [len(re.match(r"^[\s:+|-]*", line).group(0)) for line in lines]
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "ResolvedHint (strategy=broadcast)" in line:
+            sub = []
+            for j in range(i + 1, len(lines)):
+                if depths[j] <= depths[i]:
+                    break
+                sub.append(lines[j])
+            subtrees.append("\n".join(sub))
+    return subtrees

@@ -158,3 +158,36 @@ def test_q50_broadcasts_query_vectors(spark):
     # the != predicate makes this a non-equi join: the correct plan
     # broadcasts the tiny query side and nested-loops the corpus scan
     assert "BroadcastNestedLoopJoin" in executed_plan(df)
+
+
+def test_q54_broadcast_is_query_vectors_only(spark):
+    """q54's rerank join must broadcast ONLY the N_QUERIES query vectors.
+    Catalyst cannot infer through pairs (join+distinct) that query_id is
+    bounded, so the explicit `vec_id < N_QUERIES` filter at the broadcast
+    source (similarity.py, rerank fetch) is the only thing keeping the
+    broadcast from shipping the entire corpus — the unbounded-broadcast
+    class that hit q47 (r1) and q54 itself (r2). Every forced broadcast
+    in the plan must carry the bounding filter in its own subtree."""
+    import re as _re
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        N_QUERIES,
+        q54_ann_lsh_search,
+    )
+    from parquet_modular_encryption_spark.plans.explain import (
+        broadcast_hint_subtrees,
+    )
+
+    df = q54_ann_lsh_search(spark, SF)
+    subtrees = broadcast_hint_subtrees(df)
+    # exactly two forced broadcasts: query bands (candidate gen) and
+    # query vectors (rerank fetch)
+    assert len(subtrees) == 2, f"expected 2 broadcast hints, got {len(subtrees)}"
+    bound = _re.compile(
+        rf"Filter \(vec_id#\d+L? < (cast\()?{N_QUERIES}"
+    )
+    for sub in subtrees:
+        assert bound.search(sub), (
+            "forced broadcast without the vec_id < N_QUERIES bounding "
+            f"filter — this subtree would broadcast the whole corpus:\n{sub[:2000]}"
+        )
