@@ -42,8 +42,12 @@ LANG_TOKEN_BUDGET = 50_000
 @register(
     "q116_repetition_filter",
     oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, lang, {sql_tokens('text')} AS t FROM documents
+    WITH toks0 AS (
+        SELECT doc_id, lang,
+               list_filter({sql_tokens('text')}, x -> x <> '') AS t
+        FROM documents
+    ), toks AS (
+        SELECT * FROM toks0 WHERE len(t) >= 1
     ), grams AS (
         SELECT doc_id, lang,
                len(t) AS n_words,
@@ -82,12 +86,25 @@ def q116_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipes use (Rae et al. 2021 §A1.1 re-expressed; the reference has no
     text ops — LLM-pipeline expansion surface).
 
-    Scale: tokenize/bigram are map-side array expressions; the only
-    shuffle is the (doc_id, bigram) count — keys are near-unique so it
-    partitions evenly, and partial aggregation collapses repeats map-side.
-    No Python in the plan."""
+    Scale: the WHOLE operator is a single map-side projection — tokenize,
+    bigram, and the top-bigram count (array_sort + an aggregate() run-length
+    fold over the sorted array) are all array expressions, so the plan has
+    ZERO exchanges. The previous explode + (doc_id, bigram) groupBy shipped
+    ~one shuffle row per corpus token; this shape ships nothing. O(n log n)
+    per document for the sort, linear for the fold. No Python in the plan.
+
+    Whitespace-only/empty documents are excluded up front (empty tokens
+    filtered, then n_words >= 1 required) — identically in plan and
+    oracle — because their token arrays are where the engines' regex-split
+    edge behaviors could diverge, and a 0-token doc has no well-defined
+    repetition fractions."""
     prep(spark)
-    docs = load(spark, sf_dir, "documents").select("doc_id", "lang", tokens("text").alias("t"))
+    t = F.filter(tokens("text"), lambda x: x != "")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", t.alias("t"))
+        .filter(F.size("t") >= 1)
+    )
     n = F.size("t")
     bigrams = F.when(
         n >= 2,
@@ -101,39 +118,51 @@ def q116_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         n.alias("n_words"),
         F.size(F.array_distinct("t")).alias("n_distinct_words"),
-        bigrams.alias("bigrams"),
+        F.array_sort(bigrams).alias("sb"),
     )
-    exploded = grams.select(
-        "doc_id",
-        "lang",
-        "n_words",
-        "n_distinct_words",
-        F.size("bigrams").alias("n_bigrams"),
-        F.explode("bigrams").alias("bigram"),
+    # Max run length over the sorted bigram array == count of the most
+    # frequent bigram, computed map-side with a struct-accumulator fold
+    # (prev element, current run, best run) — no explode, no shuffle.
+    zero = F.lit(0)
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        zero.alias("run"),
+        zero.alias("best"),
     )
-    per_gram = exploded.groupBy(
-        "doc_id", "lang", "n_words", "n_distinct_words", "n_bigrams", "bigram"
-    ).agg(F.count(F.lit(1)).alias("c"))
-    top_frac = F.max("c").cast("double") / F.col("n_bigrams")
+
+    def _step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)
+        )
+        return F.struct(
+            x.alias("prev"), run.alias("run"), F.greatest(acc["best"], run).alias("best")
+        )
+
+    top = F.aggregate(F.col("sb"), init, _step, lambda acc: acc["best"])
     dup_frac = (F.col("n_words") - F.col("n_distinct_words")).cast("double") / F.col(
         "n_words"
     )
+    top_frac = F.col("top_bigram_count").cast("double") / F.col("n_bigrams")
     return (
-        per_gram.groupBy("doc_id", "lang", "n_words", "n_distinct_words", "n_bigrams")
-        .agg(F.max("c").alias("top_bigram_count"))
-        .select(
+        grams.select(
             "doc_id",
             "lang",
             F.col("n_words").cast("bigint").alias("n_words"),
-            F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
-            F.col("top_bigram_count").cast("bigint").alias("top_bigram_count"),
-            (F.col("top_bigram_count").cast("double") / F.col("n_bigrams")).alias(
-                "top_bigram_frac"
-            ),
+            F.size("sb").cast("bigint").alias("n_bigrams"),
+            top.cast("bigint").alias("top_bigram_count"),
             dup_frac.alias("dup_word_frac"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_words",
+            "n_bigrams",
+            "top_bigram_count",
+            top_frac.alias("top_bigram_frac"),
+            "dup_word_frac",
             (
-                (F.col("top_bigram_count").cast("double") / F.col("n_bigrams") <= TOP_BIGRAM_MAX_FRAC)
-                & (dup_frac <= DUP_WORD_MAX_FRAC)
+                (top_frac <= TOP_BIGRAM_MAX_FRAC)
+                & (F.col("dup_word_frac") <= DUP_WORD_MAX_FRAC)
             ).alias("keep"),
         )
     )

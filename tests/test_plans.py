@@ -191,3 +191,19 @@ def test_q54_broadcast_is_query_vectors_only(spark):
             "forced broadcast without the vec_id < N_QUERIES bounding "
             f"filter — this subtree would broadcast the whole corpus:\n{sub[:2000]}"
         )
+
+
+def test_q116_zero_exchange_map_side(spark):
+    """The Gopher repetition filter must stay a pure map-side projection:
+    tokenize, bigram, and the top-bigram run-length fold are all array
+    expressions, so the plan may contain NO shuffle at any scale. The
+    pre-r4 explode + (doc_id, bigram) groupBy shipped ~one shuffle row per
+    corpus token and was 39% of the whole bench."""
+    from parquet_modular_encryption_spark.pipeline.curation import (
+        q116_repetition_filter,
+    )
+
+    df = q116_repetition_filter(spark, SF)
+    plan = executed_plan(df)
+    assert "Exchange" not in plan, "q116 reintroduced a shuffle"
+    assert "BatchEvalPython" not in plan
