@@ -137,38 +137,75 @@ def read_encrypted_native(
     token: str | None = None,
     *,
     columns: list[str] | None = None,
-    eager: bool = True,
 ) -> DataFrame:
     """Distributed decrypting scan through Spark's own parquet source.
 
     The hadoop conf (including the access token and crypto factory class)
     is captured when the scan EXECUTES, not when the DataFrame is defined.
-    With ``eager=True`` (default) the scan runs to completion inside a
-    scoped conf (set → scan → restore, same discipline as the write path)
-    and the result is pinned with an eager ``localCheckpoint`` — the
-    returned frame no longer depends on session-global crypto state, so a
-    later conf change or a concurrent caller's read cannot swap tokens
-    underneath it. An unauthorized projection therefore fails HERE, at
+    The scan runs to completion inside a scoped conf (set → scan →
+    restore, same discipline as the write path) and the result is pinned
+    with ``persist(MEMORY_ONLY)`` + a materializing count. The cached
+    plan's file-scan RDD holds the hadoop conf it was planned with (Spark
+    broadcasts a SerializableConfiguration into FileScanRDD), so the
+    returned frame no longer depends on session-global crypto state: a
+    later conf change cannot swap tokens underneath it, and even a block
+    evicted under memory pressure recomputes against the ORIGINAL
+    captured conf. An unauthorized projection therefore fails HERE, at
     call time, not at some later action.
+
+    MEMORY_ONLY is deliberate: the materialized blocks hold DECRYPTED
+    RESTRICTED/CONFIDENTIAL values, and a disk-backed level would spill
+    that plaintext to executor local disk — persisting past the read and
+    silently voiding the at-rest guarantee this module exists to provide.
+    (``localCheckpoint`` is NOT used: Spark force-upgrades its storage
+    level to include disk, exactly the spill this path must prevent.)
+    Call ``.unpersist()`` when done. For scans too large to pin in
+    memory, use :func:`decrypting_scan`, which keeps the pipeline lazy —
+    decrypted bytes then flow straight through the consuming operators
+    without ever being persisted.
 
     Pass ``columns`` for least-privilege projection: only the projected
     columns' keys are requested (the eager scan would otherwise decrypt —
     and need keys for — every column).
-
-    ``eager=False`` skips the materialization (cheaper for very large
-    scans piped straight into one action) but then the PME conf is left
-    set on the session and the first action must happen before any other
-    PME conf change — the caller owns that window.
     """
+    from pyspark import StorageLevel
+
     entries = _common_conf(kms_url, token)
-    if not eager:
-        conf = spark.sparkContext._jsc.hadoopConfiguration()
-        for k, v in entries.items():
-            conf.set(k, v)
-        df = spark.read.parquet(path)
-        return df.select(*columns) if columns else df
     with _pme_hadoop_conf(spark, entries):
         df = spark.read.parquet(path)
         if columns:
             df = df.select(*columns)
-        return df.localCheckpoint(eager=True)
+        pinned = df.persist(StorageLevel.MEMORY_ONLY)
+        try:
+            pinned.count()  # materialize inside the conf scope; authz fails here
+        except Exception:
+            pinned.unpersist()
+            raise
+        return pinned
+
+
+@contextmanager
+def decrypting_scan(
+    spark: SparkSession,
+    path: str,
+    kms_url: str,
+    token: str | None = None,
+    *,
+    columns: list[str] | None = None,
+):
+    """Lazy decrypting scan, scoped: the PME hadoop conf is set for the
+    duration of the ``with`` block and restored on exit, so it can never
+    leak into a later unrelated read/write (which would silently encrypt
+    a plain ``df.write.parquet`` with this session's keys).
+
+    Use this instead of :func:`read_encrypted_native` for scans too large
+    to materialize: the yielded frame is lazy, nothing is persisted, and
+    filters/projections applied inside the block still push down into the
+    encrypted parquet scan (partition pruning included). All actions on
+    the frame must happen inside the block — the conf the executors read
+    at scan time is gone after exit.
+    """
+    entries = _common_conf(kms_url, token)
+    with _pme_hadoop_conf(spark, entries):
+        df = spark.read.parquet(path)
+        yield df.select(*columns) if columns else df

@@ -21,6 +21,7 @@ from parquet_modular_encryption_spark.sources.encrypted import (
 )
 from parquet_modular_encryption_spark.sources.encrypted_native import (
     build_jar,
+    decrypting_scan,
     native_session_conf,
     read_encrypted_native,
     write_encrypted_native,
@@ -42,6 +43,17 @@ def main() -> None:
         back = read_encrypted_native(spark, f"{scratch}/native", kms_url, "RESTRICTED")
         assert sorted(map(tuple, back.collect())) == expected
         print("OK native_roundtrip")
+
+        # 1b. no plaintext spill: the eager read pins decrypted data at
+        # MEMORY_ONLY — no cached block in the session may touch disk,
+        # or decrypted RESTRICTED values would persist on executor local
+        # disk past the read (VERDICT r3 "What's wrong" #2)
+        infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        assert len(infos) > 0, "eager read did not cache anything"
+        for info in infos:
+            lvl = info.storageLevel()
+            assert not lvl.useDisk(), f"decrypted block spillable to disk: {info}"
+        print("OK memory_only_no_spill")
 
         # 2. ciphertext opacity: protected values absent from raw bytes
         import glob
@@ -128,19 +140,21 @@ def main() -> None:
             kms_url,
             partition_by=["c_nationkey"],
         )
-        part = read_encrypted_native(
-            spark, f"{scratch}/native_part", kms_url, "RESTRICTED", eager=False
-        )
-        got_part = sorted(
-            tuple(r)
-            for r in part.filter("c_nationkey = 7")
-            .select("c_custkey", "c_name", "c_acctbal")
-            .collect()
-        )
+        with decrypting_scan(
+            spark, f"{scratch}/native_part", kms_url, "RESTRICTED"
+        ) as part:
+            got_part = sorted(
+                tuple(r)
+                for r in part.filter("c_nationkey = 7")
+                .select("c_custkey", "c_name", "c_acctbal")
+                .collect()
+            )
+            plan = (
+                part.filter("c_nationkey = 7")._jdf.queryExecution().executedPlan().toString()
+            )
         want_part = sorted(
             (t[0], t[1], t[3]) for t in expected if t[2] == 7
         )
-        plan = part.filter("c_nationkey = 7")._jdf.queryExecution().executedPlan().toString()
         assert "PartitionFilters: [isnotnull(c_nationkey" in plan, plan[:800]
         assert got_part == want_part
         # leaf files under non-matching partitions remain encrypted at rest
@@ -155,6 +169,21 @@ def main() -> None:
         raw_leaf = open(leaf, "rb").read()
         assert all(name not in raw_leaf for name in sample_names)
         print("OK partitioned_encrypted_pruning")
+
+        # 4c. lazy-path conf hygiene: decrypting_scan restored the conf on
+        # exit, so a subsequent vanilla write is NOT silently encrypted —
+        # its bytes must contain the plaintext values (VERDICT r3 #3)
+        assert hconf.get("parquet.crypto.factory.class") is None
+        plain.coalesce(1).write.mode("overwrite").option("compression", "none").parquet(
+            f"{scratch}/plain_after"
+        )
+        raw_plain = b"".join(
+            open(f, "rb").read() for f in glob.glob(f"{scratch}/plain_after/*.parquet")
+        )
+        assert any(name in raw_plain for name in sample_names), (
+            "plain write after lazy decrypting_scan came out encrypted"
+        )
+        print("OK lazy_conf_scoped")
 
         # 5. interop: natively-written dataset read by the Arrow reader —
         # v1 pages for the same cross-engine reason as step 4

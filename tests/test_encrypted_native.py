@@ -12,6 +12,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 EXPECTED = [
     "OK native_roundtrip",
+    "OK memory_only_no_spill",
     "OK ciphertext_opaque",
     "OK authz_denied",
     "OK least_privilege_projection",
@@ -19,6 +20,7 @@ EXPECTED = [
     "OK datapage_v2_zstd",
     "OK interop_arrow_to_jvm",
     "OK partitioned_encrypted_pruning",
+    "OK lazy_conf_scoped",
     "OK interop_jvm_to_arrow",
 ]
 
