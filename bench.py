@@ -141,6 +141,19 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Raw per-repeat times go to stderr AND a sidecar file — NOT the final
+    # metric line. The driver captures only the tail of stdout, and r4's
+    # raw_times-inflated final line overflowed that window, leaving the
+    # gated headline number unparsed ("parsed": null in BENCH_r04.json).
+    # The final JSON line must stay compact and LAST on stdout.
+    raw_payload = json.dumps({"repeats": repeats, "raw_times": raw_times})
+    print(f"# raw_times {raw_payload}", file=sys.stderr)
+    try:
+        sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw.json")
+        with open(sidecar, "w") as fh:
+            fh.write(raw_payload + "\n")
+    except OSError as exc:
+        print(f"# raw_times sidecar write failed: {exc}", file=sys.stderr)
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
@@ -149,7 +162,6 @@ def main() -> None:
         "extended_queries": extended,
         "extended_total": round(sum(extended.values()), 3),
         "repeats": repeats,
-        "raw_times": raw_times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     try:

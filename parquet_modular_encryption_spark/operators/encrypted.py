@@ -64,25 +64,37 @@ def q60_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     plain = load(spark, sf_dir, "customer").coalesce(8)
     scratch = tempfile.mkdtemp(prefix="pme_q60_")
     path = f"{scratch}/customer_enc"
+
+    def _agg(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal").alias("avg_acctbal"),
+        )
+
     if _native_pme_available(spark):
         from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
         from parquet_modular_encryption_spark.sources.encrypted_native import (
-            read_encrypted_native,
+            decrypting_scan,
             write_encrypted_native,
         )
 
         kms_url = shared_kms_url()
         write_encrypted_native(plain, path, CUSTOMER_POLICY, kms_url)
-        enc = read_encrypted_native(spark, path, kms_url, "RESTRICTED")
-    else:
-        from parquet_modular_encryption_spark.sources.encrypted import (
-            read_encrypted,
-            write_encrypted,
-        )
-
-        write_encrypted(plain, path, CUSTOMER_POLICY)
-        enc = read_encrypted(spark, path, token="RESTRICTED")
-    return enc.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("n_customers"),
-        davg("c_acctbal").alias("avg_acctbal"),
+        # Lazy scoped scan — nothing is persisted, so no decrypted copy is
+        # registered in the session CacheManager (a q60 run used to pin one
+        # permanently). The aggregate is materialized INSIDE the conf
+        # scope; its output is bounded (one row per market segment at any
+        # scale — the scan itself stays fully distributed), so re-creating
+        # it as a local frame is the conf-independent result the driver
+        # can collect later.
+        with decrypting_scan(spark, path, kms_url, "RESTRICTED") as enc:
+            agg = _agg(enc)
+            rows, schema = agg.collect(), agg.schema
+        return spark.createDataFrame(rows, schema)
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        read_encrypted,
+        write_encrypted,
     )
+
+    write_encrypted(plain, path, CUSTOMER_POLICY)
+    return _agg(read_encrypted(spark, path, token="RESTRICTED"))

@@ -8,13 +8,16 @@ the decoded outputs are ordinary columns that downstream relational ops
 other (reference README.md:44 — encryption is after encoding, type-
 agnostic), so a RESTRICTED media payload composes with crypto/policy.py.
 
-Actual codec work (JPEG decode, resampling, frame extraction) needs
-libraries this container doesn't ship (Pillow/ffmpeg/torchaudio), so the
-decoders are STUBS: ``decode=fake`` parses the deterministic synthetic
-payload format below (so the full pipeline is testable end-to-end);
-``decode=real`` raises NotImplementedError at the exact seam where a
-production codec plugs in. Batch shapes, schemas, and partitioning are
-real either way.
+Decoding: ``decode=fake`` parses the deterministic synthetic payload
+format below (full pipeline testable end-to-end with zero codec deps);
+``decode=real`` parses REAL image container headers — PNG (IHDR), JPEG
+(SOF marker walk), GIF (logical screen descriptor), BMP (info header) —
+dependency-free, extracting width/height/channels from actual bytes.
+Full pixel decode (resampling, frame extraction) still needs libraries
+this container doesn't ship (Pillow/ffmpeg); that plugs into the same
+``decode_payload`` seam. Batch shapes, schemas, and partitioning are
+identical across fake/real, so swapping in a production codec changes
+no Spark-side code.
 
 Synthetic payload format (deterministic, seedless):
     magic b"FAKE" | u8 modality | u32 width | u32 height | u32 n_bytes |
@@ -78,14 +81,120 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png(b: bytes) -> tuple[int, int, int]:
+    """PNG IHDR: signature(8) len(4) b"IHDR" width(4BE) height(4BE)
+    bit_depth(1) color_type(1). Color type → sample channels per the
+    PNG spec (0 gray, 2 RGB, 3 palette, 4 gray+A, 6 RGBA)."""
+    if len(b) < 26 or b[12:16] != b"IHDR":
+        raise ValueError("PNG missing IHDR")
+    width, height = struct.unpack(">II", b[16:24])
+    color_type = b[25]
+    channels = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"PNG bad color type {color_type}")
+    return width, height, channels
+
+
+def _parse_jpeg(b: bytes) -> tuple[int, int, int]:
+    """Walk JPEG marker segments to the first SOFn frame header
+    (dimensions live there, not at a fixed offset). Skips standalone
+    markers (RSTn/TEM); stops at SOS — past it is entropy-coded data."""
+    i = 2  # past SOI
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG bad marker alignment")
+        marker = b[i + 1]
+        if marker == 0xFF:  # fill byte
+            i += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            i += 2
+            continue
+        if marker == 0xD9 or marker == 0xDA:  # EOI / SOS
+            break
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            height, width = struct.unpack(">HH", b[i + 5 : i + 9])
+            return width, height, b[i + 9]
+        i += 2 + seg_len
+    raise ValueError("JPEG has no SOF frame header")
+
+
+def _parse_gif(b: bytes) -> tuple[int, int, int]:
+    width, height = struct.unpack("<HH", b[6:10])
+    return width, height, 3  # palette entries are RGB
+
+
+def _parse_bmp(b: bytes) -> tuple[int, int, int]:
+    width, height = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    return width, abs(height), max(1, bpp // 8)  # height<0 = top-down rows
+
+
+def sniff_dimensions(b: bytes) -> tuple[str, int, int, int]:
+    """Identify a real image container by magic bytes and parse
+    (format, width, height, channels) from its header — no codec libs."""
+    b = bytes(b)
+    if b[:8] == PNG_SIG:
+        return ("png", *_parse_png(b))
+    if b[:2] == b"\xff\xd8":
+        return ("jpeg", *_parse_jpeg(b))
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("gif", *_parse_gif(b))
+    if b[:2] == b"BM":
+        return ("bmp", *_parse_bmp(b))
+    raise ValueError(f"unrecognized image container (magic {b[:8]!r})")
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Emit a REAL, spec-valid 8-bit grayscale PNG (deterministic LCG
+    pixels) using only stdlib zlib — the test/fixture generator for the
+    ``decode=real`` path. Any PNG viewer opens these."""
+    import zlib
+
+    raw = bytearray()
+    px = _lcg_bytes(seed * 1315423911 + width * 31 + height, width * height)
+    for y in range(height):
+        raw.append(0)  # filter type None per scanline
+        raw.extend(px[y * width : (y + 1) * width])
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
+    return (
+        PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_payload(payload: bytes, decode: str = "fake") -> dict:
     """Decode one payload. ``fake`` parses the synthetic format; ``real``
-    is the seam where Pillow/ffmpeg would be called."""
+    header-parses actual PNG/JPEG/GIF/BMP bytes (full pixel decode is
+    where Pillow/ffmpeg would plug in — same return contract)."""
+    if decode == "real":
+        _fmt, width, height, _channels = sniff_dimensions(payload)
+        body = bytes(payload)
+        return {
+            "n_bytes": len(body),
+            "mean_byte": sum(body) / len(body),
+            "checksum": sum((i + 1) * b for i, b in enumerate(body)) % (1 << 61),
+            "width": width,
+            "height": height,
+        }
     if decode != "fake":
-        raise NotImplementedError(
-            "real media decoding requires codec libraries not present in "
-            "this environment; plug Pillow/ffmpeg in here"
-        )
+        raise ValueError(f"decode must be 'fake' or 'real', got {decode!r}")
     if payload[:4] != MAGIC:
         raise ValueError("not a synthetic payload")
     modality_id, width, height, n = struct.unpack("<BIII", bytes(payload[4:17]))
@@ -138,6 +247,53 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
 
 from parquet_modular_encryption_spark.registry import register  # noqa: E402
 from parquet_modular_encryption_spark.session import prep  # noqa: E402
+
+
+@register(
+    "q91b_real_image_decode",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(16 + (doc_id % 9) * 4 AS INTEGER) AS width,
+           CAST(16 + (doc_id % 7) * 4 AS INTEGER) AS height
+    FROM documents
+    WHERE doc_id % 37 = 0
+    """,
+    tags=("multimodal", "binary", "pandas-udf"),
+)
+def q91b_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: spec-valid grayscale PNGs (stdlib
+    encoder above, dims a deterministic function of doc_id) are written as
+    loose files, ingested distributed via binaryFile, and header-parsed by
+    ``decode=real`` inside the same Arrow-batched mapInPandas operator the
+    fake path uses. The DuckDB oracle recomputes the expected dimensions
+    from doc_id — so a hash match proves real bytes → real parsed sizes.
+    At 100 TB the fixture write disappears (blobs live in object storage);
+    binaryFile listing + per-partition header parse is the scale shape:
+    only headers are touched per image, no pixel decode, no driver I/O."""
+    import tempfile
+
+    prep(spark)
+    scratch = tempfile.mkdtemp(prefix="pme_q91b_")
+    ids = [
+        r.doc_id
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id")
+        .collect()  # fixture write only; the decode read is distributed
+    ]
+    for doc_id in ids:
+        w, h = 16 + (doc_id % 9) * 4, 16 + (doc_id % 7) * 4
+        with open(f"{scratch}/{doc_id}.png", "wb") as fh:
+            fh.write(encode_png(w, h, seed=doc_id))
+    blobs = spark.read.format("binaryFile").load(f"{scratch}/*.png")
+    media = blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.col("content").alias("payload"),
+    )
+    return extract_features(media, decode="real").select("media_id", "width", "height")
 
 
 @register("q91_multimodal_features", oracle=None, tags=("multimodal", "pandas-udf"))

@@ -19,6 +19,7 @@ Hadoop conf mapping mirrors the reference's EncryptionConfiguration
 
 from __future__ import annotations
 
+import itertools
 import os
 import subprocess
 from contextlib import contextmanager
@@ -159,7 +160,24 @@ def read_encrypted_native(
     silently voiding the at-rest guarantee this module exists to provide.
     (``localCheckpoint`` is NOT used: Spark force-upgrades its storage
     level to include disk, exactly the spill this path must prevent.)
-    Call ``.unpersist()`` when done. For scans too large to pin in
+
+    CACHE ISOLATION: Spark's CacheManager substitutes cached data into any
+    later query whose analyzed plan contains a subtree equal to the cached
+    plan — and the access token lives in the hadoop conf, which is NOT
+    part of plan equality. A bare ``persist`` of the scan would therefore
+    let a later read of the same path under a WEAKER token plan-match the
+    decrypted cache and bypass KMS authorization entirely. To prevent
+    that, each call appends a per-call unique literal tag column before
+    persisting and projects it away on the returned frame: the cached
+    plan is unique to this call, so no other read — different token, no
+    token, or even a repeat of the same call — can ever be served from
+    it. (The deliberate cost: repeated same-token reads don't share a
+    cache. Authorization is re-checked per call, which is the point.)
+
+    Unpersist contract: ``.unpersist()`` on the RETURNED frame releases
+    the pinned decrypted blocks (the method is forwarded to the internal
+    pinned frame). Prefer :func:`pinned_decrypting_scan`, the context-
+    manager form that unpersists on exit. For scans too large to pin in
     memory, use :func:`decrypting_scan`, which keeps the pipeline lazy —
     decrypted bytes then flow straight through the consuming operators
     without ever being persisted.
@@ -169,19 +187,48 @@ def read_encrypted_native(
     and need keys for — every column).
     """
     from pyspark import StorageLevel
+    from pyspark.sql import functions as F
 
+    tag = f"__pme_pin_{os.getpid()}_{next(_PIN_IDS)}__"
     entries = _common_conf(kms_url, token)
     with _pme_hadoop_conf(spark, entries):
         df = spark.read.parquet(path)
         if columns:
             df = df.select(*columns)
-        pinned = df.persist(StorageLevel.MEMORY_ONLY)
+        pinned = df.withColumn(tag, F.lit(tag)).persist(StorageLevel.MEMORY_ONLY)
         try:
             pinned.count()  # materialize inside the conf scope; authz fails here
         except Exception:
             pinned.unpersist()
             raise
-        return pinned
+    out = pinned.drop(tag)
+    # Forward unpersist to the internal pinned frame so callers holding
+    # only the returned (projected) frame can release the decrypted blocks.
+    out.unpersist = pinned.unpersist
+    return out
+
+
+#: per-process counter feeding the cache-isolation tag above
+_PIN_IDS = itertools.count()
+
+
+@contextmanager
+def pinned_decrypting_scan(
+    spark: SparkSession,
+    path: str,
+    kms_url: str,
+    token: str | None = None,
+    *,
+    columns: list[str] | None = None,
+):
+    """Context-manager form of :func:`read_encrypted_native`: yields the
+    eagerly pinned decrypted frame and GUARANTEES the decrypted blocks are
+    unpersisted on exit, so plaintext never outlives the ``with`` block."""
+    df = read_encrypted_native(spark, path, kms_url, token, columns=columns)
+    try:
+        yield df
+    finally:
+        df.unpersist(blocking=True)
 
 
 @contextmanager
@@ -204,6 +251,13 @@ def decrypting_scan(
     encrypted parquet scan (partition pruning included). All actions on
     the frame must happen inside the block — the conf the executors read
     at scan time is gone after exit.
+
+    CONCURRENCY: the hadoop Configuration hangs off the shared
+    SparkContext, so this set→scan→restore scope assumes a single-threaded
+    driver: a concurrent read/write on ANOTHER thread would silently
+    inherit the PME conf (or clobber it mid-scan), and even
+    ``spark.newSession()`` does not isolate it. Serialize encrypted I/O
+    through one driver thread per JVM.
     """
     entries = _common_conf(kms_url, token)
     with _pme_hadoop_conf(spark, entries):

@@ -34,9 +34,94 @@ def test_multimodal_feature_extraction(spark):
     ]
 
 
-def test_multimodal_real_decode_is_stubbed(spark):
-    with pytest.raises(NotImplementedError, match="codec"):
-        decode_payload(fake_payload(0, "image", 32, 32), decode="real")
+def test_real_png_decode_roundtrip():
+    """encode_png emits spec-valid PNGs; decode=real must header-parse the
+    exact dimensions back out of the real bytes."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        encode_png,
+        sniff_dimensions,
+    )
+
+    for w, h in [(1, 1), (16, 48), (640, 480), (3, 257)]:
+        png = encode_png(w, h, seed=w * 1000 + h)
+        fmt, gw, gh, channels = sniff_dimensions(png)
+        assert (fmt, gw, gh, channels) == ("png", w, h, 1)
+        got = decode_payload(png, decode="real")
+        assert (got["width"], got["height"]) == (w, h)
+        assert got["n_bytes"] == len(png)
+    # zlib must actually be able to re-inflate the IDAT (proves the file is
+    # a real PNG, not just a lookalike header)
+    import struct
+    import zlib
+
+    png = encode_png(16, 48, seed=1)
+    i = 8
+    while i < len(png):
+        (length,) = struct.unpack(">I", png[i : i + 4])
+        tag = png[i + 4 : i + 8]
+        if tag == b"IDAT":
+            raw = zlib.decompress(png[i + 8 : i + 8 + length])
+            assert len(raw) == 48 * (16 + 1)  # scanlines + filter bytes
+            break
+        i += 12 + length
+    else:
+        raise AssertionError("no IDAT chunk")
+
+
+def test_real_jpeg_gif_bmp_header_decode():
+    """Header parse for the other real containers: a structurally valid
+    JPEG marker stream (APP0 + DQT before SOF0, as real encoders emit),
+    a GIF89a screen descriptor, and a BITMAPINFOHEADER BMP."""
+    import struct
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import sniff_dimensions
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    jpeg = (
+        b"\xff\xd8"  # SOI
+        + seg(0xE0, b"JFIF\x00\x01\x02\x00\x00\x01\x00\x01\x00\x00")  # APP0
+        + seg(0xDB, b"\x00" + bytes(64))  # DQT
+        + seg(0xC0, b"\x08" + struct.pack(">HH", 480, 640) + b"\x03" + bytes(9))  # SOF0
+        + seg(0xDA, b"\x01\x01\x00")  # SOS — walker must stop here
+        + b"\x12\x34\xff\xd9"
+    )
+    assert sniff_dimensions(jpeg) == ("jpeg", 640, 480, 3)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert sniff_dimensions(gif) == ("gif", 320, 200, 3)
+
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 122, 0, 0, 122)
+        + struct.pack("<IiiHH", 40, 24, -32, 1, 24)  # negative height = top-down
+        + bytes(24)
+    )
+    assert sniff_dimensions(bmp) == ("bmp", 24, 32, 3)
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_dimensions(b"NOTANIMAGEFORMAT")
+
+
+def test_real_decode_distributed(spark):
+    """decode=real through the actual mapInPandas operator: real PNG bytes
+    in, parsed dimensions out, executed on executors not the driver."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import encode_png
+
+    rows = [
+        (i, "image", bytearray(encode_png(8 + i, 8 + 2 * i, seed=i)), None)
+        for i in range(12)
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    ).repartition(4)
+    feats = {r.media_id: r for r in extract_features(media, decode="real").collect()}
+    assert len(feats) == 12
+    for i in range(12):
+        assert (feats[i].width, feats[i].height) == (8 + i, 8 + 2 * i)
 
 
 def test_frame_sampling(spark):

@@ -32,7 +32,8 @@ def test_tampered_blob_always_rejected(kek, key, flip):
         result = kms_core.unwrap(kek, tampered)
     except kms_core.KeyValidationError:
         return
-    # nonce-byte flips change the keystream, so the MAC must catch them too
+    # AES-KW (RFC 3394) authenticates via its integrity check value: any
+    # single-bit flip anywhere in the wrapped blob must fail the unwrap ICV
     raise AssertionError(f"tampered blob accepted: {result!r}")
 
 
