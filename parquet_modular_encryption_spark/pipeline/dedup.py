@@ -473,10 +473,10 @@ def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CONTAM_SHINGLE_N = 5  # longer n-grams: contamination wants high precision
 
-
-@register(
-    "q61_contamination_check",
-    oracle=f"""
+# Shared by q61 (raw shingle join) and q61b (bloom pre-pass): the bloom
+# sketch has NO false negatives, so after exact verification both queries
+# produce byte-identical output — one oracle serves both.
+_CONTAM_ORACLE = f"""
     WITH tokenized AS (
         SELECT doc_id, {sql_normalized('text')} AS norm,
                {sql_tokens(sql_normalized('text'))} AS toks,
@@ -495,7 +495,12 @@ CONTAM_SHINGLE_N = 5  # longer n-grams: contamination wants high precision
     JOIN shingled t ON e.shingle = t.shingle
     WHERE e.split = 'eval' AND t.split = 'train'
     GROUP BY e.doc_id
-    """,
+    """
+
+
+@register(
+    "q61_contamination_check",
+    oracle=_CONTAM_ORACLE,
     tags=("dedup", "contamination", "eval"),
 )
 def q61_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,6 +535,130 @@ def q61_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         ev.join(tr, "shingle")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("shingle").alias("n_shared_shingles"),
+        )
+    )
+
+
+# -- bloom-sketch contamination pre-pass (the 100 TB train side) -----------
+
+BLOOM_M_BITS = 1 << 22  # 4M bits = 64K words = 512 KiB bitmap
+BLOOM_K = 3  # hash functions per shingle
+
+
+def _bloom_positions(shingle_col) -> "F.Column":
+    """K bit positions for one shingle: xxhash64 under K fixed salts,
+    folded into [0, M). Same family on build and probe side."""
+    return F.array(
+        *[
+            F.pmod(
+                F.xxhash64(F.concat(F.lit(f"bloom{i}:"), shingle_col)),
+                F.lit(BLOOM_M_BITS),
+            )
+            for i in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(shingles: DataFrame, col: str = "shingle") -> DataFrame:
+    """Distributed bloom-filter build: every shingle sets K bits; bits are
+    grouped into 64-bit words and OR-folded with ``bit_or`` — a map-side-
+    combinable aggregation whose output is AT MOST M/64 rows (65,536 here)
+    no matter how many input shingles there are. That fixed-size output is
+    the whole point: at 100 TB the train corpus compresses to a ~512 KiB
+    (word_idx, mask) table that broadcasts to every executor."""
+    return (
+        shingles.select(F.explode(_bloom_positions(F.col(col))).alias("pos"))
+        .groupBy(F.floor(F.col("pos") / 64).alias("word_idx"))
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 64) AS INT))")
+            ).alias("mask")
+        )
+    )
+
+
+def bloom_probe(candidates: DataFrame, bloom_words: DataFrame, col: str = "shingle") -> DataFrame:
+    """Keep only rows whose shingle has ALL K bloom bits set. Bloom
+    semantics: no false negatives (every truly-present shingle survives),
+    tunable false positives (removed by the exact verify join downstream).
+    The probe is a broadcast join on word_idx — no shuffle of the
+    candidate side."""
+    probed = (
+        candidates.withColumn("__pos_arr", _bloom_positions(F.col(col)))
+        .select("*", F.posexplode("__pos_arr").alias("__k", "__pos"))
+        .drop("__pos_arr")
+        .withColumn("__word_idx", F.floor(F.col("__pos") / 64))
+        .join(
+            F.broadcast(bloom_words.withColumnRenamed("word_idx", "__word_idx")),
+            "__word_idx",
+        )
+        .filter(
+            F.col("mask").bitwiseAND(
+                F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pmod(__pos, 64) AS INT))")
+            )
+            != 0
+        )
+    )
+    group_cols = [c for c in candidates.columns]
+    return (
+        probed.groupBy(*group_cols)
+        .agg(F.countDistinct("__k").alias("__k_hits"))
+        .filter(F.col("__k_hits") == BLOOM_K)
+        .drop("__k_hits")
+    )
+
+
+@register(
+    "q61b_contamination_sketch",
+    oracle=_CONTAM_ORACLE,
+    tags=("dedup", "contamination", "bloom", "sketch"),
+)
+def q61b_contamination_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination detection with a bloom-sketch train side — the 100 TB
+    shape q61's docstring promises, with q61 as its verification pass (the
+    shared oracle hash-checks both).
+
+    Pipeline: (1) the train corpus's shingles are folded into a fixed-size
+    512 KiB bloom bitmap via a map-side-combinable ``bit_or`` aggregation
+    (output ≤ 65,536 rows regardless of corpus size); (2) eval shingles are
+    probed against the BROADCAST bitmap — only rows with all K bits set
+    survive; (3) survivors (truly-shared shingles plus a tunable trickle of
+    bloom false positives) hit the exact train-shingle join for
+    verification. Because blooms have no false negatives, the final result
+    is byte-identical to q61 — but the expensive eval-side shuffle into the
+    verify join now carries only probable-contamination shingles instead of
+    the whole eval corpus. At 100 TB: train side streams once through a
+    fixed-memory aggregation, the bitmap broadcast replaces a shuffle of
+    the (huge) eval side against the (huge) train side with a pre-filtered
+    sliver join."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    split = F.when(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b", "train"
+    ).otherwise("eval")
+    shingled = docs.select(
+        "doc_id",
+        split.alias("split"),
+        F.explode(
+            shingles_from(tokens(normalized("text")), CONTAM_SHINGLE_N)
+        ).alias("shingle"),
+    )
+    tr = shingled.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    ev = (
+        shingled.filter(F.col("split") == "eval")
+        .select(F.col("doc_id").alias("eval_doc"), "shingle")
+        .distinct()
+    )
+    bloom = bloom_build(tr)
+    survivors = bloom_probe(ev, bloom)
+    return (
+        survivors.join(tr, "shingle")
         .groupBy("eval_doc")
         .agg(
             F.countDistinct("train_doc").alias("n_train_docs"),

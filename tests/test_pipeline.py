@@ -235,3 +235,29 @@ def test_ml_minhash_overlaps_handrolled(spark):
     # meaningful agreement, not equality (different hash families)
     overlap = len(ours & ml) / max(1, len(ours))
     assert overlap >= 0.5, f"overlap {overlap}: ours={len(ours)} ml={len(ml)}"
+
+
+def test_bloom_prepass_no_false_negatives(spark):
+    """Bloom guarantee the q61b pipeline rests on: every train-side shingle
+    must survive a probe of itself (no false negatives), and probing
+    disjoint strings must prune most of them (bounded false positives)."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    train = spark.createDataFrame(
+        [(f"present shingle {i}",) for i in range(500)], "shingle string"
+    )
+    bloom = bloom_build(train)
+    # bitmap is bounded: at most M/64 words regardless of input size
+    assert bloom.count() <= (1 << 22) // 64
+
+    hits = bloom_probe(train, bloom).count()
+    assert hits == 500, f"false negatives: {500 - hits} train shingles lost"
+
+    absent = spark.createDataFrame(
+        [(f"absent shingle {i}",) for i in range(500)], "shingle string"
+    )
+    fp = bloom_probe(absent, bloom).count()
+    assert fp < 50, f"false-positive rate collapsed: {fp}/500"
