@@ -93,25 +93,42 @@ def main() -> None:
     # first-use JIT compilation.
     from pyspark.sql import functions as F
 
-    (
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-        .limit(50_000)
-        .groupBy("l_returnflag")
-        .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")), F.count(F.lit(1)))
-        .write.format("noop").mode("overwrite").save()
-    )
+    try:
+        (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .limit(50_000)
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_quantity").cast("decimal(38,10)")), F.count(F.lit(1)))
+            .write.format("noop").mode("overwrite").save()
+        )
+    except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
+        print(f"# warm-up failed (continuing): {exc}", file=sys.stderr)
 
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
     raw_times: dict[str, list[float]] = {}
+    errors: dict[str, str] = {}
 
-    def _time_query(q) -> float:
+    def _time_query(q) -> float | None:
+        """Min-of-N wall clock for one query, or None on failure.
+
+        Per-query fault isolation: one broken query must not abort the
+        whole bench (r5's NTZ regression crashed at query 4/36 and left
+        the driver's perf gate with no numbers at all — BENCH_r05.json
+        was `rc: 1, parsed: null`). Failures are recorded under "errors"
+        and the final compact metric line is ALWAYS printed.
+        """
         raws = []
         for _ in range(repeats):
             start = time.perf_counter()
-            df = q.builder(spark, sf_dir)
-            # noop sink materializes every output column (count() would let
-            # Catalyst prune the projections and under-report work).
-            df.write.format("noop").mode("overwrite").save()
+            try:
+                df = q.builder(spark, sf_dir)
+                # noop sink materializes every output column (count() would
+                # let Catalyst prune projections and under-report work).
+                df.write.format("noop").mode("overwrite").save()
+            except Exception as exc:  # noqa: BLE001 — isolate per query
+                errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
+                print(f"# {q.name} FAILED: {errors[q.name]}", file=sys.stderr)
+                return None
             raws.append(round(time.perf_counter() - start, 3))
         # Every raw repeat is reported in the JSON so methodology changes
         # (repeat count) stay separable from real speedups; the headline
@@ -125,7 +142,10 @@ def main() -> None:
         q = registry.get(name)
         if q is None:
             continue
-        timings[name] = _time_query(q)
+        t = _time_query(q)
+        if t is None:
+            continue
+        timings[name] = t
         print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
 
     # Extended set: newer scale-relevant operators, timed identically but
@@ -136,7 +156,10 @@ def main() -> None:
         q = registry.get(name)
         if q is None:
             continue
-        extended[name] = _time_query(q)
+        t = _time_query(q)
+        if t is None:
+            continue
+        extended[name] = t
         print(f"# {name}: {extended[name]:.3f}s", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
@@ -164,6 +187,8 @@ def main() -> None:
         "repeats": repeats,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if errors:
+        result["errors"] = errors
     try:
         result["encryption_overhead"] = measure_encryption_overhead(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001 — overhead stats are best-effort

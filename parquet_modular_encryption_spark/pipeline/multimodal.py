@@ -274,9 +274,11 @@ def q91b_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     prep(spark)
     scratch = tempfile.mkdtemp(prefix="pme_q91b_")
+    from parquet_modular_encryption_spark.sources.datasets import load
+
     ids = [
         r.doc_id
-        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        for r in load(spark, sf_dir, "documents")
         .filter(F.col("doc_id") % 37 == 0)
         .select("doc_id")
         .collect()  # fixture write only; the decode read is distributed

@@ -34,16 +34,36 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events":
-        # events.ts is TIMESTAMP(NANOS) parquet, which Spark's reader
-        # rejects; session conf `spark.sql.legacy.parquet.nanosAsLong`
-        # (set in session.prep) surfaces it as nanos-since-epoch BIGINT.
-        # Convert to a µs TimestampType with exact integer arithmetic
-        # (the data is µs-resolution, so DIV 1000 is lossless).
-        from pyspark.sql import functions as F
-        from pyspark.sql import types as T
+        df = normalize_event_ts(df)
+    return df
 
-        if isinstance(df.schema["ts"].dataType, T.LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Normalize the events timestamp column to ``TimestampType`` (µs, UTC)
+    regardless of the on-disk parquet encoding.
+
+    The driver has regenerated ``events.parquet`` with different encodings
+    across rounds — ``TIMESTAMP(NANOS)`` (surfaced as BIGINT nanos via the
+    ``spark.sql.legacy.parquet.nanosAsLong`` conf set in session.prep),
+    then plain ``timestamp[us]`` with no timezone, which Spark reads as
+    ``TIMESTAMP_NTZ``. Downstream operators use ``unix_micros`` which
+    requires ``TIMESTAMP``, so adapt to whatever is on disk:
+
+    * BIGINT nanos → exact integer DIV 1000 (data is µs-resolution) then
+      ``timestamp_micros``;
+    * TIMESTAMP_NTZ → cast to TIMESTAMP. The session timezone is pinned
+      UTC (session.py), so the cast is value-preserving and matches the
+      DuckDB oracle's naive-UTC semantics;
+    * TIMESTAMP → already correct, no-op.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    dtype = df.schema[col].dataType
+    if isinstance(dtype, T.LongType):
+        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+    elif isinstance(dtype, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

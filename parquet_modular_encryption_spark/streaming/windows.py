@@ -19,32 +19,39 @@ from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.numeric import DEC
 
-EVENTS_DDL = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
-    "value double, props string"
-)
-
-
 def stream_events(
     spark: SparkSession, sf_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
-    """The events table as an unbounded stream. The nanos `ts` is read as
-    BIGINT (same legacy conf as batch) and converted to a µs timestamp.
+    """The events table as an unbounded stream, with ``ts`` normalized to
+    ``TimestampType`` regardless of the on-disk encoding.
+
+    The streaming file source requires a declared schema, but the driver
+    has shipped events.parquet with different ts encodings across rounds
+    (TIMESTAMP(NANOS)-as-BIGINT via the legacy conf, then timestamp[us]/
+    NTZ), so probe the actual schema with a cheap batch metadata read and
+    declare THAT — then route through the same ``normalize_event_ts`` the
+    batch loader uses.
 
     ``sf_dir`` may be a testdata sf directory (only its events.parquet is
     streamed — a bare directory glob would pull in the other nine tables
-    as all-null rows) or a directory of event files from ``_write_events``.
+    as all-null rows) or a directory of event files from test fixtures.
     """
+    from parquet_modular_encryption_spark.sources.datasets import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENTS_DDL)
-    if _has_events_file(sf_dir):
+    restrict = _has_events_file(sf_dir)
+    probe = spark.read
+    if restrict:
+        probe = probe.option("pathGlobFilter", "events.parquet")
+    schema = probe.parquet(sf_dir).schema  # metadata-only: no scan
+    reader = spark.readStream.schema(schema)
+    if restrict:
         # the streaming file source only accepts directories, so restrict
         # to the events table by glob instead of path
         reader = reader.option("pathGlobFilter", "events.parquet")
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
-    df = reader.parquet(sf_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return normalize_event_ts(reader.parquet(sf_dir))
 
 
 def _has_events_file(sf_dir: str) -> bool:

@@ -1,0 +1,88 @@
+"""Loader robustness: the driver has regenerated events.parquet with a
+different ts encoding twice (TIMESTAMP(NANOS) in rounds 1-4, timestamp[us]/
+NTZ in round 5 — which broke 8 queries and crashed the bench). Pin the
+contract here: whatever encoding lands on disk, ``datasets.load`` must
+surface ``ts`` as TimestampType (µs, UTC session) with the correct
+epoch-µs values, so every ``unix_micros`` call site downstream keeps
+working."""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parquet_modular_encryption_spark.sources.datasets import (
+    load,
+    normalize_event_ts,
+)
+
+ROWS = [
+    (1, datetime.datetime(2024, 1, 1, 12, 0, 0), 10),
+    (2, datetime.datetime(2024, 6, 15, 3, 30, 45, 123456), 11),
+]
+EPOCH_US = [
+    int(ts.replace(tzinfo=datetime.timezone.utc).timestamp() * 1_000_000)
+    for _, ts, _ in ROWS
+]
+
+
+def _write_fixture(path: str, ts_type: pa.DataType) -> None:
+    ids = pa.array([r[0] for r in ROWS], pa.int64())
+    users = pa.array([r[2] for r in ROWS], pa.int64())
+    if pa.types.is_integer(ts_type):
+        ts = pa.array([us * 1000 for us in EPOCH_US], ts_type)  # nanos
+        tbl = pa.table({"event_id": ids, "ts": ts, "user_id": users})
+    else:
+        ts = pa.array([r[1] for r in ROWS], ts_type)
+        tbl = pa.table({"event_id": ids, "ts": ts, "user_id": users})
+    pq.write_table(tbl, path)
+
+
+@pytest.mark.parametrize(
+    "ts_type",
+    [
+        pa.timestamp("us"),  # round-5 encoding → Spark TIMESTAMP_NTZ
+        pa.timestamp("us", tz="UTC"),  # plain TIMESTAMP
+        pa.timestamp("ns"),  # rounds 1-4 → BIGINT via nanosAsLong conf
+    ],
+    ids=["ntz_us", "tz_us", "nanos"],
+)
+def test_events_ts_normalized_any_encoding(spark, tmp_path, ts_type):
+    sf_dir = str(tmp_path / f"sf_{ts_type!s}".replace("[", "_").replace("]", "_"))
+    import os
+
+    os.makedirs(sf_dir, exist_ok=True)
+    _write_fixture(f"{sf_dir}/events.parquet", ts_type)
+
+    df = load(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType), (
+        f"ts must be TimestampType, got {df.schema['ts'].dataType}"
+    )
+    got = {
+        r.event_id: r.us
+        for r in df.select("event_id", F.unix_micros("ts").alias("us")).collect()
+    }
+    want = {r[0]: us for r, us in zip(ROWS, EPOCH_US)}
+    assert got == want
+
+
+def test_normalize_is_noop_on_timestamp(spark):
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1))], "event_id bigint, ts timestamp"
+    )
+    out = normalize_event_ts(df)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    assert out.collect() == df.collect()
+
+
+def test_real_testdata_events_loads(spark, sf_dir):
+    """Whatever the driver shipped THIS round must load and unix_micros."""
+    df = load(spark, sf_dir, "events")
+    assert isinstance(df.schema["ts"].dataType, T.TimestampType)
+    n = df.select(F.unix_micros("ts")).filter(F.col("unix_micros(ts)").isNotNull()).count()
+    assert n > 0
