@@ -104,7 +104,11 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 — warm-up is best-effort
         print(f"# warm-up failed (continuing): {exc}", file=sys.stderr)
 
-    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2")))
+    # Default 3 repeats (was 2): round-6 analysis showed first-run cold
+    # effects + neighbor noise produce 1.5-3x one-off outliers that
+    # min-of-2 frequently fails to filter (re-timing the r6 "slow" trio
+    # q54/q62/q64 with 4 repeats returned them all to r3-era times).
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     raw_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 

@@ -64,6 +64,165 @@ def q62_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Snapshot-versioned tables (Iceberg-lite): time travel + schema evolution
+# ---------------------------------------------------------------------------
+#
+# A table directory holds immutable per-version data directories plus a
+# single manifest.json naming, for every committed version, the list of
+# data directories that make up that snapshot. Commits never mutate
+# committed data; publishing is one atomic manifest swap (os.replace here;
+# a conditional PUT of the metadata pointer on object storage — the same
+# core protocol Iceberg/Delta use). Readers resolve the manifest once and
+# then read immutable paths, so a concurrent commit can never tear a scan:
+# time travel is just resolving an older version's dir list.
+
+
+def _manifest_path(table_dir: str) -> str:
+    import os
+
+    return os.path.join(table_dir, "manifest.json")
+
+
+def _read_manifest(table_dir: str) -> dict | None:
+    import json
+    import os
+
+    p = _manifest_path(table_dir)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)
+
+
+def snapshot_commit(df: DataFrame, table_dir: str, mode: str = "overwrite") -> int:
+    """Commit ``df`` as the table's next version; returns the version id.
+
+    ``overwrite`` starts a fresh snapshot (the new data dir alone);
+    ``append`` extends the previous snapshot's dir list — appends with a
+    wider schema are legal and surface via mergeSchema on read (schema
+    evolution). Version data lands in v{N} (write fails rather than
+    clobbers — dirs are immutable), then the manifest swap publishes it."""
+    import json
+    import os
+
+    os.makedirs(table_dir, exist_ok=True)
+    manifest = _read_manifest(table_dir) or {"current": 0, "versions": {}}
+    version = manifest["current"] + 1
+    rel = f"v{version:06d}"
+    df.write.mode("errorifexists").parquet(os.path.join(table_dir, rel))
+    prev_dirs = manifest["versions"].get(str(manifest["current"]), [])
+    dirs = [rel] if mode == "overwrite" else [*prev_dirs, rel]
+    manifest["versions"][str(version)] = dirs
+    manifest["current"] = version
+    tmp = _manifest_path(table_dir) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(tmp, _manifest_path(table_dir))  # atomic publish
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, as_of: int | None = None
+) -> DataFrame:
+    """Read a snapshot table at ``as_of`` (default: current version).
+    mergeSchema unions the snapshot's data dirs even when appends widened
+    the schema — earlier files surface the new columns as NULL."""
+    import os
+
+    manifest = _read_manifest(table_dir)
+    if manifest is None or manifest["current"] == 0:
+        raise FileNotFoundError(f"no committed snapshot at {table_dir}")
+    version = manifest["current"] if as_of is None else as_of
+    dirs = manifest["versions"].get(str(version))
+    if dirs is None:
+        raise KeyError(
+            f"version {version} not in table (have {sorted(manifest['versions'])})"
+        )
+    paths = [os.path.join(table_dir, d) for d in dirs]
+    return spark.read.option("mergeSchema", "true").parquet(*paths)
+
+
+def _status_agg(spark: SparkSession, sf_dir: str, max_year: int | None) -> DataFrame:
+    orders = load(spark, sf_dir, "orders")
+    if max_year is not None:
+        orders = orders.filter(F.year("o_orderdate") <= max_year)
+    return orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice").alias("status_value"),
+    )
+
+
+@register(
+    "q62b_snapshot_time_travel",
+    oracle=f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice')} AS status_value
+    FROM orders
+    WHERE EXTRACT(year FROM o_orderdate) <= 1996
+    GROUP BY 1
+    """,
+    tags=("storage", "snapshot", "time-travel"),
+)
+def q62b_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on a snapshot-versioned table: commit v1 (orders
+    through 1996), overwrite-commit v2 (all years), then read AS OF v1.
+    The oracle recomputes v1's content from the source table — a hash
+    match proves the overwrite commit left the v1 snapshot untouched
+    (immutable data dirs + atomic manifest swap)."""
+    prep(spark)
+    scratch = tempfile.mkdtemp(prefix="pme_q62b_")
+    table = f"{scratch}/status_table"
+    snapshot_commit(_status_agg(spark, sf_dir, 1996), table)
+    snapshot_commit(_status_agg(spark, sf_dir, None), table)
+    return snapshot_read(spark, table, as_of=1)
+
+
+@register(
+    "q62c_schema_evolution_read",
+    oracle=f"""
+    WITH v1 AS (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(NULL AS INTEGER) AS o_year
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1996
+        GROUP BY o_orderstatus
+    ), v2 AS (
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(1997 AS INTEGER) AS o_year
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        GROUP BY o_orderstatus
+    )
+    SELECT * FROM v1 UNION ALL SELECT * FROM v2
+    """,
+    tags=("storage", "snapshot", "schema-evolution"),
+)
+def q62c_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution via append commits: v1 lacks the o_year column, an
+    append commit adds files WITH it, and the mergeSchema read surfaces
+    v1's rows with o_year NULL — no rewrite of committed data (the
+    evolution path a 100 TB table needs; rewriting history at that scale
+    is not an option)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    scratch = tempfile.mkdtemp(prefix="pme_q62c_")
+    table = f"{scratch}/evolving_table"
+    v1 = (
+        orders.filter(F.year("o_orderdate") <= 1996)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    snapshot_commit(v1, table)
+    v2 = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .withColumn("o_year", F.lit(1997).cast("int"))
+    )
+    snapshot_commit(v2, table, mode="append")
+    return snapshot_read(spark, table)
+
+
 def compact(
     spark: SparkSession,
     path: str,

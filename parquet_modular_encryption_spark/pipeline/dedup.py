@@ -166,18 +166,106 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = band_keys(sig, "doc_id")
-    left = bands.alias("a")
-    right = bands.alias("b")
-    pairs = (
-        left.join(
-            right,
+    pairs = banded_pairs(bands).distinct()
+    return _jaccard_verify(shingled, pairs)
+
+
+def banded_pairs(bands: DataFrame) -> DataFrame:
+    """Candidate pairs from an LSH bands frame: plain bucket self-join on
+    (band_id, band_key), emitting each (doc_a < doc_b) pair once per
+    bucket they co-occur in (callers dedup across bands with distinct)."""
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band_id") == F.col("b.band_id"))
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+
+
+# Bucket size above which the self-join work (k² pairs on ONE reducer) is
+# spread over a PAIR_GRID × PAIR_GRID cell grid. At 100 TB this threshold
+# rises with cluster reducer capacity; the replication cost of the hot
+# path is PAIR_GRID× on hot rows only.
+HOT_BUCKET_THRESHOLD = 8
+PAIR_GRID = 4
+
+
+def banded_pairs_salted(
+    bands: DataFrame,
+    hot_threshold: int = HOT_BUCKET_THRESHOLD,
+    grid: int = PAIR_GRID,
+) -> DataFrame:
+    """Skew-hardened ``banded_pairs``: identical output, hot buckets
+    fragment-replicated over a ``grid``×``grid`` reducer grid.
+
+    A boilerplate signature shared by k documents (license headers,
+    scraped nav chrome) puts k rows in one (band_id, band_key) bucket and
+    k² pair work on a single reducer — the straggler that stalls the
+    stage at 100 TB. Mitigation, mirroring q86's two-phase salted agg but
+    adapted to a self-join:
+
+    1. Bucket census: one count per bucket (same shuffle key as the join,
+       so the exchange is reusable); keys with count > ``hot_threshold``
+       form the hot set.
+    2. Cold buckets take the plain self-join unchanged.
+    3. Hot-bucket rows are fragment-replicated (the 1-bucket-theta join
+       of Okcan & Riedewald, SIGMOD'11): a row with salt s = hash(doc_id)
+       % grid enters the build side in cells (s, *) and the probe side in
+       cells (*, s), so every pair meets in EXACTLY one cell and each
+       bucket's k² work splits grid² ways for grid× row replication.
+
+    No forced broadcasts: the hot-key set joins on the same
+    (band_id, band_key) key (AQE broadcasts it when small; the worst-case
+    hot-set size is data-dependent, so forcing would be a 100 TB hazard).
+    """
+    counts = bands.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).alias("__n")
+    )
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(
+        "band_id", "band_key", F.lit(1).alias("__hot")
+    )
+    tagged = bands.join(hot_keys, ["band_id", "band_key"], "left")
+    cold = tagged.filter(F.col("__hot").isNull()).select(
+        "doc_id", "band_id", "band_key"
+    )
+    hot = tagged.filter(F.col("__hot").isNotNull()).select(
+        "doc_id", "band_id", "band_key"
+    )
+
+    cold_pairs = banded_pairs(cold)
+
+    cells = F.array(*[F.lit(g) for g in range(grid)])
+    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(grid))
+    ha = hot.withColumn("__row", salt).withColumn("__col", F.explode(cells))
+    hb = hot.withColumn("__col", salt).withColumn("__row", F.explode(cells))
+    hot_pairs = (
+        ha.alias("a")
+        .join(
+            hb.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.__row") == F.col("b.__row"))
+            & (F.col("a.__col") == F.col("b.__col"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
+def _jaccard_verify(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against the persisted
+    shingle sets. Verification joins are plain shuffle joins on
+    doc_a/doc_b: the keys are high-cardinality so they partition evenly,
+    and candidate-pair count grows with corpus size x dup rate — it is
+    smaller than n but NOT bounded, so broadcasting pairs (let alone
+    pairs enriched with shingle arrays) would eventually exceed any
+    broadcast threshold at 100 TB. AQE may still choose a broadcast at
+    small SF; the plan must not force one."""
     sa = shingled.select(
         F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a")
     )
@@ -187,19 +275,46 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
     )
-    # Verification joins are plain shuffle joins on doc_a/doc_b: the keys
-    # are high-cardinality so they partition evenly, and candidate-pair
-    # count grows with corpus size x dup rate — it is smaller than n but
-    # NOT bounded, so broadcasting pairs (let alone pairs enriched with
-    # shingle arrays) would eventually exceed any broadcast threshold at
-    # 100 TB. AQE may still choose a broadcast at small SF; the plan must
-    # not force one.
     enriched = sa.join(pairs, "doc_a")
     return (
         sb.join(enriched, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
     )
+
+
+@register(
+    "q47b_minhash_neardup_salted",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "skew"),
+)
+def q47b_minhash_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened q47: byte-identical near-dup output (it shares q47's
+    oracle, so the equivalence is hash-checked by the driver), with hot
+    LSH buckets spread over a reducer grid via ``banded_pairs_salted``.
+    The shingle → signature → banding → verify pipeline is q47's; only
+    candidate generation differs. See banded_pairs_salted for the
+    100 TB rationale; tests/test_plans.py pins the no-forced-broadcast
+    property and tests/test_pipeline.py checks salted == plain on an
+    adversarially skewed bucket."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingled = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
+        .persist()
+    )
+    sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
+    hv = hash60(F.col("shingle")) % P
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    bands = band_keys(sig, "doc_id")
+    pairs = banded_pairs_salted(bands).distinct()
+    return _jaccard_verify(shingled, pairs)
 
 
 SIMHASH_BITS = 16

@@ -261,3 +261,26 @@ def test_bloom_prepass_no_false_negatives(spark):
     )
     fp = bloom_probe(absent, bloom).count()
     assert fp < 50, f"false-positive rate collapsed: {fp}/500"
+
+
+def test_salted_banded_pairs_equal_plain_on_skew(spark):
+    """banded_pairs_salted must produce exactly the pairs of the plain
+    bucket self-join on an adversarially skewed bands frame (one hot
+    bucket far above the threshold, plus scattered cold buckets), and the
+    hot path must actually engage (bucket size > threshold)."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        HOT_BUCKET_THRESHOLD,
+        banded_pairs,
+        banded_pairs_salted,
+    )
+
+    hot_n = HOT_BUCKET_THRESHOLD * 5  # one boilerplate bucket of 40 docs
+    rows = [(i, 0, "HOT") for i in range(hot_n)]
+    rows += [(100 + i, 0, f"cold_{i % 7}") for i in range(21)]  # buckets of 3
+    rows += [(200 + i, 1, "HOT") for i in range(2)]  # same key, other band
+    bands = spark.createDataFrame(rows, "doc_id bigint, band_id int, band_key string")
+
+    plain = sorted(map(tuple, banded_pairs(bands).distinct().collect()))
+    salted = sorted(map(tuple, banded_pairs_salted(bands).distinct().collect()))
+    assert plain == salted
+    assert len(plain) >= hot_n * (hot_n - 1) // 2  # hot bucket contributed

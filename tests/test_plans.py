@@ -207,3 +207,23 @@ def test_q116_zero_exchange_map_side(spark):
     plan = executed_plan(df)
     assert "Exchange" not in plan, "q116 reintroduced a shuffle"
     assert "BatchEvalPython" not in plan
+
+
+def test_q47b_salted_no_forced_broadcast(spark):
+    """The skew-hardened banding join must not force-broadcast anything:
+    the hot-key set's worst-case size is data-dependent (a boilerplate-
+    heavy corpus can have many hot buckets), so AQE must stay in charge.
+    Also: no cartesian product may appear — every join is keyed."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q47b_minhash_neardup_salted,
+    )
+
+    from parquet_modular_encryption_spark.plans.explain import (
+        forced_broadcast_hints,
+    )
+
+    df = q47b_minhash_neardup_salted(spark, SF)
+    assert forced_broadcast_hints(df) == 0
+    df.collect()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan

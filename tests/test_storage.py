@@ -133,3 +133,54 @@ def test_sorted_layout_rowgroup_stats(spark, tmp_path):
         spans.append((fmax - fmin) / (hi - lo))
     assert len(spans) >= 4
     assert sorted(spans)[len(spans) // 2] < 0.3, f"median file span too wide: {spans}"
+
+
+def test_snapshot_table_time_travel_and_atomicity(spark, tmp_path):
+    """Snapshot table contract: as-of reads return each committed version
+    exactly; an overwrite commit never mutates prior versions; append
+    commits evolve schema without rewriting history; the manifest swap
+    leaves no temp file behind; unknown versions raise."""
+    import os
+
+    import pytest as _pytest
+
+    from parquet_modular_encryption_spark.operators.storage import (
+        snapshot_commit,
+        snapshot_read,
+    )
+
+    table = str(tmp_path / "snap")
+    v1 = snapshot_commit(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, s string"), table
+    )
+    # resolve v1 BEFORE further commits: immutability check below
+    before = sorted(map(tuple, snapshot_read(spark, table, as_of=v1).collect()))
+
+    v2 = snapshot_commit(
+        spark.createDataFrame([(3, "c")], "id bigint, s string"), table
+    )
+    v3 = snapshot_commit(
+        spark.createDataFrame([(4, "d", 9.5)], "id bigint, s string, score double"),
+        table,
+        mode="append",
+    )
+    assert (v1, v2, v3) == (1, 2, 3)
+
+    assert sorted(map(tuple, snapshot_read(spark, table, as_of=1).collect())) == [
+        (1, "a"),
+        (2, "b"),
+    ]
+    assert before == [(1, "a"), (2, "b")]  # untouched by later commits
+    assert sorted(map(tuple, snapshot_read(spark, table, as_of=2).collect())) == [
+        (3, "c")
+    ]
+    latest = snapshot_read(spark, table)
+    assert set(latest.columns) == {"id", "s", "score"}
+    got = sorted(map(tuple, latest.select("id", "s", "score").collect()))
+    assert got == [(3, "c", None), (4, "d", 9.5)]
+
+    assert not os.path.exists(f"{table}/manifest.json.tmp")
+    with _pytest.raises(KeyError):
+        snapshot_read(spark, table, as_of=99)
+    with _pytest.raises(FileNotFoundError):
+        snapshot_read(spark, str(tmp_path / "missing"))
