@@ -402,3 +402,140 @@ def q109_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("value_cents") * 10000 > 6 * F.col("total_cents"))
         .select("l_partkey", "value_cents")
     )
+
+
+@register(
+    "q40_product_profit",
+    oracle=f"""
+    SELECT n_name AS nation,
+           CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+           {sql_dsum(_REV)} AS profit,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN nation   ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY 1, 2
+    """,
+    tags=("join", "tpch"),
+)
+def q40_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (profit by supplier nation × order year for parts
+    matching a name pattern; the dataset has no partsupp, so profit is
+    discounted revenue without supply cost). Scale: the name filter prunes
+    part to a fraction and part/supplier/nation are all dimensions —
+    broadcast every one of them; the only shuffle is orders⋈lineitem on
+    orderkey. 25 nations × ~7 years keeps the agg output tiny."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    supplier = load(spark, sf_dir, "supplier")
+    orders = load(spark, sf_dir, "orders")
+    nation = load(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(
+            dsum(F.expr(_REV)).alias("profit"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q83_promo_revenue",
+    oracle=f"""
+    SELECT {sql_dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE 0 END")}
+               AS promo_revenue,
+           {sql_dsum(_REV)} AS total_revenue,
+           100.0 * {sql_dsum(f"CASE WHEN p_type LIKE 'PROMO%' THEN {_REV} ELSE 0 END")}
+               / {sql_dsum(_REV)} AS promo_pct
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+      AND l_shipdate <  TIMESTAMP '1996-10-01'
+    """,
+    tags=("join", "conditional-agg", "tpch"),
+)
+def q83_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of one month's revenue from promo parts.
+    Both sums are exact decimals finalized to DOUBLE, and the percentage
+    is one IEEE division of those two identical doubles — deterministic
+    across engines. Scale: the month filter pushes into the lineitem scan
+    (partition pruning on a date-partitioned layout); part is broadcast;
+    zero additional shuffles beyond the final single-group agg."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-09-01") & (F.col("l_shipdate") < "1996-10-01")
+    )
+    part = load(spark, sf_dir, "part")
+    rev = F.expr(_REV)
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+        )
+    )
+    return agg.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.lit(100.0) * F.col("promo_revenue") / F.col("total_revenue")).alias(
+            "promo_pct"
+        ),
+    )
+
+
+@register(
+    "q94_small_qty_avg",
+    oracle=f"""
+    WITH thresh AS (
+        SELECT l_partkey AS t_partkey,
+               0.2 * (CAST(SUM(l_quantity) AS DOUBLE) / COUNT(*)) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT {sql_dsum('l_extendedprice')} / 7.0 AS avg_yearly,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part   ON p_partkey = l_partkey
+    JOIN thresh ON t_partkey = l_partkey
+    WHERE p_brand = 'Brand#17'
+      AND l_quantity < qty_thresh
+    """,
+    tags=("join", "correlated", "tpch"),
+)
+def q94_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue that would be lost by dropping
+    small-quantity orders (below 20% of the part's average quantity) for
+    one brand. The correlated scalar subquery is decorrelated into a
+    per-part pre-aggregate joined back on l_partkey — the shuffle for the
+    agg and the shuffle for the join share the same key, so a cluster
+    reuses the exchange. The threshold is deterministic cross-engine:
+    quantities are integral doubles, so SUM is exact and 0.2*(sum/count)
+    is the same IEEE expression both sides. Scale: the brand filter
+    (broadcast part) prunes before the threshold join; per-part agg
+    output is |part| rows, far smaller than lineitem."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#17")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (F.lit(0.2) * (F.sum("l_quantity") / F.count(F.lit(1)))).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(thresh, F.col("t_partkey") == F.col("l_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
