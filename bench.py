@@ -50,7 +50,13 @@ HEADLINE = [
 # Timed but reported outside the headline total (round-over-round
 # comparability): operators added after the headline set was frozen.
 EXTENDED = [
+    "q40_product_profit",
+    "q47b_minhash_neardup_salted",
+    "q50b_knn_vectorized",
     "q59_fuzzy_match_levenshtein",
+    "q62b_snapshot_time_travel",
+    "q83_promo_revenue",
+    "q94_small_qty_avg",
     "q73_term_doc_freq",
     "q75_train_val_test_split",
     "q77_volume_shipping",

@@ -492,3 +492,87 @@ def q90_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_max(F.transform(F.col("q"), lambda x: F.abs(x))).cast("int").alias("max_q"),
         F.array_max(err).alias("max_abs_err"),
     )
+
+
+@register(
+    "q50b_knn_vectorized",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+                   AS cosine_sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "knn", "pandas-udf"),
+)
+def q50b_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched BLAS kNN: the same exact top-k as q50, computed as
+    one numpy matrix multiply per Arrow batch inside mapInPandas instead
+    of per-row JVM array folds. Each batch emits only its local top-k per
+    query (bounded: k x n_queries rows per batch), and a final window
+    over the ~k x n_partitions candidates produces the exact global
+    ranks. The output carries ranks, NOT the similarity doubles: numpy's
+    pairwise-SIMD summation differs from a sequential fold in final ulps,
+    which is irrelevant to ordering (top-k cosine gaps here are >>1e-12)
+    but would break the driver's bit-exact value hash. Scale: the query
+    matrix rides the closure (N_QUERIES x dim, bounded); the corpus is
+    one scan, no shuffle until the tiny candidate set."""
+    import numpy as np
+    import pandas as pd
+
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") < N_QUERIES)
+        .select("vec_id", "embedding")
+        .collect()  # bounded: N_QUERIES rows
+    )
+    qids = [int(r.vec_id) for r in qrows]
+    Q = np.asarray([list(r.embedding) for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+
+    def topk_per_batch(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids = pdf["vec_id"].to_numpy()
+            E = np.asarray([list(v) for v in pdf["embedding"]], dtype=np.float64)
+            En = E / np.linalg.norm(E, axis=1, keepdims=True)
+            S = En @ Qn.T  # (batch, n_queries) cosine matrix
+            out_q, out_n, out_s = [], [], []
+            for j, qid in enumerate(qids):
+                s = S[:, j].copy()
+                s[ids == qid] = -np.inf  # exclude self
+                k = min(TOP_K, len(s))
+                idx = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
+                idx = idx[np.isfinite(s[idx])]
+                out_q.extend([qid] * len(idx))
+                out_n.extend(ids[idx].tolist())
+                out_s.extend(s[idx].tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "neighbor_id": out_n, "cosine_sim": out_s}
+            )
+
+    cand = emb.select("vec_id", "embedding").mapInPandas(
+        topk_per_batch, "query_id bigint, neighbor_id bigint, cosine_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -234,3 +234,18 @@ def read_upsert_dir(spark: SparkSession, out_dir: str, key_cols: list[str]) -> D
         .filter(F.col("__rn") == 1)
         .drop("__rn", "batch_id", "__batch_id")
     )
+
+
+def stream_static_enrich(
+    events_stream: DataFrame, dim: DataFrame, on: str = "event_type"
+) -> DataFrame:
+    """Stream-static join: every micro-batch joins against a bounded batch
+    dimension. Unlike stream-stream joins this is STATELESS — no
+    watermark, no join-state store — because the static side is fully
+    available at each trigger; Spark re-plans it per micro-batch (so a
+    dimension refresh is picked up on the next trigger). The explicit
+    broadcast keeps the stream side shuffle-free: at 100 TB/day of
+    events, shuffling the stream to co-locate with a small dimension
+    would dominate the pipeline; shipping the dimension to the stream
+    executors is the only shape that scales."""
+    return events_stream.join(F.broadcast(dim), on)

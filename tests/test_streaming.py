@@ -214,3 +214,36 @@ def test_checkpoint_restart_exactly_once(spark, tmp_path):
     rows = spark.read.parquet(out).collect()
     assert len(rows) == 3, f"expected 3 rows after restart, got {len(rows)}"
     assert len({r.event_id for r in rows}) == 2  # ids 0,1 from the two files
+
+
+def test_stream_static_enrich_matches_batch(spark):
+    """Streaming enrichment against a static dimension must equal the
+    batch join: per-category event counts agree."""
+    from parquet_modular_encryption_spark.sources.datasets import load
+    from parquet_modular_encryption_spark.streaming.windows import (
+        run_to_memory,
+        stream_events,
+        stream_static_enrich,
+    )
+
+    ev_batch = load(spark, SF, "events")
+    dim = (
+        ev_batch.select("event_type")
+        .distinct()
+        .withColumn("category", F.upper(F.substring("event_type", 1, 1)))
+    )
+    enriched = stream_static_enrich(stream_events(spark, SF), dim)
+    got_df = run_to_memory(
+        enriched.groupBy("category").agg(F.count(F.lit(1)).alias("n")),
+        "t_enrich",
+        output_mode="complete",
+    )
+    got = {r.category: r.n for r in got_df.collect()}
+    want = {
+        r.category: r.n
+        for r in ev_batch.join(dim, "event_type")
+        .groupBy("category")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
