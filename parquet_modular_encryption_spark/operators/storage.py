@@ -268,3 +268,126 @@ def sorted_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def merge_commit(
+    spark: SparkSession, table_dir: str, source: DataFrame, key_cols: list[str]
+) -> int:
+    """MERGE INTO (upsert) as a new snapshot version: source rows replace
+    target rows with the same key; unmatched target rows carry over.
+
+    Copy-on-write at snapshot granularity — the simplest correct form,
+    and time travel keeps working because the pre-merge version remains
+    readable. At 100 TB the rewrite would be scoped to the partitions the
+    source touches (per-partition copy-on-write) or deferred entirely
+    (merge-on-read: write source as a delta file list and resolve
+    latest-wins per key at scan time — the q95/read_upsert_dir pattern);
+    the commit protocol is identical in all three forms. The anti-join
+    keys on ``key_cols`` — one shuffle of the target, with the source key
+    set broadcast when small (AQE decides)."""
+    target = snapshot_read(spark, table_dir)
+    remaining = target.join(source.select(*key_cols), key_cols, "left_anti")
+    merged = remaining.unionByName(source, allowMissingColumns=True)
+    return snapshot_commit(merged, table_dir, mode="overwrite")
+
+
+@register(
+    "q62d_snapshot_merge_upsert",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 10000 AS BIGINT) AS value_e4
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) <= 1996
+        GROUP BY o_custkey
+    ), src AS (
+        SELECT o_custkey, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,10))) * 10000 AS BIGINT) AS value_e4
+        FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997
+        GROUP BY o_custkey
+    )
+    SELECT * FROM src
+    UNION ALL
+    SELECT v1.* FROM v1 LEFT JOIN src USING (o_custkey) WHERE src.o_custkey IS NULL
+    """,
+    tags=("storage", "snapshot", "merge", "upsert"),
+)
+def q62d_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO on a snapshot table: v1 holds per-customer order stats
+    through 1996; the merge source holds 1997 stats. Matched customers are
+    replaced by the source row, unmatched v1 customers survive — the
+    upsert contract, hash-checked against the UNION ALL + anti-join
+    formulation in SQL. Sums travel as scale-4 integer cents-of-cents
+    (exact in both engines)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+
+    def per_cust(filtered: DataFrame) -> DataFrame:
+        return filtered.groupBy("o_custkey").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(F.col("o_totalprice").cast("decimal(38,10)")) * 10000)
+            .cast("bigint")
+            .alias("value_e4"),
+        )
+
+    scratch = tempfile.mkdtemp(prefix="pme_q62d_")
+    table = f"{scratch}/cust_stats"
+    snapshot_commit(per_cust(orders.filter(F.year("o_orderdate") <= 1996)), table)
+    merge_commit(
+        spark,
+        table,
+        per_cust(orders.filter(F.year("o_orderdate") == 1997)),
+        ["o_custkey"],
+    )
+    return snapshot_read(spark, table)
+
+
+def morton_code(a: "F.Column", b: "F.Column", bits: int = 16) -> "F.Column":
+    """Interleave the low ``bits`` bits of two non-negative ints into a
+    Morton (Z-order) code. Pure JVM bit ops inside whole-stage codegen —
+    no UDF."""
+    from functools import reduce
+
+    terms = []
+    for i in range(bits):
+        terms.append(F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i))
+        terms.append(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return reduce(lambda x, y: x.bitwiseOR(y), terms)
+
+
+def zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    bits: int = 16,
+) -> None:
+    """Two-dimensional Z-order clustering: min-max-normalize both columns
+    onto a 2^bits grid, interleave into a Morton code, and range-cluster
+    the write on it. Each output file then covers a small rectangle in
+    (col_a, col_b) space, so row-group min/max statistics prune scans on
+    EITHER column's range predicate — the property single-column sorting
+    (sorted_layout) can only give one dimension. This is how 100 TB fact
+    tables serve two independent access patterns (e.g. by time AND by
+    key) from one layout. The min/max pre-scan is one cheap agg (2 values
+    to the driver — bounded)."""
+    lo_a, hi_a, lo_b, hi_b = df.agg(
+        F.min(col_a), F.max(col_a), F.min(col_b), F.max(col_b)
+    ).first()
+    scale = (1 << bits) - 1
+
+    def norm(c: str, lo, hi) -> "F.Column":
+        rng = max(hi - lo, 1)
+        return ((F.col(c) - F.lit(lo)) * scale / F.lit(rng)).cast("bigint")
+
+    code = morton_code(norm(col_a, lo_a, hi_a), norm(col_b, lo_b, hi_b), bits)
+    (
+        df.withColumn("__z", code)
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

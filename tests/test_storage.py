@@ -184,3 +184,58 @@ def test_snapshot_table_time_travel_and_atomicity(spark, tmp_path):
         snapshot_read(spark, table, as_of=99)
     with _pytest.raises(FileNotFoundError):
         snapshot_read(spark, str(tmp_path / "missing"))
+
+
+def test_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-order layout must bound per-file value spans on BOTH columns;
+    single-column sorting leaves the second dimension unclustered (span
+    ~1.0 of the range), which is the gap Z-order closes."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.operators.storage import (
+        sorted_layout,
+        zorder_layout,
+    )
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    zp = str(tmp_path / "zorder")
+    sp = str(tmp_path / "single")
+    zorder_layout(li, zp, "l_orderkey", "l_partkey", n_files=16)
+    sorted_layout(li, sp, ["l_orderkey"], n_files=16)
+
+    bounds = {
+        c: (v0, v1)
+        for c, v0, v1 in [
+            ("l_orderkey", *li.selectExpr("min(l_orderkey)", "max(l_orderkey)").first()),
+            ("l_partkey", *li.selectExpr("min(l_partkey)", "max(l_partkey)").first()),
+        ]
+    }
+
+    def file_spans(path, col):
+        lo, hi = bounds[col]
+        spans = []
+        for f in os.listdir(path):
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(path, f)).metadata
+            idx = md.schema.names.index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max for i in range(md.num_row_groups))
+            spans.append((fmax - fmin) / (hi - lo))
+        return sorted(spans)
+
+    def median(xs):
+        return xs[len(xs) // 2]
+
+    z_a, z_b = file_spans(zp, "l_orderkey"), file_spans(zp, "l_partkey")
+    s_b = file_spans(sp, "l_partkey")
+    # both dims clustered under Z-order...
+    assert median(z_a) < 0.7, f"zorder l_orderkey spans: {z_a}"
+    assert median(z_b) < 0.7, f"zorder l_partkey spans: {z_b}"
+    # ...whereas single-column sort leaves the second dim unclustered
+    assert median(s_b) > 0.9, f"single-sort l_partkey spans: {s_b}"
+    assert median(z_b) < median(s_b)
