@@ -275,3 +275,119 @@ def q118_token_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
         F.max("cum_tokens").alias("budget_watermark"),
     )
+
+
+# End-to-end pipeline thresholds (q63b): quality floor and a tighter
+# per-source cap than the standalone q117 so every stage visibly prunes.
+PIPE_QUALITY_MIN = 0.5
+PIPE_SOURCE_CAP = 100
+
+
+def _q63b_oracle() -> str:
+    from parquet_modular_encryption_spark.functions.numeric import sql_davg
+    from parquet_modular_encryption_spark.functions.text import sql_normalized
+    from parquet_modular_encryption_spark.pipeline.textops import SQL_QUALITY
+
+    return f"""
+    WITH fp AS (
+        SELECT doc_id, lang, source, text,
+               row_number() OVER (PARTITION BY md5({sql_normalized('text')})
+                                  ORDER BY doc_id) AS fp_rn
+        FROM documents
+    ), deduped AS (
+        SELECT doc_id, lang, source, text FROM fp WHERE fp_rn = 1
+    ), scored AS (
+        SELECT doc_id, lang, source, text, {SQL_QUALITY} AS q
+        FROM deduped
+        WHERE {SQL_QUALITY} >= {PIPE_QUALITY_MIN}
+    ), capped AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, source, text, q,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {_ORDER_KEY}, doc_id) AS src_rn
+            FROM scored
+        ) WHERE src_rn <= {PIPE_SOURCE_CAP}
+    ), counted AS (
+        SELECT doc_id, lang, source, q,
+               CAST(len({sql_tokens('text')}) AS BIGINT) AS n_tokens
+        FROM capped
+    ), budgeted AS (
+        SELECT * FROM (
+            SELECT doc_id, lang, source, q, n_tokens,
+                   CAST(SUM(n_tokens) OVER (
+                       PARTITION BY lang
+                       ORDER BY {_ORDER_KEY}, doc_id
+                       ROWS UNBOUNDED PRECEDING
+                   ) AS BIGINT) AS cum_tokens
+            FROM counted
+        ) WHERE cum_tokens - n_tokens < {LANG_TOKEN_BUDGET}
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs_kept,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens_kept,
+           {sql_davg('q')} AS avg_quality
+    FROM budgeted
+    GROUP BY lang, source
+    """
+
+
+@register(
+    "q63b_curation_pipeline",
+    oracle=_q63b_oracle(),
+    tags=("curation", "pipeline", "dedup", "quality", "token-budget"),
+)
+def q63b_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full curation pass end-to-end, composed from this repo's own
+    stages: exact dedup (normalized fingerprint, min-doc_id canonical) →
+    quality floor (q43's score ≥ 0.5) → per-source cap (q117's
+    deterministic md5 order, cap 100) → per-language token budget (q118
+    semantics) → per-(lang, source) report. Every stage is deterministic,
+    so the WHOLE pipeline is one hash-checked oracle — the composability
+    proof that the standalone operators chain without hidden state.
+
+    Scale: four shuffles total (fingerprint window, source window, lang
+    window, final agg) — each keyed on a different natural column, none
+    avoidable without changing semantics; all intermediate rows stay
+    columnar expressions inside codegen (no UDF, no collect)."""
+    from parquet_modular_encryption_spark.functions.numeric import davg
+    from parquet_modular_encryption_spark.functions.text import normalized
+    from parquet_modular_encryption_spark.pipeline.textops import quality_score
+
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    w_fp = Window.partitionBy(F.md5(normalized("text"))).orderBy("doc_id")
+    deduped = (
+        docs.withColumn("fp_rn", F.row_number().over(w_fp))
+        .filter(F.col("fp_rn") == 1)
+        .select("doc_id", "lang", "source", "text")
+    )
+    scored = deduped.select(
+        "doc_id", "lang", "source", "text", quality_score(F.col("text")).alias("q")
+    ).filter(F.col("q") >= PIPE_QUALITY_MIN)
+    w_src = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    capped = (
+        scored.withColumn("src_rn", F.row_number().over(w_src))
+        .filter(F.col("src_rn") <= PIPE_SOURCE_CAP)
+    )
+    counted = capped.select(
+        "doc_id",
+        "lang",
+        "source",
+        "q",
+        F.size(tokens("text")).cast("bigint").alias("n_tokens"),
+    )
+    w_bud = (
+        Window.partitionBy("lang")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    budgeted = counted.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w_bud).cast("bigint")
+    ).filter(F.col("cum_tokens") - F.col("n_tokens") < LANG_TOKEN_BUDGET)
+    return budgeted.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        davg(F.col("q")).alias("avg_quality"),
+    )
