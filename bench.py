@@ -55,6 +55,8 @@ EXTENDED = [
     "q50b_knn_vectorized",
     "q59_fuzzy_match_levenshtein",
     "q62b_snapshot_time_travel",
+    "q62d_snapshot_merge_upsert",
+    "q63b_curation_pipeline",
     "q83_promo_revenue",
     "q94_small_qty_avg",
     "q73_term_doc_freq",

@@ -61,7 +61,17 @@ def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
 
     dtype = df.schema[col].dataType
     if isinstance(dtype, T.LongType):
-        df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} DIV 1000")))
+        # TIMESTAMP(NANOS) surfaced as BIGINT by the nanosAsLong conf —
+        # or, should a future regeneration write plain int64 epoch-µs,
+        # values 1000× smaller. Disambiguate per value: epoch-nanos
+        # exceeds 1e17 for any date past mid-1973, while epoch-micros
+        # stays below 1e15 until year ~33658, so the 1e17 threshold is
+        # unambiguous for any plausible event time.
+        micros = F.when(
+            F.abs(F.col(col)) > F.lit(100_000_000_000_000_000),
+            F.expr(f"{col} DIV 1000"),
+        ).otherwise(F.col(col))
+        df = df.withColumn(col, F.timestamp_micros(micros))
     elif isinstance(dtype, T.TimestampNTZType):
         df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df

@@ -35,7 +35,7 @@ def _write_fixture(path: str, ts_type: pa.DataType) -> None:
     ids = pa.array([r[0] for r in ROWS], pa.int64())
     users = pa.array([r[2] for r in ROWS], pa.int64())
     if pa.types.is_integer(ts_type):
-        ts = pa.array([us * 1000 for us in EPOCH_US], ts_type)  # nanos
+        ts = pa.array(EPOCH_US, ts_type)  # raw int64 epoch-µs
         tbl = pa.table({"event_id": ids, "ts": ts, "user_id": users})
     else:
         ts = pa.array([r[1] for r in ROWS], ts_type)
@@ -49,8 +49,9 @@ def _write_fixture(path: str, ts_type: pa.DataType) -> None:
         pa.timestamp("us"),  # round-5 encoding → Spark TIMESTAMP_NTZ
         pa.timestamp("us", tz="UTC"),  # plain TIMESTAMP
         pa.timestamp("ns"),  # rounds 1-4 → BIGINT via nanosAsLong conf
+        pa.int64(),  # hypothetical future: raw epoch-µs int64
     ],
-    ids=["ntz_us", "tz_us", "nanos"],
+    ids=["ntz_us", "tz_us", "nanos", "int64_us"],
 )
 def test_events_ts_normalized_any_encoding(spark, tmp_path, ts_type):
     sf_dir = str(tmp_path / f"sf_{ts_type!s}".replace("[", "_").replace("]", "_"))
