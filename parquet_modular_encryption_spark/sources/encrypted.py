@@ -241,3 +241,30 @@ def read_encrypted_arrow(
     )
     dataset = pads.dataset(path, format=fmt)
     return dataset.scanner(columns=columns).to_table()
+
+
+def rotate_encrypted(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    new_policy: EncryptionPolicy,
+    admin_token: str = "RESTRICTED",
+    kms_url: str | None = None,
+) -> int:
+    """Key rotation / policy migration by distributed re-encryption:
+    decrypt ``src_path`` with a privileged token, write ``dst_path``
+    under ``new_policy`` (fresh DEKs wrapped by the new policy's master
+    keys). Returns the number of files written.
+
+    With INTERNAL key material (this engine and the reference,
+    README.md:56), the wrapped DEKs live inside each file's footer, so
+    rotating a master key NECESSARILY rewrites files — in-place rotation
+    (parquet-mr's KeyToolkit) exists only for external key material.
+    The source stays immutable: pair with the snapshot-table manifest
+    swap (operators/storage.py) for an atomic cutover where readers see
+    either the old or the new keyset, never a mix. At 100 TB the rewrite
+    is one decrypt-scan → encrypt-write pipeline per file with no
+    shuffle, so it scales linearly and can run incrementally
+    (per-partition) behind the manifest."""
+    df = read_encrypted(spark, src_path, token=admin_token, kms_url=kms_url)
+    return write_encrypted(df, dst_path, new_policy, kms_url=kms_url)

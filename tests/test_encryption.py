@@ -183,3 +183,44 @@ def test_multifile_distributed_roundtrip(spark, tmp_path):
     assert back.count() == 150
     plain = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_key_rotation_policy_migration(spark, people_path, tmp_path):
+    """Rotation rewrites under the new policy's keys: a column promoted
+    CONFIDENTIAL→RESTRICTED is no longer readable by a CONFIDENTIAL
+    token in the rotated dataset (but values are intact for RESTRICTED),
+    and the immutable source still serves the old policy."""
+    from parquet_modular_encryption_spark.crypto.policy import EncryptionPolicy
+    from parquet_modular_encryption_spark.sources.encrypted import rotate_encrypted
+
+    stricter = EncryptionPolicy(
+        column_levels={
+            "date_of_birth": Privilege.INTERNAL,
+            "first_name": Privilege.RESTRICTED,  # promoted
+            "last_name": Privilege.CONFIDENTIAL,
+            "social_security_number": Privilege.RESTRICTED,
+        },
+        name="people_pii_v2",
+    )
+    rotated = str(tmp_path / "people_v2")
+    n_files = rotate_encrypted(spark, people_path, rotated, stricter)
+    assert n_files >= 1
+
+    # full fidelity under the new keys
+    got = sorted(
+        tuple(r) for r in read_encrypted(spark, rotated, token="RESTRICTED").collect()
+    )
+    assert got == sorted(PEOPLE_ROWS)
+
+    # the promoted column now requires RESTRICTED...
+    with pytest.raises(Exception, match="(?i)unwrap|denied|authoriz|403"):
+        read_encrypted(
+            spark, rotated, token="CONFIDENTIAL", columns=["id", "first_name"]
+        ).collect()
+    # ...while the immutable source still serves it at CONFIDENTIAL
+    old = read_encrypted(
+        spark, people_path, token="CONFIDENTIAL", columns=["id", "first_name"]
+    ).collect()
+    assert sorted((r.id, r.first_name) for r in old) == [
+        (row[0], row[2]) for row in PEOPLE_ROWS
+    ]

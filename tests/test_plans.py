@@ -227,3 +227,30 @@ def test_q47b_salted_no_forced_broadcast(spark):
     df.collect()
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_q63b_pipeline_stays_in_codegen(spark):
+    """The composed curation pipeline must remain pure codegen'd
+    expressions — no Python evaluation anywhere in the plan — and keep
+    exactly its three window shuffles + final agg (no hidden extras)."""
+    from parquet_modular_encryption_spark.pipeline.curation import (
+        q63b_curation_pipeline,
+    )
+
+    df = q63b_curation_pipeline(spark, SF)
+    df.collect()
+    plan = executed_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_snapshot_queries_no_cartesian(spark):
+    """Snapshot-table queries read back scratch tables; their plans must
+    stay keyed (anti-join for merge) with no cartesian products."""
+    from parquet_modular_encryption_spark.operators.storage import (
+        q62d_snapshot_merge_upsert,
+    )
+
+    df = q62d_snapshot_merge_upsert(spark, SF)
+    df.collect()
+    assert "CartesianProduct" not in executed_plan(df)
