@@ -13,7 +13,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_modular_encryption_spark.functions.numeric import dsum, dsum_window
+from parquet_modular_encryption_spark.functions.numeric import (
+    davg,
+    dsum,
+    dsum_window,
+    sql_davg,
+)
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -301,4 +306,118 @@ def q93_last_value_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.last(good, ignorenulls=True).over(w).alias("last_good_value"),
         (F.col("event_type") == "error").alias("is_error"),
+    )
+
+
+V_SQL = sql_davg("value")
+
+
+@register(
+    "q93b_resample_interpolate",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT user_id, date_trunc('hour', ts) AS hr,
+               {V_SQL} AS v
+        FROM events WHERE user_id < 40
+        GROUP BY 1, 2
+    ), bounds AS (
+        SELECT user_id, MIN(hr) AS lo, MAX(hr) AS hi FROM hourly GROUP BY 1
+    ), spine AS (
+        SELECT user_id, unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr
+        FROM bounds
+    ), joined AS (
+        SELECT s.user_id, s.hr, h.v FROM spine s
+        LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hr = s.hr
+    ), walled AS (
+        SELECT user_id, hr, v,
+               last_value(v IGNORE NULLS) OVER w_prev AS prev_v,
+               last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER w_prev AS prev_hr,
+               first_value(v IGNORE NULLS) OVER w_next AS next_v,
+               first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+                   OVER w_next AS next_hr
+        FROM joined
+        WINDOW w_prev AS (PARTITION BY user_id ORDER BY hr
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               w_next AS (PARTITION BY user_id ORDER BY hr
+                          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, hr,
+           CASE WHEN v IS NOT NULL THEN v
+                WHEN prev_v IS NULL THEN next_v
+                WHEN next_v IS NULL THEN prev_v
+                ELSE prev_v + (next_v - prev_v)
+                     * ((CAST(epoch(hr) AS BIGINT) - CAST(epoch(prev_hr) AS BIGINT))
+                        / (CAST(epoch(next_hr) AS BIGINT) - CAST(epoch(prev_hr) AS BIGINT)))
+           END AS value_filled,
+           (v IS NULL) AS was_gap
+    FROM walled
+    """,
+    tags=("window", "timeseries", "interpolation"),
+)
+def q93b_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + linear interpolation: per-user hourly grid
+    (sequence spine between each user's first and last active hour), left
+    join of the hourly averages, and gap hours linearly interpolated
+    between the bracketing observations (boundary gaps take the nearest
+    observation). The interpolation fraction uses integer epoch seconds
+    and identical IEEE expression order on both engines, and the hourly
+    average is the exact-decimal floor form — so every filled double
+    hash-matches the oracle.
+
+    Scale: spine cardinality is sum over users of their active-hour span
+    — linear in users, never events²; all three windows and the join
+    shuffle on user_id, so one exchange feeds them all. The user_id < 40
+    filter bounds the demo output; the operator itself has no such
+    limit."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events").filter(F.col("user_id") < 40)
+    hourly = ev.groupBy(
+        "user_id", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(davg("value").alias("v"))
+    bounds = hourly.groupBy("user_id").agg(
+        F.min("hr").alias("lo"), F.max("hr").alias("hi")
+    )
+    spine = bounds.select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 hour"))).alias("hr"),
+    )
+    joined = spine.join(hourly, ["user_id", "hr"], "left")
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_hr = F.when(F.col("v").isNotNull(), F.col("hr"))
+    walled = joined.select(
+        "user_id",
+        "hr",
+        "v",
+        F.last("v", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_hr, ignorenulls=True).over(w_prev).alias("prev_hr"),
+        F.first("v", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_hr, ignorenulls=True).over(w_next).alias("next_hr"),
+    )
+    frac = (
+        (F.unix_timestamp("hr") - F.unix_timestamp("prev_hr")).cast("double")
+        / (F.unix_timestamp("next_hr") - F.unix_timestamp("prev_hr")).cast("double")
+    )
+    filled = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(F.col("prev_v").isNull(), F.col("next_v"))
+        .when(F.col("next_v").isNull(), F.col("prev_v"))
+        .otherwise(
+            F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+        )
+    )
+    return walled.select(
+        "user_id",
+        "hr",
+        filled.alias("value_filled"),
+        F.col("v").isNull().alias("was_gap"),
     )
