@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_modular_encryption_spark.functions.text import hash60, sql_hash60
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -122,4 +123,44 @@ def q76_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.row_number().over(w).alias("sample_rank"),
         )
         .filter(F.col("sample_rank") <= SAMPLE_PER_STRATUM)
+    )
+
+
+_SQL_H60 = sql_hash60("CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "q76b_weighted_sample",
+    oracle=f"""
+    SELECT doc_id, source,
+           CAST({_SQL_H60} % 10000 AS BIGINT) AS draw_bp,
+           CAST((1 + CAST(substr(source, 4) AS INT) % 4) * 2000 AS BIGINT) AS rate_bp
+    FROM documents
+    WHERE {_SQL_H60} % 10000
+          < (1 + CAST(substr(source, 4) AS INT) % 4) * 2000
+    """,
+    tags=("sampling", "weighted"),
+)
+def q76b_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-proportional (weighted) sampling without an RNG: each
+    document draws a uniform basis-point value from the shared md5-based
+    60-bit hash of its id, and is kept when the draw falls under its
+    source's configured rate (here 20/40/60/80% derived from the source
+    id). Pure integer comparisons — reproducible across engines, runs,
+    and repartitioning, and each source's kept fraction converges to its
+    rate. Scale: a stateless map-side filter, zero shuffles; changing
+    rates re-selects deterministically (stable sample membership under
+    rate increases — a kept doc stays kept when its rate only grows)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    draw = hash60(F.col("doc_id").cast("string")) % 10000
+    rate = (1 + F.substring("source", 4, 10).cast("int") % 4) * 2000
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            draw.cast("bigint").alias("draw_bp"),
+            rate.cast("bigint").alias("rate_bp"),
+        )
+        .filter(F.col("draw_bp") < F.col("rate_bp"))
     )
