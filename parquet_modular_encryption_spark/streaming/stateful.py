@@ -62,3 +62,72 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithState: the successor API to applyInPandasWithState —
+# typed composable state (ValueState/ListState/MapState), timers, and TTL,
+# executed against the RocksDB state store (changelog-checkpointable, the
+# 100 TB-state path). Same running-profile semantics as user_profiles so
+# the two APIs are cross-checked by one test.
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0 AND protobuf present (the state-server wire
+    # protocol of transformWithState needs google.protobuf; this container
+    # ships pyspark without it, so the capability is feature-detected)
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class _ProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: ANN001
+            n, total, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                last_us = max(last_us, int(pdf["ts_us"].max()))
+            self._state.update((n, float(total), last_us))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [total],
+                    "last_ts_us": [last_us],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TRANSFORM_WITH_STATE = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TRANSFORM_WITH_STATE = False
+
+
+def user_profiles_tws(events: DataFrame) -> DataFrame:
+    """user_profiles on the Spark 4 transformWithStateInPandas API.
+
+    Requires the RocksDB state store provider (set by the caller/test via
+    ``spark.sql.streaming.stateStore.providerClass``) — the HDFS-backed
+    default store does not support transformWithState — and the protobuf
+    package (see HAS_TRANSFORM_WITH_STATE). RocksDB is also
+    the right answer at scale: state spills to local SSD instead of
+    executor heap, and changelog checkpointing bounds commit latency."""
+    from pyspark.sql import functions as F
+
+    keyed = events.select(
+        "user_id", "value", F.unix_micros("ts").alias("ts_us")
+    ).groupBy("user_id")
+    return keyed.transformWithStateInPandas(
+        statefulProcessor=_ProfileProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -47,3 +47,63 @@ def test_user_profiles_match_batch(spark):
     g = {r.user_id: (r.n_events, r.last_ts_us) for r in got.collect()}
     b = {r.user_id: (r.n_events, r.last_ts_us) for r in batch.collect()}
     assert g == b
+
+
+def test_transform_with_state_matches_applyinpandas(spark):
+    """The Spark 4 transformWithState profile operator must converge to
+    the same final per-user state as the applyInPandasWithState one
+    (and hence the batch aggregate)."""
+    import pytest as _pytest
+
+    from parquet_modular_encryption_spark.streaming.stateful import (
+        HAS_TRANSFORM_WITH_STATE,
+        user_profiles_tws,
+    )
+
+    if not HAS_TRANSFORM_WITH_STATE:
+        _pytest.skip("transformWithState needs Spark >= 4.0 + protobuf (absent here)")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = stream_events(spark, SF)
+        q = (
+            user_profiles_tws(stream)
+            .writeStream.outputMode("update")
+            .format("memory")
+            .queryName("t_profiles_tws")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = (
+            spark.table("t_profiles_tws")
+            .groupBy("user_id")
+            .agg(
+                F.max("n_events").alias("n_events"),
+                F.max("last_ts_us").alias("last_ts_us"),
+            )
+        )
+        from parquet_modular_encryption_spark.sources.datasets import load
+
+        batch = (
+            load(spark, SF, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.unix_micros(F.max("ts")).alias("last_ts_us"),
+            )
+        )
+        g = {r.user_id: (r.n_events, r.last_ts_us) for r in got.collect()}
+        b = {r.user_id: (r.n_events, r.last_ts_us) for r in batch.collect()}
+        assert g == b
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
