@@ -232,6 +232,31 @@ def _sql_bands_cte() -> str:
     """
 
 
+def lsh_band_keys(e: DataFrame) -> DataFrame:
+    """(vec_id, band_id, band_key) banded random-hyperplane LSH rows for a
+    frame of (vec_id, ee: array<double>) — shared by q54/q54b."""
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+
+    def _weight_fn(plane: int):
+        return lambda d: _plane_weights(plane, d)
+
+    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in range(N_PLANES)}
+    band_structs = []
+    for b, band in enumerate(LSH_BANDS):
+        key = None
+        for i, p in enumerate(band):
+            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
+        )
+    return e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
 @register(
     "q54_ann_lsh_search",
     oracle=f"""
@@ -267,26 +292,7 @@ def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
-
-    def _weight_fn(plane: int):
-        return lambda d: _plane_weights(plane, d)
-
-    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in range(N_PLANES)}
-    band_structs = []
-    for b, band in enumerate(LSH_BANDS):
-        key = None
-        for i, p in enumerate(band):
-            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            key = bit if key is None else key + bit
-        band_structs.append(
-            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
-        )
-    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "vec_id",
-        F.col("bk.band_id").alias("band_id"),
-        F.col("bk.band_key").alias("band_key"),
-    )
+    bands = lsh_band_keys(e)
 
     qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "band_id", "band_key"
@@ -575,4 +581,103 @@ def q50b_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+# Hamming-1 multi-probe masks for 3-plane band keys: the exact bucket plus
+# each single-bit flip. Multi-probe trades a constant factor of query-side
+# probes for recall that would otherwise need more hash tables (Lv et al.,
+# VLDB'07) — more memory-efficient at 100 TB, where each extra table is
+# another full corpus index.
+MULTIPROBE_MASKS = (0, 1, 2, 4)
+
+
+@register(
+    "q54b_ann_multiprobe",
+    oracle=f"""
+    WITH {_sql_bands_cte()},
+    qprobes AS (
+        SELECT vec_id, band_id, xor(band_key, m.m) AS band_key
+        FROM bands, (VALUES (0), (1), (2), (4)) m(m)
+        WHERE vec_id < {N_QUERIES}
+    ),
+    pairs AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM qprobes a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND b.vec_id <> a.vec_id
+    ), scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM pairs p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "lsh", "multiprobe"),
+)
+def q54b_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe ANN: q54's banded LSH, with each query additionally
+    probing every Hamming-1 neighbor of its band keys (MULTIPROBE_MASKS
+    XOR). The corpus index is UNCHANGED — only the broadcast query side
+    fans out 4x — so recall rises (candidates are a superset of q54's,
+    pinned by test) at zero extra index memory: the scale-relevant trade
+    versus adding hash tables. Rerank identical to q54: broadcast-bounded
+    query vectors, exact cosine, top-5 window."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    bands = lsh_band_keys(e)
+
+    masks = F.array(*[F.lit(m) for m in MULTIPROBE_MASKS])
+    qb = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band_id",
+            F.explode(masks).alias("m"),
+            "band_key",
+        )
+        .select(
+            "query_id",
+            "band_id",
+            F.col("band_key").bitwiseXOR(F.col("m")).alias("band_key"),
+        )
+    )
+    pairs = (
+        F.broadcast(qb)
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
+    )
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ce"))
+    scored = (
+        pairs.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )

@@ -284,3 +284,23 @@ def test_salted_banded_pairs_equal_plain_on_skew(spark):
     salted = sorted(map(tuple, banded_pairs_salted(bands).distinct().collect()))
     assert plain == salted
     assert len(plain) >= hot_n * (hot_n - 1) // 2  # hot bucket contributed
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe ANN probes a superset of q54's buckets, so its recall
+    of the exact top-5 must be >= single-probe recall."""
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q50_knn_bruteforce,
+        q54_ann_lsh_search,
+        q54b_ann_multiprobe,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q50_knn_bruteforce(spark, SF).filter(F.col("rank") <= 5).collect()
+    }
+    single = {(r.query_id, r.neighbor_id) for r in q54_ann_lsh_search(spark, SF).collect()}
+    multi = {(r.query_id, r.neighbor_id) for r in q54b_ann_multiprobe(spark, SF).collect()}
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single, f"multi-probe recall {r_multi} < single {r_single}"
