@@ -194,70 +194,116 @@ HOT_BUCKET_THRESHOLD = 8
 PAIR_GRID = 4
 
 
+def _block_pairs(
+    df: DataFrame,
+    block_keys: list[str],
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    extra_cond=None,
+) -> DataFrame:
+    """Plain within-block self-join: (out_a < out_b) id pairs sharing every
+    block key (plus ``extra_cond`` on the a/b aliases when given)."""
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in block_keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    if extra_cond is not None:
+        cond = cond & extra_cond
+    return (
+        df.alias("a")
+        .join(df.alias("b"), cond)
+        .select(
+            F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
+        )
+    )
+
+
+def salted_block_self_join(
+    df: DataFrame,
+    block_keys: tuple[str, ...] | list[str],
+    id_col: str = "doc_id",
+    hot_threshold: int = HOT_BUCKET_THRESHOLD,
+    grid: int = PAIR_GRID,
+    out_a: str = "doc_a",
+    out_b: str = "doc_b",
+) -> DataFrame:
+    """Skew-hardened blocked self-join, generalized over arbitrary block
+    keys: identical output to the plain within-block self-join, hot blocks
+    fragment-replicated over a ``grid``×``grid`` reducer grid.
+
+    A block shared by k rows (a boilerplate LSH signature, a dominant
+    (source, length) bucket, a common document prefix) puts k² pair work
+    on a single reducer — the straggler that stalls the stage at 100 TB.
+    Mitigation, mirroring q86's two-phase salted agg but adapted to a
+    self-join:
+
+    1. Block census: one count per block (same shuffle key as the join,
+       so the exchange is reusable); keys with count > ``hot_threshold``
+       form the hot set.
+    2. Cold blocks take the plain self-join unchanged.
+    3. Hot-block rows are fragment-replicated (the 1-bucket-theta join
+       of Okcan & Riedewald, SIGMOD'11): a row with salt s = hash(id)
+       % grid enters the build side in cells (s, *) and the probe side in
+       cells (*, s), so every pair meets in EXACTLY one cell and each
+       block's k² work splits grid² ways for grid× row replication.
+
+    No forced broadcasts: the hot-key set joins on the same block key
+    (AQE broadcasts it when small; the worst-case hot-set size is
+    data-dependent, so forcing would be a 100 TB hazard).
+    """
+    keys = list(block_keys)
+    rows = df.select(id_col, *keys)
+    counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(
+        *keys, F.lit(1).alias("__hot")
+    )
+    tagged = rows.join(hot_keys, keys, "left")
+    cold = tagged.filter(F.col("__hot").isNull()).select(id_col, *keys)
+    hot = tagged.filter(F.col("__hot").isNotNull()).select(id_col, *keys)
+
+    cold_pairs = _block_pairs(cold, keys, id_col, out_a, out_b)
+
+    cells = F.array(*[F.lit(g) for g in range(grid)])
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid))
+    ha = hot.withColumn("__row", salt).withColumn("__col", F.explode(cells))
+    hb = hot.withColumn("__col", salt).withColumn("__row", F.explode(cells))
+    grid_cond = (F.col("a.__row") == F.col("b.__row")) & (
+        F.col("a.__col") == F.col("b.__col")
+    )
+    cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
+    for k in keys:
+        cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
+    hot_pairs = (
+        ha.alias("a")
+        .join(hb.alias("b"), cond & grid_cond)
+        .select(
+            F.col(f"a.{id_col}").alias(out_a), F.col(f"b.{id_col}").alias(out_b)
+        )
+    )
+    return cold_pairs.unionByName(hot_pairs)
+
+
 def banded_pairs_salted(
     bands: DataFrame,
     hot_threshold: int = HOT_BUCKET_THRESHOLD,
     grid: int = PAIR_GRID,
 ) -> DataFrame:
-    """Skew-hardened ``banded_pairs``: identical output, hot buckets
-    fragment-replicated over a ``grid``×``grid`` reducer grid.
-
-    A boilerplate signature shared by k documents (license headers,
-    scraped nav chrome) puts k rows in one (band_id, band_key) bucket and
-    k² pair work on a single reducer — the straggler that stalls the
-    stage at 100 TB. Mitigation, mirroring q86's two-phase salted agg but
-    adapted to a self-join:
-
-    1. Bucket census: one count per bucket (same shuffle key as the join,
-       so the exchange is reusable); keys with count > ``hot_threshold``
-       form the hot set.
-    2. Cold buckets take the plain self-join unchanged.
-    3. Hot-bucket rows are fragment-replicated (the 1-bucket-theta join
-       of Okcan & Riedewald, SIGMOD'11): a row with salt s = hash(doc_id)
-       % grid enters the build side in cells (s, *) and the probe side in
-       cells (*, s), so every pair meets in EXACTLY one cell and each
-       bucket's k² work splits grid² ways for grid× row replication.
-
-    No forced broadcasts: the hot-key set joins on the same
-    (band_id, band_key) key (AQE broadcasts it when small; the worst-case
-    hot-set size is data-dependent, so forcing would be a 100 TB hazard).
-    """
-    counts = bands.groupBy("band_id", "band_key").agg(
-        F.count(F.lit(1)).alias("__n")
-    )
-    hot_keys = counts.filter(F.col("__n") > hot_threshold).select(
-        "band_id", "band_key", F.lit(1).alias("__hot")
-    )
-    tagged = bands.join(hot_keys, ["band_id", "band_key"], "left")
-    cold = tagged.filter(F.col("__hot").isNull()).select(
-        "doc_id", "band_id", "band_key"
-    )
-    hot = tagged.filter(F.col("__hot").isNotNull()).select(
-        "doc_id", "band_id", "band_key"
+    """Skew-hardened ``banded_pairs``: identical output, hot LSH buckets
+    spread over the reducer grid. Thin wrapper over the generalized
+    :func:`salted_block_self_join` with (band_id, band_key) as the block
+    key — see that function for the mechanism and 100 TB rationale."""
+    return salted_block_self_join(
+        bands,
+        ("band_id", "band_key"),
+        id_col="doc_id",
+        hot_threshold=hot_threshold,
+        grid=grid,
     )
 
-    cold_pairs = banded_pairs(cold)
 
-    cells = F.array(*[F.lit(g) for g in range(grid)])
-    salt = F.pmod(F.xxhash64(F.col("doc_id")), F.lit(grid))
-    ha = hot.withColumn("__row", salt).withColumn("__col", F.explode(cells))
-    hb = hot.withColumn("__col", salt).withColumn("__row", F.explode(cells))
-    hot_pairs = (
-        ha.alias("a")
-        .join(
-            hb.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.__row") == F.col("b.__row"))
-            & (F.col("a.__col") == F.col("b.__col"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-    )
-    return cold_pairs.unionByName(hot_pairs)
-
-
-def _jaccard_verify(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
+def _jaccard_verify(
+    shingled: DataFrame, pairs: DataFrame, threshold: float = JACCARD_THRESHOLD
+) -> DataFrame:
     """Exact-Jaccard verification of candidate pairs against the persisted
     shingle sets. Verification joins are plain shuffle joins on
     doc_a/doc_b: the keys are high-cardinality so they partition evenly,
@@ -279,7 +325,7 @@ def _jaccard_verify(shingled: DataFrame, pairs: DataFrame) -> DataFrame:
     return (
         sb.join(enriched, "doc_b")
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -365,12 +411,18 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return votes.select("doc_id", sim.cast("bigint").alias("simhash"))
 
 
-@register(
-    "q49_ngram_jaccard_blocked",
-    oracle=f"""
+NGRAM_SHINGLE_N = 2
+NGRAM_JACCARD_THRESHOLD = 0.35
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Shared by q49 (plain block join) and q49b (salted grid): the salted
+    path's output is identical by construction, so one oracle hash-checks
+    both."""
+    return f"""
     WITH sh AS (
         SELECT doc_id, source, CAST(floor(n_chars / 50) AS BIGINT) AS len_bucket,
-               {sql_word_shingles(sql_tokens('text'), 2)} AS shingles
+               {sql_word_shingles(sql_tokens('text'), NGRAM_SHINGLE_N)} AS shingles
         FROM documents
     )
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -380,24 +432,24 @@ def q48_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.source = b.source AND a.len_bucket = b.len_bucket
      AND a.doc_id < b.doc_id
     WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
-               / len(list_distinct(a.shingles || b.shingles)) >= 0.35
-    """,
+               / len(list_distinct(a.shingles || b.shingles)) >= {NGRAM_JACCARD_THRESHOLD}
+    """
+
+
+@register(
+    "q49_ngram_jaccard_blocked",
+    oracle=_ngram_jaccard_oracle(),
     tags=("dedup", "jaccard"),
 )
 def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked pairwise n-gram Jaccard: candidate pairs restricted to the
     same (source, length-bucket) block, bounding the quadratic comparison —
-    the classic pre-LSH dedup baseline."""
+    the classic pre-LSH dedup baseline. This is the PLAIN block join (pair
+    work within a block lands on one reducer); q49b is the skew-hardened
+    twin for corpora where one source × length bucket dominates."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        F.floor(F.col("n_chars") / 50).cast("bigint").alias("len_bucket"),
-        tokens("text").alias("toks"),
-    ).select(
-        "doc_id", "source", "len_bucket", shingles_from(F.col("toks"), 2).alias("shingles")
-    )
+    sh = _ngram_blocked_shingles(docs)
     a = sh.alias("a")
     b = sh.alias("b")
     jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
@@ -415,7 +467,49 @@ def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             jaccard.alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.35)
+        .filter(F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+def _ngram_blocked_shingles(docs: DataFrame) -> DataFrame:
+    """(doc_id, source, len_bucket, shingles) blocking frame shared by
+    q49/q49b."""
+    return docs.select(
+        "doc_id",
+        "source",
+        F.floor(F.col("n_chars") / 50).cast("bigint").alias("len_bucket"),
+        tokens("text").alias("toks"),
+    ).select(
+        "doc_id",
+        "source",
+        "len_bucket",
+        shingles_from(F.col("toks"), NGRAM_SHINGLE_N).alias("shingles"),
+    )
+
+
+@register(
+    "q49b_ngram_jaccard_salted",
+    oracle=_ngram_jaccard_oracle(),
+    tags=("dedup", "jaccard", "skew"),
+)
+def q49b_ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened q49: byte-identical blocked-Jaccard output (it shares
+    q49's oracle, so the equivalence is hash-checked by the driver), with
+    hot (source, len_bucket) blocks spread over a reducer grid via the
+    generalized :func:`salted_block_self_join` — the same 1-bucket-theta
+    fragment replication that q47b applies to LSH buckets.
+
+    Candidate generation carries only (doc_id, source, len_bucket); the
+    shingle arrays join back in the verification step, so hot-path row
+    replication never replicates the (wide) shingle payload. The
+    adversarial hot-block equivalence and the no-forced-broadcast plan are
+    pinned by tests/test_pipeline.py and tests/test_plans.py."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    sh = _ngram_blocked_shingles(docs).persist()
+    pairs = salted_block_self_join(sh, ("source", "len_bucket"), id_col="doc_id")
+    return _jaccard_verify(
+        sh.select("doc_id", "shingles"), pairs, threshold=NGRAM_JACCARD_THRESHOLD
     )
 
 
@@ -554,7 +648,17 @@ def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     only runs inside small candidate blocks — the classic record-linkage
     decomposition. Scale: the block join is an equi-join (shuffles on the
     block key, no cross product); prefix truncation bounds the per-pair
-    DP cost at {LEV_PREFIX}² regardless of document length."""
+    DP cost at {LEV_PREFIX}² regardless of document length.
+
+    Skew audit (r7): the same hot-block hazard as q49 exists in principle
+    (k docs sharing one {BLOCK_PREFIX}-char opening ⇒ k² pairs on one
+    reducer), but the 12-char prefix key is far finer-grained than
+    (source, len_bucket) and, unlike q49/q47, a hot block here means the
+    docs are already near-identical — the pair OUTPUT is quadratic, not
+    just the comparison work, so salting moves the bottleneck rather than
+    removing it. If a corpus exhibits hot prefixes, route pair generation
+    through :func:`salted_block_self_join` with ("lang", "block") exactly
+    as q49b does and join the prefixes back for the DP step."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     canon = docs.select("doc_id", "lang", normalized("text").alias("norm"))

@@ -286,6 +286,53 @@ def test_salted_banded_pairs_equal_plain_on_skew(spark):
     assert len(plain) >= hot_n * (hot_n - 1) // 2  # hot bucket contributed
 
 
+def test_salted_block_self_join_equal_plain_on_hot_block(spark):
+    """The generalized salted grid must emit exactly the plain within-block
+    pairs on an adversarially skewed frame: one dominant (source,
+    len_bucket) block far above the hot threshold, plus cold blocks, plus
+    a same-bucket-different-source block that must NOT pair with it."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        HOT_BUCKET_THRESHOLD,
+        salted_block_self_join,
+    )
+
+    hot_n = HOT_BUCKET_THRESHOLD * 5  # one dominant source x length block
+    rows = [(i, "web", 3) for i in range(hot_n)]
+    rows += [(100 + i, f"src_{i % 4}", i % 3) for i in range(12)]  # cold
+    rows += [(200 + i, "books", 3) for i in range(2)]  # same bucket, other source
+    df = spark.createDataFrame(rows, "doc_id bigint, source string, len_bucket int")
+
+    expected = sorted(
+        (a, b)
+        for (a, sa, la) in rows
+        for (b, sb, lb) in rows
+        if sa == sb and la == lb and a < b
+    )
+    got = sorted(
+        map(
+            tuple,
+            salted_block_self_join(df, ("source", "len_bucket"), id_col="doc_id")
+            .collect(),
+        )
+    )
+    assert got == expected
+    assert len(expected) >= hot_n * (hot_n - 1) // 2  # hot path engaged
+
+
+def test_q49b_salted_equals_q49(spark):
+    """q49b (salted grid) must be row-identical to q49 (plain block join)
+    on real testdata — the same equivalence the shared oracle hash-checks
+    at sf0.01, pinned here at sf0.001 including the jaccard doubles."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q49_ngram_jaccard_blocked,
+        q49b_ngram_jaccard_salted,
+    )
+
+    plain = sorted(map(tuple, q49_ngram_jaccard_blocked(spark, SF).collect()))
+    salted = sorted(map(tuple, q49b_ngram_jaccard_salted(spark, SF).collect()))
+    assert plain == salted
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Multi-probe ANN probes a superset of q54's buckets, so its recall
     of the exact top-5 must be >= single-probe recall."""

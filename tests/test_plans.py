@@ -229,6 +229,23 @@ def test_q47b_salted_no_forced_broadcast(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q49b_salted_no_forced_broadcast(spark):
+    """q49b's salted block join, like q47b's, must leave broadcast
+    decisions to AQE (hot-set size is data-dependent) and must never
+    degrade to a cartesian product — every join stays keyed."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q49b_ngram_jaccard_salted,
+    )
+    from parquet_modular_encryption_spark.plans.explain import (
+        forced_broadcast_hints,
+    )
+
+    df = q49b_ngram_jaccard_salted(spark, SF)
+    assert forced_broadcast_hints(df) == 0
+    df.collect()
+    assert "CartesianProduct" not in executed_plan(df)
+
+
 def test_q63b_pipeline_stays_in_codegen(spark):
     """The composed curation pipeline must remain pure codegen'd
     expressions — no Python evaluation anywhere in the plan — and keep
