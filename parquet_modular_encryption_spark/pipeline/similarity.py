@@ -23,6 +23,7 @@ from parquet_modular_encryption_spark.sources.datasets import load
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 10
+QUANT_BITS = 127.0  # int8 symmetric quantization range (q90, q54c)
 
 
 def as_double(vec: Column) -> Column:
@@ -334,6 +335,153 @@ def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Quantized-ANN rerank depth: the asymmetric-distance pre-rank keeps this
+# many candidates per query before the exact float rerank. 4x the final k
+# absorbs int8 reconstruction error at the rank-5 boundary.
+PQ_RERANK_CAND = 20
+
+
+@register(
+    "q54c_ann_quantized",
+    oracle=f"""
+    WITH {_sql_bands_cte()},
+    codes AS (
+        SELECT vec_id,
+               {QUANT_BITS} / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+                   AS scale,
+               embedding::DOUBLE[] AS e
+        FROM embeddings
+    ), recon AS (
+        SELECT vec_id,
+               list_transform(list_transform(e, x -> floor(x * scale + 0.5)),
+                              c -> c / scale) AS r
+        FROM codes
+    ), pairs AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ), prerank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT p.query_id, p.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY p.query_id
+                       ORDER BY list_dot_product(eq.embedding::DOUBLE[], rn.r)
+                                / (sqrt(list_dot_product(eq.embedding::DOUBLE[],
+                                                         eq.embedding::DOUBLE[]))
+                                   * sqrt(list_dot_product(rn.r, rn.r))) DESC,
+                                p.neighbor_id) AS arn
+            FROM pairs p
+            JOIN embeddings eq ON eq.vec_id = p.query_id
+            JOIN recon rn ON rn.vec_id = p.neighbor_id
+        ) WHERE arn <= {PQ_RERANK_CAND}
+    ), scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM prerank p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "lsh", "quantization"),
+)
+def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN — the 100 TB memory story: q54's banded-LSH candidate
+    generation, but the corpus side of the scoring index is held as q90's
+    symmetric int8 CODES (1 byte/dim + one f64 scale ≈ 4x smaller than
+    float32, 8x than float64), so a 100 TB float corpus fits a ~12 TB
+    serving tier. Scoring is two-stage, the PQ/ADC pattern (Jégou et al.,
+    TPAMI'11, asymmetric distance computation):
+
+    1. pre-rank: exact query vector x RECONSTRUCTED corpus vector
+       (floor(x*scale+0.5)/scale) cosine — cheap, code-resident — keeps
+       the top PQ_RERANK_CAND per query;
+    2. exact rerank: survivors only fetch full-precision vectors for the
+       final top-5.
+
+    Both stages are deterministic IEEE arithmetic (floor-quantization is
+    tie-free), so unlike most ANN implementations this one is fully
+    hash-checked against the DuckDB oracle — candidate generation,
+    quantization, pre-rank ordering, and rerank alike. Broadcasts stay
+    bounded to query vectors exactly as q54 (same plan-test class);
+    recall vs the q50 exact baseline is pinned >= q54's by test."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    bands = lsh_band_keys(e)
+
+    # Corpus as int8 codes + per-vector scale (q90's quantizer). `recon`
+    # is the dequantized view used ONLY for pre-rank scoring; full floats
+    # are fetched after the cut.
+    scale = F.lit(QUANT_BITS) / F.array_max(F.transform(F.col("ee"), lambda x: F.abs(x)))
+    codes = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        scale.alias("scale"),
+        F.transform(F.col("ee"), lambda x: F.floor(x * scale + 0.5)).alias("code"),
+    )
+    recon = codes.select(
+        "neighbor_id",
+        F.transform(F.col("code"), lambda c: c / F.col("scale")).alias("re"),
+    )
+
+    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "band_id", "band_key"
+    )
+    pairs = (
+        F.broadcast(qb)
+        .join(
+            bands.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key"),
+            ["band_id", "band_key"],
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # Broadcast bounded to the N_QUERIES query vectors, as in q54.
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
+    )
+    prerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    survivors = (
+        pairs.join(F.broadcast(eq), "query_id")
+        .join(recon, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("re")).alias("approx_sim"),
+        )
+        .withColumn("arn", F.row_number().over(prerank_w))
+        .filter(F.col("arn") <= PQ_RERANK_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ce"))
+    scored = (
+        survivors.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
 NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # cosine ≈ 0.48), so the threshold sits low to exercise the operator; real
 # corpora use ~0.9+.
@@ -447,9 +595,6 @@ def q74_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUANT_BITS = 127.0  # int8 symmetric quantization range
-
-
 @register(
     "q90_embedding_quantization",
     oracle=f"""
@@ -561,9 +706,15 @@ def q50b_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, qid in enumerate(qids):
                 s = S[:, j].copy()
                 s[ids == qid] = -np.inf  # exclude self
-                k = min(TOP_K, len(s))
-                idx = np.argpartition(-s, k - 1)[:k] if k < len(s) else np.arange(len(s))
-                idx = idx[np.isfinite(s[idx])]
+                # Deterministic local top-k: sort by (-sim, neighbor_id) so
+                # exact cosine ties at the k-th boundary resolve the same
+                # way the global window (and the oracle) does — an
+                # argpartition here could keep an arbitrary tie member and
+                # desync ranks. O(n log n) per batch is noise next to the
+                # matmul.
+                order = np.lexsort((ids, -s))
+                order = order[np.isfinite(s[order])]
+                idx = order[: min(TOP_K, len(order))]
                 out_q.extend([qid] * len(idx))
                 out_n.extend(ids[idx].tolist())
                 out_s.extend(s[idx].tolist())

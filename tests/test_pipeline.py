@@ -351,3 +351,26 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     r_single = len(exact & single) / len(exact)
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single, f"multi-probe recall {r_multi} < single {r_single}"
+
+
+def test_quantized_ann_recall_matches_full_precision(spark):
+    """q54c scores candidates against int8-reconstructed vectors before the
+    exact rerank; with PQ_RERANK_CAND = 4x the final k, the reconstruction
+    error (<=0.4% of max component) must not cost recall vs q54's
+    full-precision rerank of the same LSH candidates — measured against
+    the q50 exact top-5 ground truth."""
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q50_knn_bruteforce,
+        q54_ann_lsh_search,
+        q54c_ann_quantized,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q50_knn_bruteforce(spark, SF).filter(F.col("rank") <= 5).collect()
+    }
+    full = {(r.query_id, r.neighbor_id) for r in q54_ann_lsh_search(spark, SF).collect()}
+    quant = {(r.query_id, r.neighbor_id) for r in q54c_ann_quantized(spark, SF).collect()}
+    r_full = len(exact & full) / len(exact)
+    r_quant = len(exact & quant) / len(exact)
+    assert r_quant >= r_full, f"quantized recall {r_quant} < full-precision {r_full}"
