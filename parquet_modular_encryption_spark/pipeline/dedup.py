@@ -513,16 +513,27 @@ def q49b_ngram_jaccard_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def connected_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc_b") -> DataFrame:
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    stats: dict | None = None,
+) -> DataFrame:
     """Connected components over a near-duplicate pair graph by iterative
     label propagation: every node repeatedly adopts the smallest label in
     its neighborhood until fixpoint. Converges in O(diameter) rounds —
     near-dup clusters are tiny and dense, so a handful of iterations.
 
-    Each iteration is two shuffles (join + min-agg). At 100 TB scale this
-    is the standard alternating-star pattern; the loop is driver-
-    coordinated but all data stays distributed. Returns (node, component)
-    with component = min doc_id of the cluster."""
+    Each iteration is two shuffles (join + min-agg) and exactly two jobs:
+    the eager localCheckpoint that materializes the new labels (and
+    truncates lineage), then a convergence probe that scans ONLY the
+    checkpointed result for any row whose label changed — the old label
+    rides along as a column, so no second join against the previous
+    labels frame is launched (that extra per-iteration join was real
+    money on a 100 TB graph). The loop is driver-coordinated but all
+    data stays distributed. Returns (node, component) with component =
+    min doc_id of the cluster. ``stats`` (optional) receives
+    {"iterations": n} for the job-count test."""
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -533,7 +544,9 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc
         .distinct()
         .withColumn("component", F.col("node"))
     )
+    iterations = 0
     for _ in range(20):  # diameter bound; near-dup clusters converge fast
+        iterations += 1
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -543,22 +556,22 @@ def connected_components(pairs: DataFrame, id_a: str = "doc_a", id_b: str = "doc
             labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
             .select(
                 "node",
+                F.col("component").alias("__old"),
                 F.least(
                     F.col("component"),
                     F.coalesce(F.col("neighbor_component"), F.col("component")),
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)  # truncate lineage per round
         )
         changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "node")
-            .filter(F.col("u.component") != F.col("l.component"))
-            .limit(1)
-            .count()
+            updated.filter(F.col("component") != F.col("__old")).limit(1).count()
         )
-        labels = updated.localCheckpoint(eager=True)  # truncate lineage per round
+        labels = updated.select("node", "component")
         if changed == 0:
             break
+    if stats is not None:
+        stats["iterations"] = iterations
     return labels
 
 

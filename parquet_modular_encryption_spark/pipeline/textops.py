@@ -174,11 +174,43 @@ def langid(text_col: Column) -> Column:
     return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
 
 
-@register("q44_langid", oracle=None, tags=("text", "langid"))
+def _sql_langid_oracle() -> str:
+    """DuckDB twin of ``langid``: per-language trigger-hit counts, argmax
+    with the SAME tie-break as the Spark struct array_max (max hits, then
+    max language code — hence the descending-code CASE cascade)."""
+    hits = ", ".join(
+        "len(list_filter(t, x -> x IN ({words}))) AS h_{code}".format(
+            code=code, words=", ".join(f"'{w}'" for w in words)
+        )
+        for code, words in sorted(LANG_TRIGGERS.items())
+    )
+    codes = sorted(LANG_TRIGGERS)
+    m = f"greatest({', '.join(f'h_{c}' for c in codes)})"
+    cascade = " ".join(
+        f"WHEN h_{c} = m THEN '{c}'" for c in sorted(codes, reverse=True)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT lang, {sql_tokens('text')} AS t FROM documents
+    ), hits AS (
+        SELECT lang, {hits} FROM toks
+    ), best AS (
+        SELECT lang, m,
+               CASE WHEN m = 0 THEN 'und' {cascade} END AS predicted_lang
+        FROM (SELECT *, {m} AS m FROM hits)
+    )
+    SELECT lang, predicted_lang, COUNT(*) AS n_docs
+    FROM best GROUP BY lang, predicted_lang
+    """
+
+
+@register("q44_langid", oracle=_sql_langid_oracle(), tags=("text", "langid"))
 def q44_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID confusion profile: heuristic prediction vs labeled lang.
-    Rows-only driver check (struct-argmax not worth mirroring in SQL);
-    tests/test_pipeline.py asserts the confusion matrix is well-formed."""
+    Hash-checked: the stopword-scoring argmax is deterministic integer
+    arithmetic, so the SQL twin reproduces it exactly (tie-break
+    included); tests/test_pipeline.py additionally asserts the confusion
+    matrix is well-formed."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     return (

@@ -220,6 +220,44 @@ def test_neardup_clusters_match_union_find(spark):
     assert got == want
 
 
+def test_connected_components_two_jobs_per_iteration(spark):
+    """The convergence probe must ride the propagation pass: each
+    iteration launches exactly the eager localCheckpoint job plus one
+    scan of the checkpointed labels — no extra join job against the
+    previous labels (the r6 implementation's per-iteration overhead)."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        connected_components,
+    )
+
+    # chain 0-1-2-3-4 + isolated pair: several propagation rounds
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (10, 11)], "doc_a bigint, doc_b bigint"
+    )
+    sc = spark.sparkContext
+    # AQE materializes every query stage as its own job, which would make
+    # the count measure Catalyst's stage accounting instead of the loop's
+    # structure; with it off, each iteration is exactly (checkpoint job,
+    # convergence-probe job).
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-jobs", "connected components job count")
+    try:
+        stats: dict = {}
+        labels = connected_components(pairs, stats=stats)
+        labels.collect()
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+    jobs = sc.statusTracker().getJobIdsForGroup("cc-jobs")
+    iters = stats["iterations"]
+    assert iters >= 3  # the chain actually exercised propagation
+    # 2 jobs per iteration + the final collect
+    assert len(jobs) <= 2 * iters + 1, (
+        f"{len(jobs)} jobs for {iters} iterations — convergence check is "
+        "launching extra per-iteration work"
+    )
+
+
 def test_ml_minhash_overlaps_handrolled(spark):
     """Spark ML's MinHashLSH and the hand-rolled q47 pipeline hunt the same
     ground truth; their verified pair sets must substantially overlap."""
