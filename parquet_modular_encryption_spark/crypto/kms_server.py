@@ -49,6 +49,9 @@ class _KmsHandler(BaseHTTPRequestHandler):
             self._reply(404, {"detail": "not found"})
             return
         action, key_id = parts[2], parts[3]
+        counters = getattr(self.server, "pme_counters", None)
+        if counters is not None:  # wire-level call census (tests)
+            counters[action] = counters.get(action, 0) + 1
         kek = kms_core.WRAPPING_KEYS.get(key_id)
         if kek is None:
             self._reply(404, {"detail": f"unknown wrapping key {key_id!r}"})
@@ -92,6 +95,9 @@ class KmsServer:
         (the reference deploys behind TLS and clients trust it via
         ``SSL_CERT_FILE``, reference kms_client.py:36-37)."""
         self._httpd = ThreadingHTTPServer(("127.0.0.1", port), _KmsHandler)
+        # wire-level wrap/unwrap request counts, visible to tests via
+        # ``counters`` — the ground truth for "did pruning skip KMS work"
+        self._httpd.pme_counters = {"wrap": 0, "unwrap": 0}
         self._tls = certfile is not None
         if self._tls:
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
@@ -103,6 +109,14 @@ class KmsServer:
     def url(self) -> str:
         host, port = self._httpd.server_address[:2]
         return f"{'https' if self._tls else 'http'}://{host}:{port}"
+
+    @property
+    def counters(self) -> dict:
+        """Wire-level request counts: {"wrap": n, "unwrap": n}."""
+        return self._httpd.pme_counters
+
+    def reset_counters(self) -> None:
+        self._httpd.pme_counters.update(wrap=0, unwrap=0)
 
     def start(self) -> "KmsServer":
         self._thread.start()

@@ -14,13 +14,13 @@ module is imported by the registry unconditionally, so keep imports cheap.
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.numeric import davg, sql_davg
 from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.scratch import scratch_dir
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
 
@@ -62,7 +62,7 @@ def q60_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # each output file costs one KMS wrap round-trip per key-id (double
     # wrapping) — fewer, larger encrypted files is the right shape.
     plain = load(spark, sf_dir, "customer").coalesce(8)
-    scratch = tempfile.mkdtemp(prefix="pme_q60_")
+    scratch = scratch_dir("pme_q60_")
     path = f"{scratch}/customer_enc"
 
     def _agg(frame: DataFrame) -> DataFrame:
@@ -98,3 +98,73 @@ def q60_encrypted_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     write_encrypted(plain, path, CUSTOMER_POLICY)
     return _agg(read_encrypted(spark, path, token="RESTRICTED"))
+
+
+@register(
+    "q60b_encrypted_partitioned",
+    oracle=f"""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           {sql_davg('c_acctbal')} AS avg_acctbal
+    FROM customer
+    WHERE c_nationkey % 5 = 2
+    GROUP BY c_mktsegment
+    """,
+    tags=("encryption", "partitioned", "pruning"),
+)
+def q60b_encrypted_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned decrypting scan: customer is written as a
+    Hive-partitioned ENCRYPTED dataset keyed on a derived non-sensitive
+    bucket (nation_bucket = c_nationkey % 5 — partition directory names
+    are plaintext pathnames, so the key must carry no protected values),
+    then read back filtered to ONE bucket. Pruning happens on directory
+    structure before any KMS/decrypt work — at 100 TB a date-partitioned
+    encrypted fact table reads only the matching days' files and unwraps
+    only their keys, which tests/test_encryption.py pins at the KMS wire
+    level (pruned read ⇒ strictly fewer unwrap calls). The oracle runs
+    the same filtered aggregate on the plaintext table, so the
+    partitioned round-trip is hash-checked lossless.
+
+    Backend-swapped like q60: native partitionBy writer + filtered
+    decrypting scan (partition filters shown in the plan,
+    tests/native_pme_driver.py:146) when the kms jar is present, else the
+    Arrow path's per-directory layout with path-level pruning."""
+    prep(spark)
+    from parquet_modular_encryption_spark.crypto.policy import CUSTOMER_POLICY
+
+    plain = load(spark, sf_dir, "customer").withColumn(
+        "nation_bucket", (F.col("c_nationkey") % 5).cast("int")
+    ).coalesce(4)
+    scratch = scratch_dir("pme_q60b_")
+    path = f"{scratch}/customer_enc_part"
+
+    def _agg(frame: DataFrame) -> DataFrame:
+        return frame.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            davg("c_acctbal").alias("avg_acctbal"),
+        )
+
+    if _native_pme_available(spark):
+        from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+        from parquet_modular_encryption_spark.sources.encrypted_native import (
+            decrypting_scan,
+            write_encrypted_native,
+        )
+
+        kms_url = shared_kms_url()
+        write_encrypted_native(
+            plain, path, CUSTOMER_POLICY, kms_url, partition_by=["nation_bucket"]
+        )
+        with decrypting_scan(spark, path, kms_url, "RESTRICTED") as enc:
+            agg = _agg(enc.filter(F.col("nation_bucket") == 2))
+            rows, schema = agg.collect(), agg.schema
+        return spark.createDataFrame(rows, schema)
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        read_encrypted,
+        write_encrypted_partitioned,
+    )
+
+    write_encrypted_partitioned(plain, path, CUSTOMER_POLICY, "nation_bucket")
+    # path-level pruning: only the matching bucket's directory is listed,
+    # so only its files are opened and only their keys unwrapped
+    return _agg(read_encrypted(spark, f"{path}/nation_bucket=2", token="RESTRICTED"))

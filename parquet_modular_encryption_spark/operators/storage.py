@@ -9,13 +9,13 @@ bucketing needs a metastore table, so it lives in tests/test_storage.py
 
 from __future__ import annotations
 
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.numeric import dsum, sql_dsum
 from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.scratch import scratch_dir
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
 
@@ -45,7 +45,7 @@ def q62_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     so non-matching years are never opened. The oracle filters the flat
     table; equality proves pruning loses nothing."""
     prep(spark)
-    scratch = tempfile.mkdtemp(prefix="pme_q62_")
+    scratch = scratch_dir("pme_q62_")
     orders = load(spark, sf_dir, "orders").withColumn(
         "order_year", F.year("o_orderdate")
     )
@@ -172,7 +172,7 @@ def q62b_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     match proves the overwrite commit left the v1 snapshot untouched
     (immutable data dirs + atomic manifest swap)."""
     prep(spark)
-    scratch = tempfile.mkdtemp(prefix="pme_q62b_")
+    scratch = scratch_dir("pme_q62b_")
     table = f"{scratch}/status_table"
     snapshot_commit(_status_agg(spark, sf_dir, 1996), table)
     snapshot_commit(_status_agg(spark, sf_dir, None), table)
@@ -205,7 +205,7 @@ def q62c_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     is not an option)."""
     prep(spark)
     orders = load(spark, sf_dir, "orders")
-    scratch = tempfile.mkdtemp(prefix="pme_q62c_")
+    scratch = scratch_dir("pme_q62c_")
     table = f"{scratch}/evolving_table"
     v1 = (
         orders.filter(F.year("o_orderdate") <= 1996)
@@ -329,7 +329,7 @@ def q62d_snapshot_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_e4"),
         )
 
-    scratch = tempfile.mkdtemp(prefix="pme_q62d_")
+    scratch = scratch_dir("pme_q62d_")
     table = f"{scratch}/cust_stats"
     snapshot_commit(per_cust(orders.filter(F.year("o_orderdate") <= 1996)), table)
     merge_commit(

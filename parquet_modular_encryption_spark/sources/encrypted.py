@@ -243,6 +243,37 @@ def read_encrypted_arrow(
     return dataset.scanner(columns=columns).to_table()
 
 
+def write_encrypted_partitioned(
+    df: DataFrame,
+    path: str,
+    policy: EncryptionPolicy,
+    partition_col: str,
+    kms_url: str | None = None,
+    **write_kwargs,
+) -> int:
+    """Hive-style partitioned encrypted dataset on the Arrow path: one
+    ``{partition_col}={value}/`` subdirectory per partition value, each
+    holding PME-encrypted leaf files — the Arrow twin of the native
+    writer's ``partition_by`` (encrypted_native.py). Directory names stay
+    plaintext (they are pathnames, not column chunks — partition keys
+    must be non-sensitive). A reader that lists only the matching
+    subdirectory prunes BEFORE any KMS/decrypt work, which
+    tests/test_encryption.py pins at the KMS wire level.
+
+    Partition values are collected driver-side — bounded by definition
+    (a partition column is low-cardinality). Returns total file count."""
+    from pyspark.sql import functions as F
+
+    values = [r[0] for r in df.select(partition_col).distinct().collect()]
+    total = 0
+    for v in sorted(values):
+        part = df.filter(F.col(partition_col) == v)
+        total += write_encrypted(
+            part, f"{path}/{partition_col}={v}", policy, kms_url, **write_kwargs
+        )
+    return total
+
+
 def rotate_encrypted(
     spark: SparkSession,
     src_path: str,

@@ -185,6 +185,56 @@ def test_multifile_distributed_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, plain.collect()))
 
 
+def test_partition_pruning_skips_kms_unwraps(spark, tmp_path):
+    """Partition pruning over an encrypted dataset must skip KMS work,
+    not just IO: reading ONE bucket of a Hive-partitioned encrypted
+    dataset may unwrap only that bucket's keys. Counted at the KMS wire
+    level (KmsServer.counters), so caching or batching inside the crypto
+    factory can't fake a pass — and the pruned read's aggregate matches
+    the plaintext filter exactly."""
+    from parquet_modular_encryption_spark.crypto.kms_server import KmsServer
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        write_encrypted_partitioned,
+    )
+
+    rows = [
+        (i, datetime.date(1990, 1, 1 + i % 28), f"fn{i}", f"ln{i}", f"{i:09d}", i % 4)
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, PEOPLE_SCHEMA + ", bucket int").repartition(2)
+
+    srv = KmsServer().start()
+    try:
+        path = str(tmp_path / "part_enc")
+        write_encrypted_partitioned(df, path, PEOPLE_POLICY, "bucket", kms_url=srv.url)
+        assert srv.counters["wrap"] > 0  # the write actually hit this KMS
+
+        srv.reset_counters()
+        pruned = read_encrypted(
+            spark, f"{path}/bucket=1", token="RESTRICTED", kms_url=srv.url
+        )
+        got = sorted(tuple(r) for r in pruned.collect())
+        u_pruned = srv.counters["unwrap"]
+
+        srv.reset_counters()
+        for b in range(4):
+            read_encrypted(
+                spark, f"{path}/bucket={b}", token="RESTRICTED", kms_url=srv.url
+            ).collect()
+        u_full = srv.counters["unwrap"]
+    finally:
+        srv.stop()
+
+    assert got == sorted(r for r in rows if r[5] == 1)
+    assert u_pruned > 0, "decrypting read must consult the KMS"
+    # one of four equal buckets: the pruned partitions triggered zero of
+    # the unwraps the full read needed for them
+    assert u_pruned * 2 <= u_full, (
+        f"pruned read unwrapped {u_pruned} vs {u_full} for the full scan — "
+        "pruning is not skipping KMS work"
+    )
+
+
 def test_key_rotation_policy_migration(spark, people_path, tmp_path):
     """Rotation rewrites under the new policy's keys: a column promoted
     CONFIDENTIAL→RESTRICTED is no longer readable by a CONFIDENTIAL
