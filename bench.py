@@ -189,10 +189,16 @@ def main() -> None:
             fh.write(raw_payload + "\n")
     except OSError as exc:
         print(f"# raw_times sidecar write failed: {exc}", file=sys.stderr)
+    # A failed/unregistered headline query shrinks `total`, which would
+    # read as a round-over-round SPEEDUP; flag it so the perf gate can
+    # never mistake a missing query for a win (ADVICE r6).
+    missing_headline = [n for n in HEADLINE if n not in timings]
     result = {
         "metric": "headline_queries_total_wall_clock",
         "value": total,
         "unit": "sec",
+        "headline_complete": not missing_headline,
+        **({"missing_headline": missing_headline} if missing_headline else {}),
         "queries": timings,
         "extended_queries": extended,
         "extended_total": round(sum(extended.values()), 3),

@@ -56,10 +56,19 @@ def get_spark(
 def prep(spark: SparkSession) -> SparkSession:
     """Settings applied to an externally-provided session (the driver's).
 
-    Only correctness-critical, runtime-settable confs: UTC timestamps so
+    Correctness-critical, runtime-settable confs: UTC timestamps so
     results match the naive-UTC DuckDB oracle regardless of host TZ, and
     nanos-as-long so TIMESTAMP(NANOS) parquet (events.ts) is readable.
+
+    Plus the scale safety net: AQE with skew-join splitting. The
+    hand-salted paths (q47b/q49b/q86) handle the skew classes we can
+    predict; AQE's runtime splitting catches the ones we can't, on ANY
+    session our queries run in — including the driver's vanilla one.
+    Both confs are runtime-settable; tests/test_plans.py proves the net
+    actually engages on a synthetically skewed sort-merge join.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     return spark

@@ -72,10 +72,30 @@ def user_profiles(events: DataFrame) -> DataFrame:
 # the two APIs are cross-checked by one test.
 # ---------------------------------------------------------------------------
 
-try:  # Spark >= 4.0 AND protobuf present (the state-server wire
-    # protocol of transformWithState needs google.protobuf; this container
-    # ships pyspark without it, so the capability is feature-detected)
+# Capability probe, recorded component-by-component so the skip reason in
+# CI names exactly what is missing (and the suite un-gates itself the
+# moment the environment upgrades): transformWithState needs Spark >= 4.0
+# AND google.protobuf (the state-server wire protocol; this container
+# ships pyspark without it).
+import pyspark as _pyspark
+
+_SPARK_TWS_OK = tuple(int(x) for x in _pyspark.__version__.split(".")[:2]) >= (4, 0)
+try:
     from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    _PROTOBUF_OK = True
+except ImportError:
+    _PROTOBUF_OK = False
+
+TWS_PROBE = (
+    f"pyspark={_pyspark.__version__} "
+    f"({'>=4.0 OK' if _SPARK_TWS_OK else 'needs >= 4.0'}); "
+    f"google.protobuf={'present' if _PROTOBUF_OK else 'MISSING'}"
+)
+
+try:
+    if not (_SPARK_TWS_OK and _PROTOBUF_OK):
+        raise ImportError(TWS_PROBE)
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,
         StatefulProcessorHandle,
@@ -120,6 +140,11 @@ def user_profiles_tws(events: DataFrame) -> DataFrame:
     package (see HAS_TRANSFORM_WITH_STATE). RocksDB is also
     the right answer at scale: state spills to local SSD instead of
     executor heap, and changelog checkpointing bounds commit latency."""
+    if not HAS_TRANSFORM_WITH_STATE:
+        raise RuntimeError(
+            f"transformWithStateInPandas unavailable: {TWS_PROBE} — "
+            "use user_profiles (applyInPandasWithState) instead"
+        )
     from pyspark.sql import functions as F
 
     keyed = events.select(

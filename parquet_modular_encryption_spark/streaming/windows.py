@@ -43,7 +43,19 @@ def stream_events(
     probe = spark.read
     if restrict:
         probe = probe.option("pathGlobFilter", "events.parquet")
-    schema = probe.parquet(sf_dir).schema  # metadata-only: no scan
+    try:
+        schema = probe.parquet(sf_dir).schema  # metadata-only: no scan
+    except Exception:  # noqa: BLE001 — empty/not-yet-populated stream dir
+        # No files yet to probe (a stream may legitimately start before
+        # its source directory has data): declare the current driver
+        # events encoding. If the on-disk encoding differs once files
+        # arrive, normalize_event_ts still adapts the ts column.
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromDDL(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
     reader = spark.readStream.schema(schema)
     if restrict:
         # the streaming file source only accepts directories, so restrict

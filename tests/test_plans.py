@@ -261,6 +261,60 @@ def test_q63b_pipeline_stays_in_codegen(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_aqe_skew_join_safety_net(spark):
+    """Belt-and-braces under the hand-salted paths: prep() must turn on
+    AQE skew-join splitting, and the net must actually ENGAGE — a
+    synthetically skewed sort-merge join (one key carrying ~150k of 200k
+    rows) gets its hot partition split at runtime, visible as
+    ``skew=true`` on the SMJ node of the final adaptive plan."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.plans.explain import executed_plan
+    from parquet_modular_encryption_spark.session import prep
+
+    prep(spark)
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+    tuned = {
+        # force SMJ (no broadcast), and lower the skew thresholds so the
+        # toy-scale hot partition trips them (defaults are 256 MiB)
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # Two traps this repro must avoid: the payload must survive column
+        # pruning into the shuffle (reference it in the aggregate — a
+        # pruned payload leaves every partition ~uniform), and it must not
+        # compress away (sha2, not a repeated literal — skew detection
+        # reads COMPRESSED map-output bytes).
+        left = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0)).otherwise(F.col("id")).alias("k"),
+            F.sha2(F.col("id").cast("string"), 256).alias("payload"),
+        )
+        right = spark.range(0, 60_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        joined = left.join(right, "k").groupBy().agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("sv"),
+            F.max(F.length("payload")).alias("pl"),
+        )
+        joined.collect()
+        plan = executed_plan(joined)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "skew=true" in plan, (
+        "AQE did not split the skewed join:\n" + plan[:1500]
+    )
+
+
 def test_snapshot_queries_no_cartesian(spark):
     """Snapshot-table queries read back scratch tables; their plans must
     stay keyed (anti-join for merge) with no cartesian products."""

@@ -57,11 +57,14 @@ def test_transform_with_state_matches_applyinpandas(spark):
 
     from parquet_modular_encryption_spark.streaming.stateful import (
         HAS_TRANSFORM_WITH_STATE,
+        TWS_PROBE,
         user_profiles_tws,
     )
 
     if not HAS_TRANSFORM_WITH_STATE:
-        _pytest.skip("transformWithState needs Spark >= 4.0 + protobuf (absent here)")
+        # the probe string names the exact missing component, so this
+        # un-gates itself (and says why it didn't) on env upgrades
+        _pytest.skip(f"transformWithState capability probe: {TWS_PROBE}")
 
     prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
     spark.conf.set(
@@ -107,3 +110,19 @@ def test_transform_with_state_matches_applyinpandas(spark):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_tws_unavailable_raises_capability_error(spark):
+    """When the capability probe fails, user_profiles_tws must raise a
+    RuntimeError naming the missing dependency — not leak a NameError
+    from the undefined processor class (ADVICE r6)."""
+    import pytest as _pytest
+
+    from parquet_modular_encryption_spark.streaming import stateful
+    from parquet_modular_encryption_spark.streaming.windows import stream_events
+
+    if stateful.HAS_TRANSFORM_WITH_STATE:
+        _pytest.skip(f"capability present ({stateful.TWS_PROBE}); guard not reachable")
+    stream = stream_events(spark, SF)
+    with _pytest.raises(RuntimeError, match="transformWithStateInPandas unavailable"):
+        stateful.user_profiles_tws(stream)

@@ -21,6 +21,23 @@ from parquet_modular_encryption_spark.streaming.windows import (
 SF = "/root/testdata/sf0.001"
 
 
+def test_stream_starts_on_empty_directory(spark, tmp_path):
+    """A stream must be definable before its source directory has data
+    (ADVICE r6: the batch schema probe used to throw 'unable to infer
+    schema'); once files arrive, a restarted reader sees them with the
+    same declared schema."""
+    import os
+
+    empty = str(tmp_path / "not_yet_populated")
+    os.makedirs(empty)
+    stream = stream_events(spark, empty)
+    assert stream.isStreaming
+    assert "ts" in stream.columns and "event_type" in stream.columns
+    # the declared schema must support the downstream operator graph
+    windowed = tumbling_counts(stream, watermark="1 hour")
+    assert windowed.isStreaming
+
+
 def test_tumbling_stream_equals_batch(spark):
     """Complete-mode streaming tumbling counts == the batch q30 aggregate
     (counts only; q30 adds per-window distincts the stream doesn't)."""
