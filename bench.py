@@ -52,8 +52,12 @@ HEADLINE = [
 EXTENDED = [
     "q40_product_profit",
     "q47b_minhash_neardup_salted",
+    "q49b_ngram_jaccard_salted",
     "q50b_knn_vectorized",
+    "q54c_ann_quantized",
+    "q54d_ann_ivf",
     "q59_fuzzy_match_levenshtein",
+    "q60b_encrypted_partitioned",
     "q62b_snapshot_time_travel",
     "q62d_snapshot_merge_upsert",
     "q63b_curation_pipeline",

@@ -482,6 +482,157 @@ def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# IVF coarse-search parameters: the label-centroid codebook has 10 cells
+# (one per label); queries probe the IVF_NPROBE nearest cells. At 100 TB
+# the codebook is still bounded (IVF cell counts grow like sqrt(n), and
+# the codebook broadcast is the whole point of IVF: assignment is a
+# map-side argmax against a small table, never a corpus shuffle).
+IVF_NPROBE = 3
+
+
+def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF ANN shared core (q54d registers nprobe=IVF_NPROBE; the test
+    drives nprobe=K where IVF provably equals the exact scan)."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+
+    # Coarse codebook: per-label centroid vectors — exactly q52's
+    # deterministic reduce (floor-quantized integer mean), re-assembled
+    # into ordered arrays.
+    expanded = emb.select(
+        "label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val")
+    )
+    qsum = F.sum(F.floor(F.col("val") * F.lit(10000000.0)).cast("bigint"))
+    cdims = expanded.groupBy("label", "dim").agg(
+        (qsum.cast("double") / F.lit(10000000.0) / F.count(F.lit(1))).alias("c")
+    )
+    centroids = (
+        cdims.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+        .select(
+            F.col("label").alias("cell"),
+            F.transform("dc", lambda x: x["c"]).alias("ce"),
+        )
+    )
+
+    # Cell scoring: corpus x codebook. The crossJoin is corpus x K with K
+    # bounded by design (the broadcast codebook IS the IVF data
+    # structure) — linear in the corpus, map-side, never corpus x corpus.
+    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    ranked = scored_cells.withColumn("rn", F.row_number().over(wcell))
+    assign = ranked.filter(F.col("rn") == 1).select(
+        F.col("vec_id").alias("neighbor_id"), "cell"
+    )
+    probes = ranked.filter(
+        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe)
+    ).select(F.col("vec_id").alias("query_id"), "cell")
+
+    # Candidates: every corpus vector assigned to a probed cell. The
+    # probe list is N_QUERIES x nprobe rows — broadcast-bounded.
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
+    )
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ne")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+@register(
+    "q54d_ann_ivf",
+    oracle=f"""
+    WITH expanded AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ), cdims AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(floor(val * 10000000.0) AS BIGINT)) AS DOUBLE)
+                   / 10000000.0 / COUNT(*) AS c
+        FROM expanded GROUP BY label, dim
+    ), centroids AS (
+        SELECT label AS cell, list(c ORDER BY dim) AS ce FROM cdims GROUP BY label
+    ), scored_cells AS (
+        SELECT e.vec_id, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], c.ce)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        FROM embeddings e CROSS JOIN centroids c
+    ), ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM scored_cells
+    ), probes AS (
+        SELECT vec_id AS query_id, cell FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ), assign AS (
+        SELECT vec_id, cell FROM ranked WHERE rn = 1
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM cand
+        JOIN embeddings eq ON eq.vec_id = cand.query_id
+        JOIN embeddings en ON en.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("similarity", "ann", "ivf"),
+)
+def q54d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN — the partition-the-corpus scale path, complementing q54's
+    LSH (hash-the-corpus) and q54c's quantization (shrink-the-corpus):
+    a bounded coarse codebook (per-label centroids, q52's deterministic
+    reduce) assigns every corpus vector to its nearest cell; a query
+    probes only its IVF_NPROBE nearest cells, so search cost scales with
+    the probed fraction instead of the corpus. At 100 TB the corpus
+    would be physically partitioned BY cell (partitionBy(cell) on write),
+    turning the probe into partition pruning — assignment here is the
+    map-side argmax against the broadcast codebook that builds exactly
+    that layout.
+
+    Fully hash-checked (centroid build, assignment, probing, and rerank
+    are all deterministic IEEE arithmetic with row_number tie-breaks);
+    tests pin nprobe-monotone recall and the nprobe=K ⇒ exact-scan
+    equivalence."""
+    return _ivf_search(spark, sf_dir, IVF_NPROBE)
+
+
 NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # cosine ≈ 0.48), so the threshold sits low to exercise the operator; real
 # corpora use ~0.9+.

@@ -412,3 +412,38 @@ def test_quantized_ann_recall_matches_full_precision(spark):
     r_full = len(exact & full) / len(exact)
     r_quant = len(exact & quant) / len(exact)
     assert r_quant >= r_full, f"quantized recall {r_quant} < full-precision {r_full}"
+
+
+def test_ivf_exact_at_full_probe_and_monotone_recall(spark):
+    """IVF's defining invariants: probing ALL cells degenerates to the
+    exact scan (every vector is in some probed cell), and recall is
+    monotone in nprobe. Pinning these checks the cell assignment and
+    probe ranking, not just the rerank."""
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        IVF_NPROBE,
+        _ivf_search,
+        q50_knn_bruteforce,
+    )
+
+    exact_rows = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in q50_knn_bruteforce(spark, SF).filter(F.col("rank") <= 5).collect()
+    )
+    all_cells = sorted(
+        tuple(r) for r in _ivf_search(spark, SF, nprobe=10).collect()
+    )
+    assert all_cells == exact_rows, "nprobe=K must equal the exact top-5"
+
+    exact_set = {(q, n) for q, n, _, _ in exact_rows}
+    got_default = {
+        (r.query_id, r.neighbor_id)
+        for r in _ivf_search(spark, SF, nprobe=IVF_NPROBE).collect()
+    }
+    got_more = {
+        (r.query_id, r.neighbor_id)
+        for r in _ivf_search(spark, SF, nprobe=6).collect()
+    }
+    r_default = len(exact_set & got_default) / len(exact_set)
+    r_more = len(exact_set & got_more) / len(exact_set)
+    assert r_default <= r_more <= 1.0
+    assert r_default > 0, "IVF found none of the true neighbors"
