@@ -102,6 +102,58 @@ def q42_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BPE-ish pretokenization regex (GPT-2 family shape): contraction
+# suffixes, space-prefixed letter runs, digit runs, punctuation runs.
+# Deliberately restricted to constructs with IDENTICAL semantics in
+# Java's regex engine (Spark) and RE2 (DuckDB): ordered alternation,
+# character classes, no lookaround (RE2 has none), no unicode
+# categories. Subword counts from this pattern track BPE token counts
+# closely enough for corpus budgeting, at zero Python cost.
+BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+# SQL literal form: double the quotes; backslashes pass through verbatim
+# in DuckDB single-quoted strings (no escape processing).
+_SQL_BPE = BPE_ISH_PATTERN.replace("'", "''")
+
+
+@register(
+    "q42b_subword_token_counts",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS BIGINT))
+                AS BIGINT) AS total_subwords,
+           CAST(SUM(CAST(len(regexp_extract_all(text, '{_SQL_BPE}')) AS BIGINT))
+                AS DOUBLE)
+               / SUM(CAST({_SQL_NTOKENS} AS BIGINT)) AS subwords_per_word
+    FROM documents
+    GROUP BY lang
+    """,
+    tags=("text", "tokens", "bpe"),
+)
+def q42b_subword_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token accounting with a BPE-ish pretokenization regex —
+    the training-budget estimate q42's whitespace counts under-report
+    (punctuation, contractions, and digit runs become separate tokens).
+    Pure regexp_extract_all + integer sums: whole-stage codegen, no
+    Python, and the fertility ratio (subwords per whitespace word) is a
+    deterministic quotient of two exact BIGINTs. The pattern is pinned
+    to the Java-regex ∩ RE2 common subset so the DuckDB oracle
+    hash-checks the tokenization itself."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    # idx=0 = whole match (the pattern has no capture groups; Spark's
+    # default idx=1 would demand one)
+    n_sub = F.size(
+        F.regexp_extract_all("text", F.lit(BPE_ISH_PATTERN), 0)
+    ).cast("bigint")
+    n_ws = F.size(tokens("text")).cast("bigint")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_sub).alias("total_subwords"),
+        (F.sum(n_sub).cast("double") / F.sum(n_ws)).alias("subwords_per_word"),
+    )
+
+
 def quality_score(text_col: Column) -> Column:
     """Heuristic quality score in [0,1]: length saturation × lexical
     diversity. IEEE double ops only → oracle-reproducible."""
