@@ -300,6 +300,108 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Winnowing fingerprint parameters (Schleimer, Wilkerson & Aiken,
+# SIGMOD'03 — the MOSS scheme): k-char grams hashed, then the minimum
+# hash of every w-window selected. Guarantee: any shared substring of
+# length >= k + w - 1 yields at least one shared fingerprint, while the
+# selected set is ~2/(w+1) of all gram hashes — the density knob that
+# makes fingerprint indexes affordable at 100 TB.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_MIN_SHARED = 2
+
+
+def _winnow_fps_sql() -> str:
+    """DuckDB winnowing fingerprint set for a ``norm`` column."""
+    grams = (
+        f"list_transform(range(1, length(norm) - {WINNOW_K} + 2), "
+        f"i -> substr(norm, i, {WINNOW_K}))"
+    )
+    hashes = (
+        f"list_transform({grams}, g -> "
+        f"CAST(concat('0x', substr(md5(g), 1, 15)) AS BIGINT))"
+    )
+    minima = (
+        f"list_distinct(list_transform(range(1, len(h) - {WINNOW_W} + 2), "
+        f"j -> list_min(h[j:j+{WINNOW_W - 1}])))"
+    )
+    return f"""
+    normed AS (
+        SELECT doc_id, {sql_normalized('text')} AS norm FROM documents
+    ), hashed AS (
+        SELECT doc_id, {hashes} AS h FROM normed
+        WHERE length(norm) >= {WINNOW_K + WINNOW_W - 1}
+    ), fps AS (
+        SELECT DISTINCT doc_id, unnest({minima}) AS fp FROM hashed
+    )
+    """
+
+
+def winnow_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, fp) winnowing fingerprint set for a (doc_id, text, ...)
+    frame — the q45b core, exposed for the guarantee property test."""
+    normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
+        F.length("norm") >= WINNOW_K + WINNOW_W - 1
+    )
+    hashes = F.expr(
+        f"transform(transform(sequence(1, length(norm) - {WINNOW_K} + 1), "
+        f"i -> substr(norm, i, {WINNOW_K})), "
+        f"g -> CAST(conv(substring(md5(g), 1, 15), 16, 10) AS BIGINT))"
+    )
+    minima = F.expr(
+        f"array_distinct(transform(sequence(1, size(h) - {WINNOW_W} + 1), "
+        f"j -> array_min(slice(h, j, {WINNOW_W}))))"
+    )
+    return (
+        normed.select("doc_id", hashes.alias("h"))
+        .select("doc_id", F.explode(minima).alias("fp"))
+        .distinct()
+    )
+
+
+@register(
+    "q45b_winnow_fingerprint",
+    oracle=f"""
+    WITH {_winnow_fps_sql()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           COUNT(*) AS n_shared
+    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
+    """,
+    tags=("text", "fingerprint", "dedup", "winnowing"),
+)
+def q45b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprinting by winnowing: k-gram hashes
+    over the normalized text, windowed-minimum selection, then MOSS-style
+    candidate pairs sharing >= {WINNOW_MIN_SHARED} fingerprints. Unlike
+    q45's whole-document md5 (exact dedup only), winnowing localizes:
+    documents sharing any run of {WINNOW_K + WINNOW_W - 1}+ characters
+    are guaranteed a shared fingerprint, catching copied passages inside
+    otherwise-different documents.
+
+    Everything is higher-order array expressions (substr-gram transform,
+    slice/array_min winnowing) — no explode until the final fingerprint
+    set, no Python. Scale: the pair join shuffles on the fingerprint
+    value (high-cardinality, uniform — same shape as q61's shingle
+    join), and winnowing's ~2/(w+1) density bound keeps the exploded
+    index a fraction of the gram count. Fully hash-checked: gram
+    hashing, window minima, and pair counts are deterministic in both
+    engines."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    fps = winnow_fingerprints(docs)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    return (
+        a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 @register(
     "q46_lang_profile",
     oracle=f"""

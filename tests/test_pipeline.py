@@ -324,6 +324,38 @@ def test_salted_banded_pairs_equal_plain_on_skew(spark):
     assert len(plain) >= hot_n * (hot_n - 1) // 2  # hot bucket contributed
 
 
+def test_winnowing_guarantee(spark):
+    """The winnowing theorem (Schleimer et al.): two documents sharing any
+    substring of length >= k + w - 1 MUST share at least one selected
+    fingerprint, however different their surroundings — and unrelated
+    random-ish docs should share none."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        WINNOW_K,
+        WINNOW_W,
+        winnow_fingerprints,
+    )
+
+    shared = "x" * 0 + "the quick brown fox jumps"  # >> k + w - 1 chars
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"zzz completely different prefix {shared}"),
+            (3, "nothing in common with either of the others at all ok"),
+        ],
+        "doc_id bigint, text string",
+    )
+    fps = winnow_fingerprints(docs)
+    by_doc = {
+        r.doc_id: {x.fp for x in rows}
+        for r in fps.select("doc_id").distinct().collect()
+        for rows in [fps.filter(F.col("doc_id") == r.doc_id).collect()]
+    }
+    assert by_doc[1] & by_doc[2], "shared passage produced no shared fingerprint"
+    assert not (by_doc[1] & by_doc[3])
+    assert not (by_doc[2] & by_doc[3])
+
+
 def test_salted_block_self_join_equal_plain_on_hot_block(spark):
     """The generalized salted grid must emit exactly the plain within-block
     pairs on an adversarially skewed frame: one dominant (source,
