@@ -230,6 +230,60 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     return media.mapInPandas(per_batch, FEATURE_SCHEMA)
 
 
+def resize_payload(payload: bytes, out_w: int, out_h: int) -> bytes:
+    """Nearest-neighbor resize of one synthetic payload's byte grid,
+    re-encoded in the same synthetic format. The body is treated as a
+    width x height single-channel pixel grid (which is exactly how
+    fake_payload builds it); a real deployment swaps the inner two lines
+    for Pillow's `Image.resize` with an identical bytes-in/bytes-out
+    contract."""
+    if payload[:4] != MAGIC:
+        raise ValueError("not a synthetic payload")
+    modality_id, width, height, n = struct.unpack("<BIII", bytes(payload[4:17]))
+    body = bytes(payload[17 : 17 + n])
+    # nearest-neighbor index map (floor sampling), deterministic. The
+    # synthetic body is a TRUNCATED grid (fake_payload caps it at 4 KiB),
+    # so grid indices wrap modulo the actual byte count — a real pixel
+    # decoder indexes the full grid directly.
+    resized = bytes(
+        body[((y * height // out_h) * width + (x * width // out_w)) % n]
+        for y in range(out_h)
+        for x in range(out_w)
+    )
+    return (
+        MAGIC
+        + struct.pack("<BIII", modality_id, out_w, out_h, len(resized))
+        + resized
+    )
+
+
+def resize_images(media: DataFrame, out_w: int = 32, out_h: int = 32) -> DataFrame:
+    """Arrow-batched image resize: binary payloads in, binary payloads
+    out, preserving the (media_id, modality) key columns — the
+    normalize-resolution step of a multimodal training pipeline. Same
+    mapInPandas shape as extract_features: payload bytes stream through
+    Python per partition, nothing lands on the driver, and the output
+    schema is stable for downstream feature extraction (which composes:
+    extract_features(resize_images(media)) round-trips)."""
+    image = media.filter(F.col("modality") == "image")
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].values,
+                    "modality": pdf["modality"].values,
+                    "payload": [
+                        resize_payload(p, out_w, out_h) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return image.mapInPandas(
+        per_batch, "media_id bigint, modality string, payload binary"
+    )
+
+
 def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
     """Video frame sampling stub: emits (media_id, frame_index) rows for
     every ``every_nth`` frame per the metadata — the explode pattern a real

@@ -34,6 +34,38 @@ def test_multimodal_feature_extraction(spark):
     ]
 
 
+def test_resize_images_composes_with_feature_extraction(spark):
+    """resize_images is a binary->binary Arrow-batched transform whose
+    output feeds extract_features unchanged: resized payloads must carry
+    the target dimensions and byte counts, values drawn from the source
+    grid (nearest-neighbor), and the pipeline must stay distributed (no
+    driver-side payloads)."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        decode_payload,
+        extract_features,
+        fake_payload,
+        resize_images,
+        resize_payload,
+        synthetic_media,
+    )
+
+    media = synthetic_media(spark, n=24).repartition(3)
+    resized = resize_images(media, out_w=16, out_h=16)
+    feats = extract_features(resized).collect()
+    n_images = media.filter(F.col("modality") == "image").count()
+    assert len(feats) == n_images > 0
+    for r in feats:
+        assert (r.width, r.height, r.n_bytes) == (16, 16, 256)
+    # driver-side twin: identical bytes for the same media_id
+    src = next(m for m in media.collect() if m.media_id == feats[0].media_id)
+    expect = decode_payload(resize_payload(bytes(src.payload), 16, 16))
+    got = next(r for r in feats if r.media_id == src.media_id)
+    assert got.checksum == expect["checksum"]
+    # upscale also exact (floor sampling is defined for both directions)
+    up = decode_payload(resize_payload(fake_payload(3, "image", 32, 48), 64, 64))
+    assert (up["width"], up["height"], up["n_bytes"]) == (64, 64, 4096)
+
+
 def test_real_png_decode_roundtrip():
     """encode_png emits spec-valid PNGs; decode=real must header-parse the
     exact dimensions back out of the real bytes."""
