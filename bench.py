@@ -51,6 +51,7 @@ HEADLINE = [
 # comparability): operators added after the headline set was frozen.
 EXTENDED = [
     "q40_product_profit",
+    "q42b_subword_token_counts",
     "q47b_minhash_neardup_salted",
     "q49b_ngram_jaccard_salted",
     "q50b_knn_vectorized",
