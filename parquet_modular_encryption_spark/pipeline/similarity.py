@@ -514,22 +514,46 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
             F.col("label").alias("cell"),
             F.transform("dc", lambda x: x["c"]).alias("ce"),
         )
+        # K rows. Materialize the codebook once: both consumers (corpus
+        # assignment, query probing) would otherwise re-run the whole
+        # centroid build — localCheckpoint of K rows is free and cuts
+        # the plan from 22 exchanges to the structural minimum.
+        .localCheckpoint(eager=True)
     )
 
-    # Cell scoring: corpus x codebook. The crossJoin is corpus x K with K
-    # bounded by design (the broadcast codebook IS the IVF data
-    # structure) — linear in the corpus, map-side, never corpus x corpus.
+    # Cell scoring: corpus x codebook via a broadcast of the K-row
+    # centroid frame (the codebook IS the IVF data structure — bounded
+    # by design, resident on every node). Assignment is an argmax per
+    # corpus vector, computed as a map-side-combinable max over
+    # (cos, -cell) structs: partial aggregation collapses the corpus x K
+    # rows back to one row per vector BEFORE the shuffle, and the
+    # struct order (cos DESC equivalent, then -cell DESC == cell ASC)
+    # reproduces the oracle window's "ORDER BY cos DESC, cell"
+    # tie-break. No window ever runs over the corpus — the r7-initial
+    # version windowed corpus x K and consumed it twice (23 exchanges);
+    # this shape carries 13, all structural. (A third variant embedding
+    # the collected codebook as plan literals reached 10 exchanges but
+    # paid multi-second Catalyst/codegen time for ~1300 literal HOF
+    # trees — slower in wall-clock at every tested scale.)
     scored_cells = e.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
     )
-    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
-    ranked = scored_cells.withColumn("rn", F.row_number().over(wcell))
-    assign = ranked.filter(F.col("rn") == 1).select(
-        F.col("vec_id").alias("neighbor_id"), "cell"
+    best = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
-    probes = ranked.filter(
-        (F.col("vec_id") < N_QUERIES) & (F.col("rn") <= nprobe)
-    ).select(F.col("vec_id").alias("query_id"), "cell")
+    assign = best.select(
+        F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
+    )
+    # Probe ranking windows ONLY the bounded query subset (N_QUERIES x K
+    # rows) — the filter sits below the centroid join, so the corpus
+    # scan on this branch prunes to the query vectors.
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= nprobe)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
 
     # Candidates: every corpus vector assigned to a probed cell. The
     # probe list is N_QUERIES x nprobe rows — broadcast-bounded.
