@@ -469,12 +469,19 @@ def q53_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    # tf only matters for the selected doc slice — filter at the source
+    # so the parquet scan on this branch prunes (df_ still scans all
+    # docs, as it must: document frequency is a corpus-wide statistic)
+    tf = (
+        docs.filter(F.col("doc_id") < 30)
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
     df_ = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     scored = (
-        tf.filter(F.col("doc_id") < 30)
-        .join(F.broadcast(df_), "token")
+        tf.join(F.broadcast(df_), "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
