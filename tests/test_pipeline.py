@@ -388,6 +388,27 @@ def test_winnowing_guarantee(spark):
     assert not (by_doc[2] & by_doc[3])
 
 
+def test_winnowing_covers_minhash_neardups(spark):
+    """Cross-method validation (the q58-vs-q47 pattern): documents that
+    MinHash verifies as Jaccard-similar share whole word shingles, hence
+    long character runs, hence winnowing fingerprints — q47's verified
+    pairs must be (almost entirely) a subset of q45b's candidate pairs."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q47_minhash_neardup,
+    )
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        q45b_winnow_fingerprint,
+    )
+
+    minhash = {(r.doc_a, r.doc_b) for r in q47_minhash_neardup(spark, SF).collect()}
+    assert minhash, "expected some near-dup pairs at sf0.001"
+    winnow = {(r.doc_a, r.doc_b) for r in q45b_winnow_fingerprint(spark, SF).collect()}
+    covered = len(minhash & winnow) / len(minhash)
+    assert covered >= 0.8, (
+        f"winnowing caught only {covered:.0%} of MinHash-verified near-dups"
+    )
+
+
 def test_salted_block_self_join_equal_plain_on_hot_block(spark):
     """The generalized salted grid must emit exactly the plain within-block
     pairs on an adversarially skewed frame: one dominant (source,
