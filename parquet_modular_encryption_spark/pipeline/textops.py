@@ -309,6 +309,13 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 WINNOW_K = 8
 WINNOW_W = 4
 WINNOW_MIN_SHARED = 2
+# Document-frequency cap (MOSS's boilerplate drop): a fingerprint shared
+# by more than this many documents is template/license text that carries
+# no dedup signal — every document "matches" boilerplate. Dropping those
+# fingerprints BEFORE pair generation is what keeps the pair count
+# linear on web corpora: without it, one license header shared by k docs
+# puts k rows on a single fingerprint key => k^2 pairs on one reducer.
+WINNOW_MAX_DF = 50
 
 
 def _winnow_fps_sql() -> str:
@@ -359,47 +366,81 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnow_candidate_pairs(docs: DataFrame, max_df: int = WINNOW_MAX_DF) -> DataFrame:
+    """(doc_a, doc_b, n_shared) winnowing candidate pairs with a
+    document-frequency cap — the q45b core, exposed for the adversarial
+    boilerplate test.
+
+    One shuffle total: group the fingerprint index by ``fp``, drop
+    fingerprints whose document frequency exceeds ``max_df`` (MOSS's
+    boilerplate filter — see WINNOW_MAX_DF), and generate pairs directly
+    from the surviving per-fingerprint doc sets with higher-order array
+    functions. Because every surviving set has <= max_df members, pair
+    fan-out per key is bounded by max_df^2/2 regardless of corpus size —
+    no self-join, no hot reducer, no quadratic output on templated text."""
+    fps = winnow_fingerprints(docs)
+    pairs = F.expr(
+        "flatten(transform(docs, (a, i) -> "
+        "transform(slice(docs, i + 2, size(docs)), "
+        "b -> struct(a AS doc_a, b AS doc_b))))"
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+        .filter(F.size("docs").between(2, max_df))
+        .select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+    )
+
+
 @register(
     "q45b_winnow_fingerprint",
     oracle=f"""
-    WITH {_winnow_fps_sql()}
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           COUNT(*) AS n_shared
-    FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
+    WITH {_winnow_fps_sql()},
+    kept AS (
+        SELECT fp, list_sort(list(DISTINCT doc_id)) AS docs
+        FROM fps GROUP BY fp
+        HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND {WINNOW_MAX_DF}
+    ),
+    pair AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        JOIN kept k ON a.fp = k.fp
+    )
+    SELECT doc_a, doc_b, COUNT(*) AS n_shared
+    FROM pair
+    GROUP BY doc_a, doc_b
     HAVING COUNT(*) >= {WINNOW_MIN_SHARED}
     """,
     tags=("text", "fingerprint", "dedup", "winnowing"),
 )
 def q45b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprinting by winnowing: k-gram hashes
-    over the normalized text, windowed-minimum selection, then MOSS-style
-    candidate pairs sharing >= {WINNOW_MIN_SHARED} fingerprints. Unlike
-    q45's whole-document md5 (exact dedup only), winnowing localizes:
+    over the normalized text, windowed-minimum selection, a MOSS-style
+    document-frequency cap (fingerprints in > {WINNOW_MAX_DF} documents
+    are boilerplate and dropped), then candidate pairs sharing >=
+    {WINNOW_MIN_SHARED} surviving fingerprints. Unlike q45's
+    whole-document md5 (exact dedup only), winnowing localizes:
     documents sharing any run of {WINNOW_K + WINNOW_W - 1}+ characters
     are guaranteed a shared fingerprint, catching copied passages inside
     otherwise-different documents.
 
     Everything is higher-order array expressions (substr-gram transform,
-    slice/array_min winnowing) — no explode until the final fingerprint
-    set, no Python. Scale: the pair join shuffles on the fingerprint
-    value (high-cardinality, uniform — same shape as q61's shingle
-    join), and winnowing's ~2/(w+1) density bound keeps the exploded
-    index a fraction of the gram count. Fully hash-checked: gram
-    hashing, window minima, and pair counts are deterministic in both
-    engines."""
+    slice/array_min winnowing, struct-pair generation) — no explode
+    until the fingerprint set, no Python, no self-join. Scale: a single
+    shuffle on the fingerprint value groups each fp's doc set; the DF
+    cap bounds every set at {WINNOW_MAX_DF} members so per-key pair
+    fan-out is constant — a license header shared by 10^6 documents
+    contributes zero pairs instead of 10^12. Winnowing's ~2/(w+1)
+    density bound keeps the index a fraction of the gram count. Fully
+    hash-checked including the cap: the oracle applies the identical
+    document-frequency filter."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    fps = winnow_fingerprints(docs)
-    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
-    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
-    return (
-        a.join(b, "fp")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
-    )
+    return winnow_candidate_pairs(docs)
 
 
 @register(

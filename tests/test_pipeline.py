@@ -388,6 +388,66 @@ def test_winnowing_guarantee(spark):
     assert not (by_doc[2] & by_doc[3])
 
 
+def test_winnowing_boilerplate_cap(spark):
+    """MOSS document-frequency cap adversarial test: a boilerplate passage
+    injected into 500 documents must NOT produce ~500^2/2 pairs — its
+    fingerprints exceed WINNOW_MAX_DF and are dropped, so the pair count
+    stays linear (here: exactly the genuinely-duplicated pairs). The
+    capped pipeline must still agree with the uncapped one on
+    non-boilerplate pairs."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        WINNOW_MAX_DF,
+        WINNOW_MIN_SHARED,
+        winnow_candidate_pairs,
+        winnow_fingerprints,
+    )
+
+    import hashlib
+
+    boiler = "copyright acme corporation all rights reserved do not redistribute"
+    n_docs = 500
+    # per-doc bodies from md5 so no two docs accidentally share an 8-gram
+    rows = [
+        (i, f"{hashlib.md5(str(i).encode()).hexdigest()} "
+            f"{hashlib.md5(f'x{i}'.encode()).hexdigest()} {boiler}")
+        for i in range(n_docs)
+    ]
+    # one genuine near-dup pair that shares a long NON-boilerplate passage
+    passage = "the quick brown fox jumps over the lazy dog repeatedly tonight"
+    rows += [
+        (1000, f"intro text aaa {passage} outro one"),
+        (1001, f"different preamble zzz {passage} closing words two"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    capped = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnow_candidate_pairs(docs, WINNOW_MAX_DF).collect()
+    }
+    # linear, not quadratic: boilerplate fps (df=500 > cap) are dropped,
+    # so none of the 500*499/2 = 124750 boilerplate pairs appear
+    assert len(capped) < n_docs, f"cap failed: {len(capped)} pairs (quadratic blowup)"
+    assert (1000, 1001) in capped, "genuine near-dup lost by the DF cap"
+
+    # agreement with the uncapped pipeline on non-boilerplate pairs: every
+    # capped pair is an uncapped pair with n_shared <= the uncapped count
+    # (the cap only removes fingerprints, never adds)
+    fps = winnow_fingerprints(docs)
+    a = fps.select(F.col("doc_id").alias("doc_a"), "fp")
+    b = fps.select(F.col("doc_id").alias("doc_b"), "fp")
+    uncapped = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in a.join(b, "fp")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_MIN_SHARED)
+        .collect()
+    }
+    for pair, n in capped.items():
+        assert pair in uncapped and n <= uncapped[pair]
+
+
 def test_winnowing_covers_minhash_neardups(spark):
     """Cross-method validation (the q58-vs-q47 pattern): documents that
     MinHash verifies as Jaccard-similar share whole word shingles, hence
