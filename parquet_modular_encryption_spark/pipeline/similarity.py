@@ -24,6 +24,12 @@ from parquet_modular_encryption_spark.sources.datasets import load
 N_QUERIES = 8  # vec_id < 8 are the query vectors
 TOP_K = 10
 QUANT_BITS = 127.0  # int8 symmetric quantization range (q90, q54c)
+# The quantization scale is QUANT_BITS / greatest(max|x|, 1e-30): the
+# epsilon floor keeps an all-zero embedding from producing an Inf scale
+# and NaN codes (whose ordering is engine-dependent downstream). A zero
+# vector quantizes to all-zero codes with a huge-but-finite scale, and
+# reconstruction 0/scale = 0 stays exact. The guard is mirrored verbatim
+# in the DuckDB oracle expressions so outputs remain hash-checked.
 
 
 def as_double(vec: Column) -> Column:
@@ -347,7 +353,7 @@ PQ_RERANK_CAND = 20
     WITH {_sql_bands_cte()},
     codes AS (
         SELECT vec_id,
-               {QUANT_BITS} / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               {QUANT_BITS} / greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
                    AS scale,
                embedding::DOUBLE[] AS e
         FROM embeddings
@@ -421,7 +427,9 @@ def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Corpus as int8 codes + per-vector scale (q90's quantizer). `recon`
     # is the dequantized view used ONLY for pre-rank scoring; full floats
     # are fetched after the cut.
-    scale = F.lit(QUANT_BITS) / F.array_max(F.transform(F.col("ee"), lambda x: F.abs(x)))
+    scale = F.lit(QUANT_BITS) / F.greatest(
+        F.array_max(F.transform(F.col("ee"), lambda x: F.abs(x))), F.lit(1e-30)
+    )
     codes = e.select(
         F.col("vec_id").alias("neighbor_id"),
         scale.alias("scale"),
@@ -776,7 +784,7 @@ def q74_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scaled AS (
         SELECT vec_id, label,
                embedding::DOUBLE[] AS e,
-               {QUANT_BITS} / list_max(list_transform(embedding::DOUBLE[], x -> abs(x)))
+               {QUANT_BITS} / greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
                    AS scale
         FROM embeddings
     ), quant AS (
@@ -804,7 +812,9 @@ def q90_embedding_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     e = as_double(F.col("embedding"))
-    scale = F.lit(QUANT_BITS) / F.array_max(F.transform(e, lambda x: F.abs(x)))
+    scale = F.lit(QUANT_BITS) / F.greatest(
+        F.array_max(F.transform(e, lambda x: F.abs(x))), F.lit(1e-30)
+    )
     scaled = emb.select("vec_id", "label", e.alias("e"), scale.alias("scale"))
     q = F.transform(F.col("e"), lambda x: F.floor(x * F.col("scale") + 0.5))
     quant = scaled.select("vec_id", "label", "scale", F.col("e"), q.alias("q"))

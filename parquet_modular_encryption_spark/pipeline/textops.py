@@ -109,7 +109,14 @@ def q42_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # character classes, no lookaround (RE2 has none), no unicode
 # categories. Subword counts from this pattern track BPE token counts
 # closely enough for corpus budgeting, at zero Python cost.
-BPE_ISH_PATTERN = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+"
+# The whitespace class is spelled out as [ \t\n\r\f\x0B] rather than \s:
+# Java's ASCII \s includes vertical tab (\x0B) while RE2's \s does not,
+# so a bare \s would tokenize a VT-bearing document differently in Spark
+# vs the DuckDB oracle (a confusing hash-check failure). The explicit
+# class has identical membership in both engines.
+BPE_ISH_PATTERN = (
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \t\n\r\f\x0Ba-zA-Z0-9]+"
+)
 # SQL literal form: double the quotes; backslashes pass through verbatim
 # in DuckDB single-quoted strings (no escape processing).
 _SQL_BPE = BPE_ISH_PATTERN.replace("'", "''")

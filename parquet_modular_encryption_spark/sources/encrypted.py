@@ -261,16 +261,27 @@ def write_encrypted_partitioned(
     tests/test_encryption.py pins at the KMS wire level.
 
     Partition values are collected driver-side — bounded by definition
-    (a partition column is low-cardinality). Returns total file count."""
+    (a partition column is low-cardinality). The input is materialized
+    ONCE (persist) before partition enumeration: the value scan and every
+    per-value filter pass read the same snapshot, so a nondeterministic
+    upstream (sampling, current-time columns, rerun-reshuffled source)
+    cannot make the distinct pass and the filter passes disagree —
+    without this, rows could silently drop or duplicate across partition
+    directories, and the full upstream DAG would recompute N+1 times.
+    Returns total file count."""
     from pyspark.sql import functions as F
 
-    values = [r[0] for r in df.select(partition_col).distinct().collect()]
-    total = 0
-    for v in sorted(values):
-        part = df.filter(F.col(partition_col) == v)
-        total += write_encrypted(
-            part, f"{path}/{partition_col}={v}", policy, kms_url, **write_kwargs
-        )
+    df = df.persist()
+    try:
+        values = [r[0] for r in df.select(partition_col).distinct().collect()]
+        total = 0
+        for v in sorted(values):
+            part = df.filter(F.col(partition_col) == v)
+            total += write_encrypted(
+                part, f"{path}/{partition_col}={v}", policy, kms_url, **write_kwargs
+            )
+    finally:
+        df.unpersist()
     return total
 
 

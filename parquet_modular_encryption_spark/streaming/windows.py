@@ -14,6 +14,7 @@ source here is a stand-in for Kafka; the operator graph is identical.
 
 from __future__ import annotations
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -45,11 +46,19 @@ def stream_events(
         probe = probe.option("pathGlobFilter", "events.parquet")
     try:
         schema = probe.parquet(sf_dir).schema  # metadata-only: no scan
-    except Exception:  # noqa: BLE001 — empty/not-yet-populated stream dir
-        # No files yet to probe (a stream may legitimately start before
-        # its source directory has data): declare the current driver
-        # events encoding. If the on-disk encoding differs once files
-        # arrive, normalize_event_ts still adapts the ts column.
+    except AnalysisException as exc:
+        # Only the empty/not-yet-populated case falls back (a stream may
+        # legitimately start before its source directory has data):
+        # declare the current driver events encoding, and
+        # normalize_event_ts adapts if later-arriving files differ.
+        # Everything else (missing path, permissions, corrupt footer)
+        # propagates — a silent fallback would mask a real read failure
+        # and could pin a ts type that mismatches the actual files.
+        cond = getattr(exc, "getCondition", lambda: "")() or ""
+        if not (
+            "UNABLE_TO_INFER_SCHEMA" in cond or "unable to infer schema" in str(exc).lower()
+        ):
+            raise
         from pyspark.sql.types import StructType
 
         schema = StructType.fromDDL(

@@ -536,6 +536,33 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= r_single, f"multi-probe recall {r_multi} < single {r_single}"
 
 
+def test_quantization_zero_vector_guard(spark):
+    """An all-zero embedding must quantize to finite scale and all-zero
+    codes — without the greatest(max|x|, eps) floor the scale is Inf and
+    the codes are NaN (0 * Inf), with engine-dependent ordering downstream."""
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.similarity import QUANT_BITS
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [0.5, -1.0, 0.25])],
+        "vec_id bigint, e array<double>",
+    )
+    scale = F.lit(QUANT_BITS) / F.greatest(
+        F.array_max(F.transform(F.col("e"), lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    rows = {
+        r.vec_id: r
+        for r in df.select(
+            "vec_id",
+            scale.alias("scale"),
+            F.transform(F.col("e"), lambda x: F.floor(x * scale + 0.5)).alias("code"),
+        ).collect()
+    }
+    assert math.isfinite(rows[1].scale) and rows[1].code == [0.0, 0.0, 0.0]
+    assert rows[2].code == [64.0, -127.0, 32.0]
+
+
 def test_quantized_ann_recall_matches_full_precision(spark):
     """q54c scores candidates against int8-reconstructed vectors before the
     exact rerank; with PQ_RERANK_CAND = 4x the final k, the reconstruction
