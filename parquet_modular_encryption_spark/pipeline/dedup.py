@@ -92,6 +92,16 @@ def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
 
 
 def _minhash_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_a, doc_b, jaccard FROM verified
+    """
+
+
+def _minhash_ctes() -> str:
+    """The q47 MinHash+LSH pipeline as a WITH-clause body ending in a
+    ``verified(doc_a, doc_b, jaccard)`` CTE — shared by the q47 oracle and
+    q57's recursive-CTE connected-components oracle."""
     toks = sql_tokens("text")
     shingles = sql_word_shingles("toks", SHINGLE_N)
     hv = f"({sql_hash60('shingle')} % {P})"
@@ -108,7 +118,7 @@ def _minhash_oracle() -> str:
         for i in range(N_BANDS)
     )
     return f"""
-    WITH tokenized AS (
+    tokenized AS (
         SELECT doc_id, {toks} AS toks FROM documents
     ), shingled AS (
         SELECT doc_id, {shingles} AS shingles FROM tokenized
@@ -123,15 +133,16 @@ def _minhash_oracle() -> str:
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
+    ), verified AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
+        FROM pairs p
+        JOIN shingled sa ON sa.doc_id = p.doc_a
+        JOIN shingled sb ON sb.doc_id = p.doc_b
+        WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                   / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
     )
-    SELECT p.doc_a, p.doc_b,
-           CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-               / len(list_distinct(sa.shingles || sb.shingles)) AS jaccard
-    FROM pairs p
-    JOIN shingled sa ON sa.doc_id = p.doc_a
-    JOIN shingled sb ON sb.doc_id = p.doc_b
-    WHERE CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
-               / len(list_distinct(sa.shingles || sb.shingles)) >= {JACCARD_THRESHOLD}
     """
 
 
@@ -580,15 +591,48 @@ def connected_components(
     return labels
 
 
-@register("q57_neardup_clusters", oracle=None, tags=("dedup", "clusters", "iterative"))
+@register(
+    "q57_neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label
+        FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (
+        SELECT node, MIN(label) AS component FROM reach GROUP BY node
+    )
+    SELECT component,
+           COUNT(*) AS cluster_size,
+           MIN(node) AS canonical_doc_id,
+           MAX(node) AS max_doc_id
+    FROM comp
+    GROUP BY component
+    """,
+    tags=("dedup", "clusters", "iterative"),
+)
 def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERS: MinHash candidate pairs → connected
     components → one canonical doc per cluster. The keep/drop decision of
     a dedup pass (keep component representative, drop the rest).
 
-    Iterative label propagation is not SQL-expressible in one statement →
-    rows-only driver check; tests/test_pipeline.py verifies components
-    against a driver-side union-find on the same pairs."""
+    The engine side is iterative label propagation
+    (:func:`connected_components` — O(diameter) distributed rounds with
+    lineage truncation); the oracle expresses the same fixpoint as a
+    DuckDB ``WITH RECURSIVE`` transitive closure: every node's component
+    is the MIN label over its reachability set, which on a symmetric edge
+    relation is exactly the min doc_id of its connected component. The
+    recursive UNION deduplicates, so the closure terminates. sf0.01
+    near-dup graphs are tiny and sparse; the quadratic closure is oracle
+    machinery only, never the engine path. tests/test_pipeline.py
+    additionally verifies components against a driver-side union-find."""
     prep(spark)
     pairs = q47_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
     comp = connected_components(pairs)
