@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.registry import register
+from parquet_modular_encryption_spark.scratch import scratch_dir
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
 
@@ -498,16 +499,13 @@ def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 IVF_NPROBE = 3
 
 
-def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
-    """IVF ANN shared core (q54d registers nprobe=IVF_NPROBE; the test
-    drives nprobe=K where IVF provably equals the exact scan)."""
-    prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-
-    # Coarse codebook: per-label centroid vectors — exactly q52's
-    # deterministic reduce (floor-quantized integer mean), re-assembled
-    # into ordered arrays.
+def _ivf_codebook(emb: DataFrame) -> DataFrame:
+    """(cell, ce) coarse codebook: per-label centroid vectors — exactly
+    q52's deterministic reduce (floor-quantized integer mean),
+    re-assembled into ordered arrays. K rows, localCheckpointed once:
+    both consumers (corpus assignment, query probing) would otherwise
+    re-run the whole centroid build — materializing K rows is free and
+    cuts the plan from 22 exchanges to the structural minimum."""
     expanded = emb.select(
         "label", F.posexplode(as_double(F.col("embedding"))).alias("dim", "val")
     )
@@ -515,19 +513,24 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     cdims = expanded.groupBy("label", "dim").agg(
         (qsum.cast("double") / F.lit(10000000.0) / F.count(F.lit(1))).alias("c")
     )
-    centroids = (
+    return (
         cdims.groupBy("label")
         .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
         .select(
             F.col("label").alias("cell"),
             F.transform("dc", lambda x: x["c"]).alias("ce"),
         )
-        # K rows. Materialize the codebook once: both consumers (corpus
-        # assignment, query probing) would otherwise re-run the whole
-        # centroid build — localCheckpoint of K rows is free and cuts
-        # the plan from 22 exchanges to the structural minimum.
         .localCheckpoint(eager=True)
     )
+
+
+def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF ANN shared core (q54d registers nprobe=IVF_NPROBE; the test
+    drives nprobe=K where IVF provably equals the exact scan)."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    centroids = _ivf_codebook(emb)
 
     # Cell scoring: corpus x codebook via a broadcast of the K-row
     # centroid frame (the codebook IS the IVF data structure — bounded
@@ -593,9 +596,12 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
 
 
-@register(
-    "q54d_ann_ivf",
-    oracle=f"""
+def _ivf_oracle() -> str:
+    """The IVF coarse-quantizer oracle — shared verbatim by q54d (logical
+    probing) and q54e (physical partition-pruned probing): the two engines
+    must produce identical results because partitioning only changes the
+    LAYOUT, never the candidate set."""
+    return f"""
     WITH expanded AS (
         SELECT label,
                unnest(range(0, len(embedding))) AS dim,
@@ -643,9 +649,10 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
                                      ORDER BY cosine_sim DESC, neighbor_id) AS rn
         FROM scored
     ) WHERE rn <= 5
-    """,
-    tags=("similarity", "ann", "ivf"),
-)
+    """
+
+
+@register("q54d_ann_ivf", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
 def q54d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN — the partition-the-corpus scale path, complementing q54's
     LSH (hash-the-corpus) and q54c's quantization (shrink-the-corpus):
@@ -663,6 +670,89 @@ def q54d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests pin nprobe-monotone recall and the nprobe=K ⇒ exact-scan
     equivalence."""
     return _ivf_search(spark, sf_dir, IVF_NPROBE)
+
+
+def ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> str:
+    """Write the embeddings corpus physically partitioned by its assigned
+    IVF cell (``cell=<k>/`` Hive directories) and return the path — the
+    100 TB serving layout q54d's docstring promises: one ``partitionBy``
+    write, after which probing is partition PRUNING, not a filter over a
+    full scan. Assignment is q54d's map-side argmax against the broadcast
+    K-row codebook; vectors are stored INSIDE their cell files so the
+    rerank needs no second corpus join."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    centroids = _ivf_codebook(emb)
+    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    best = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
+    )
+    assign = best.select("vec_id", (-F.col("b.nc")).cast("bigint").alias("cell"))
+    path = scratch_dir("pme_q54e_")
+    e.join(assign, "vec_id").write.mode("overwrite").partitionBy("cell").parquet(path)
+    return path
+
+
+@register("q54e_ann_ivf_partitioned", oracle=_ivf_oracle(), tags=("similarity", "ann", "ivf"))
+def q54e_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54d's IVF search served from the PHYSICAL cell-partitioned layout:
+    the corpus is written ``partitionBy(cell)`` (one Hive directory per
+    IVF cell, vectors stored inside), and a query's nprobe cells become a
+    partition-pruning ``cell IN (...)`` filter on the read — Spark lists
+    only the probed directories, so the files of unprobed cells are never
+    opened, the disk analogue of q60b's "prune before decrypt". Shares
+    q54d's oracle verbatim: partitioning changes layout, never results,
+    and the driver hash-checks that equivalence. The probed-cell list is
+    collected driver-side — bounded by the codebook size K (10 here;
+    IVF codebooks stay ~sqrt(n) cells at any scale), the same
+    bounded-collect class as write_encrypted_partitioned.
+    tests/test_plans.py asserts PartitionFilters actually prunes."""
+    path = ivf_partitioned_layout(spark, sf_dir)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    centroids = _ivf_codebook(emb)
+    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    probed_cells = sorted(r.cell for r in probes.select("cell").distinct().collect())
+    corpus = (
+        spark.read.parquet(path)
+        .filter(F.col("cell").isin(probed_cells))
+        .select("vec_id", "cell", "ee")
+    )
+    # probes is N_QUERIES x nprobe rows; each corpus vector lives in
+    # exactly one cell and probes rows are distinct, so the join output
+    # is already unique per (query_id, neighbor_id) — no dedup shuffle.
+    cand = F.broadcast(probes).join(
+        corpus.select(
+            F.col("vec_id").alias("neighbor_id"), "cell", F.col("ee").alias("ne")
+        ),
+        "cell",
+    ).filter(F.col("neighbor_id") != F.col("query_id"))
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
+    )
+    scored = cand.join(F.broadcast(eq), "query_id").select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qe"), F.col("ne")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )
 
 
 NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise

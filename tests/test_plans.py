@@ -246,6 +246,48 @@ def test_q49b_salted_no_forced_broadcast(spark):
     assert "CartesianProduct" not in executed_plan(df)
 
 
+def test_q54e_ivf_probe_is_partition_pruning(spark):
+    """q54e's probe must reach the cell-partitioned corpus as PARTITION
+    pruning, not a post-scan filter: the scan node's PartitionFilters
+    must carry the cell IN (...) predicate, and the pruned scan must read
+    strictly fewer files than an unpruned scan of the same layout — the
+    disk analogue of q60b's decrypt-skipping proof."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        IVF_NPROBE,
+        N_QUERIES,
+        ivf_partitioned_layout,
+        q54e_ann_ivf_partitioned,
+    )
+
+    df = q54e_ann_ivf_partitioned(spark, SF)
+    plan = executed_plan(df)
+    pf = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert any("cell" in f and ("IN" in f.upper() or "in(" in f) for f in pf), (
+        f"no cell partition filter in scan nodes: {pf}"
+    )
+    df.collect()
+
+    # pruning evidence at the file level: the probed subset of cells
+    # must touch fewer leaf files than the full layout holds
+    import glob
+    import os
+
+    path = ivf_partitioned_layout(spark, SF)
+    all_cells = {d for d in os.listdir(path) if d.startswith("cell=")}
+    all_files = glob.glob(f"{path}/cell=*/*.parquet")
+    probed = spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    n_probed_files = probed.select(F.input_file_name()).distinct().count()
+    assert len(all_cells) > 2, "fixture degenerate: fewer than 3 cells"
+    assert n_probed_files < len(all_files), (
+        f"pruned read touched all {len(all_files)} files"
+    )
+    assert IVF_NPROBE < len(all_cells) and N_QUERIES > 0
+
+
 def test_q63b_pipeline_stays_in_codegen(spark):
     """The composed curation pipeline must remain pure codegen'd
     expressions — no Python evaluation anywhere in the plan — and keep
