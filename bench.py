@@ -52,11 +52,14 @@ HEADLINE = [
 EXTENDED = [
     "q40_product_profit",
     "q42b_subword_token_counts",
+    "q45b_winnow_fingerprint",
     "q47b_minhash_neardup_salted",
     "q49b_ngram_jaccard_salted",
     "q50b_knn_vectorized",
     "q54c_ann_quantized",
     "q54d_ann_ivf",
+    "q54e_ann_ivf_partitioned",
+    "q57_neardup_clusters",
     "q59_fuzzy_match_levenshtein",
     "q60b_encrypted_partitioned",
     "q62b_snapshot_time_travel",
@@ -71,6 +74,7 @@ EXTENDED = [
     "q81_activity_streaks",
     "q86_salted_aggregation",
     "q90_embedding_quantization",
+    "q91_multimodal_features",
     "q95_cdc_latest_wins",
     "q104_large_volume_customers",
     "q106_waiting_supplier",

@@ -29,6 +29,7 @@ from __future__ import annotations
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -240,16 +241,17 @@ def resize_payload(payload: bytes, out_w: int, out_h: int) -> bytes:
     if payload[:4] != MAGIC:
         raise ValueError("not a synthetic payload")
     modality_id, width, height, n = struct.unpack("<BIII", bytes(payload[4:17]))
-    body = bytes(payload[17 : 17 + n])
-    # nearest-neighbor index map (floor sampling), deterministic. The
+    # nearest-neighbor index map (floor sampling), deterministic, computed
+    # as one numpy fancy-index gather — no per-byte Python loop; this is
+    # the same vectorized pattern a real Pillow/numpy decoder uses. The
     # synthetic body is a TRUNCATED grid (fake_payload caps it at 4 KiB),
     # so grid indices wrap modulo the actual byte count — a real pixel
     # decoder indexes the full grid directly.
-    resized = bytes(
-        body[((y * height // out_h) * width + (x * width // out_w)) % n]
-        for y in range(out_h)
-        for x in range(out_w)
-    )
+    body_arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=17)
+    ys = (np.arange(out_h, dtype=np.int64) * height) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * width) // out_w
+    idx_grid = (ys[:, None] * width + xs[None, :]) % n
+    resized = body_arr[idx_grid].tobytes()
     return (
         MAGIC
         + struct.pack("<BIII", modality_id, out_w, out_h, len(resized))
@@ -356,9 +358,12 @@ def q91b_real_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline on the synthetic media table: binary
     payload + metadata struct → mapInPandas feature extraction → per-modality
-    aggregate joined with frame-sampling counts. Rows-only driver check (the
-    payload decode is not SQL-expressible); tests/test_pipeline.py checks the
-    per-payload features exactly against the pure-Python decoder."""
+    aggregate joined with frame-sampling counts AND the resize branch
+    (resize_images → extract_features composed, so the vectorized
+    nearest-neighbor gather is exercised and benched on the same pipeline).
+    Rows-only driver check (the payload decode is not SQL-expressible);
+    tests/test_pipeline.py checks the per-payload features exactly against
+    the pure-Python decoder."""
     prep(spark)
     media = synthetic_media(spark, n=96)
     feats = extract_features(media)
@@ -373,4 +378,21 @@ def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("modality")
         .agg(F.sum(F.coalesce(F.col("count"), F.lit(0))).alias("n_sampled_frames"))
     )
-    return agg.join(sampled, "modality").orderBy("modality")
+    resized = (
+        extract_features(resize_images(media, out_w=16, out_h=16))
+        .groupBy("modality")
+        .agg(F.sum("checksum").alias("resized_checksum_sum"))
+    )
+    return (
+        agg.join(sampled, "modality")
+        .join(resized, "modality", "left")
+        .select(
+            "modality",
+            "n_media",
+            "total_bytes",
+            "checksum_sum",
+            "n_sampled_frames",
+            F.coalesce("resized_checksum_sum", F.lit(0)).alias("resized_checksum_sum"),
+        )
+        .orderBy("modality")
+    )
