@@ -263,3 +263,40 @@ def decrypting_scan(
     with _pme_hadoop_conf(spark, entries):
         df = spark.read.parquet(path)
         yield df.select(*columns) if columns else df
+
+
+def rotate_encrypted_native(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    new_policy,
+    kms_url: str,
+    admin_token: str = "RESTRICTED",
+    data_page_version: str = "2.0",
+) -> None:
+    """Key rotation / policy migration on the NATIVE (parquet-mr) backend
+    — the jar-based path a production Spark cluster actually runs — the
+    twin of the Arrow path's ``rotate_encrypted`` (sources/encrypted.py):
+    decrypt ``src_path`` with a privileged token, rewrite ``dst_path``
+    under ``new_policy`` (fresh DEKs wrapped by the new policy's master
+    keys). The source stays immutable.
+
+    The decrypted frame is pinned via :func:`pinned_decrypting_scan`
+    (MEMORY_ONLY, never spilled, released on exit) rather than streamed
+    lazily: the re-encrypting write runs inside its OWN scoped hadoop
+    conf, which would replace the read token at scan-execution time — a
+    lazy scan consumed by the write would decrypt under the WRITE conf
+    (no token) and fail. Pinning materializes plaintext inside the read
+    scope, so the write consumes cached blocks. At 100 TB, rotation runs
+    per-partition behind a snapshot-manifest swap (operators/storage.py)
+    exactly as the Arrow twin documents — each partition's pin is then
+    bounded by partition size, not corpus size.
+
+    With INTERNAL key material, wrapped DEKs live in each file's footer,
+    so rotating a master key necessarily rewrites files; parquet-mr's
+    in-place KeyToolkit rotation exists only for external key material.
+    """
+    with pinned_decrypting_scan(spark, src_path, kms_url, admin_token) as df:
+        write_encrypted_native(
+            df, dst_path, new_policy, kms_url, data_page_version=data_page_version
+        )

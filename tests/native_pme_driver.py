@@ -206,6 +206,58 @@ def main() -> None:
         assert got == expected
         print("OK interop_jvm_to_arrow")
 
+        # 5b. native key rotation / policy migration: rewrite under a
+        # stricter policy (c_mktsegment promoted INTERNAL→RESTRICTED),
+        # mirroring the Arrow path's test_key_rotation_policy_migration.
+        # Full fidelity under the new keys for RESTRICTED; the promoted
+        # column is denied to an INTERNAL token in the rotated dataset
+        # while the immutable source still serves it at INTERNAL.
+        from parquet_modular_encryption_spark.crypto.policy import (
+            EncryptionPolicy,
+            Privilege,
+        )
+        from parquet_modular_encryption_spark.sources.encrypted_native import (
+            rotate_encrypted_native,
+        )
+
+        stricter = EncryptionPolicy(
+            column_levels={
+                "c_name": Privilege.INTERNAL,
+                "c_acctbal": Privilege.CONFIDENTIAL,
+                "c_mktsegment": Privilege.RESTRICTED,  # promoted
+            },
+            name="customer_pii_v2",
+        )
+        rotate_encrypted_native(
+            spark, f"{scratch}/native", f"{scratch}/native_v2", stricter, kms_url
+        )
+        rot = read_encrypted_native(spark, f"{scratch}/native_v2", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, rot.collect())) == expected
+        rot.unpersist(blocking=True)
+        try:
+            read_encrypted_native(
+                spark,
+                f"{scratch}/native_v2",
+                kms_url,
+                "INTERNAL",
+                columns=["c_custkey", "c_mktsegment"],
+            )
+            raise AssertionError("INTERNAL token read the promoted column")
+        except Exception as exc:  # noqa: BLE001
+            assert "KeyAccessDenied" in str(exc) or "not authorized" in str(exc), exc
+        old = read_encrypted_native(
+            spark,
+            f"{scratch}/native",
+            kms_url,
+            "INTERNAL",
+            columns=["c_custkey", "c_mktsegment"],
+        )
+        assert sorted(tuple(r) for r in old.collect()) == sorted(
+            (t[0], t[4]) for t in expected
+        )
+        old.unpersist(blocking=True)
+        print("OK native_key_rotation")
+
         # 6. unpersist contract: releasing the returned frames (whose
         # .unpersist forwards to the internal pinned frame) drains every
         # decrypted block from executor memory — plaintext does not outlive

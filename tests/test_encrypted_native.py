@@ -22,6 +22,7 @@ EXPECTED = [
     "OK partitioned_encrypted_pruning",
     "OK lazy_conf_scoped",
     "OK interop_jvm_to_arrow",
+    "OK native_key_rotation",
     "OK unpersist_releases_all",
 ]
 
