@@ -682,9 +682,11 @@ LEV_MAX = 20  # edit-distance acceptance threshold
 BLOCK_PREFIX = 12  # blocking key: normalized 12-char prefix + language
 
 
-@register(
-    "q59_fuzzy_match_levenshtein",
-    oracle=f"""
+def _fuzzy_oracle() -> str:
+    """Blocked-Levenshtein oracle shared by q59 (plain block join) and
+    q59b (salted block join) — the two must be byte-identical, so the
+    shared oracle makes the driver hash-check that equivalence."""
+    return f"""
     WITH canon AS (
         SELECT doc_id, lang,
                {sql_normalized('text')} AS norm
@@ -701,7 +703,12 @@ BLOCK_PREFIX = 12  # blocking key: normalized 12-char prefix + language
     SELECT doc_a, doc_b, CAST(edit_dist AS INT) AS edit_dist
     FROM blocked
     WHERE edit_dist <= {LEV_MAX}
-    """,
+    """
+
+
+@register(
+    "q59_fuzzy_match_levenshtein",
+    oracle=_fuzzy_oracle(),
     tags=("dedup", "fuzzy", "levenshtein"),
 )
 def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -718,9 +725,9 @@ def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, len_bucket) and, unlike q49/q47, a hot block here means the
     docs are already near-identical — the pair OUTPUT is quadratic, not
     just the comparison work, so salting moves the bottleneck rather than
-    removing it. If a corpus exhibits hot prefixes, route pair generation
-    through :func:`salted_block_self_join` with ("lang", "block") exactly
-    as q49b does and join the prefixes back for the DP step."""
+    removing it. For corpora with hot prefixes use q59b, which routes
+    pair generation through :func:`salted_block_self_join` with
+    ("lang", "block") and joins the prefixes back for the DP step."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     canon = docs.select("doc_id", "lang", normalized("text").alias("norm"))
@@ -742,6 +749,58 @@ def q59_fuzzy_match_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang_a") == F.col("lang_b"))
             & (F.col("block_a") == F.col("block_b"))
             & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("prefix_a", "prefix_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX)
+    )
+
+
+@register(
+    "q59b_fuzzy_match_salted",
+    oracle=_fuzzy_oracle(),
+    tags=("dedup", "fuzzy", "levenshtein", "skew"),
+)
+def q59b_fuzzy_match_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened q59: byte-identical blocked-Levenshtein output (it
+    shares q59's oracle, so the driver hash-checks the equivalence), with
+    hot (lang, prefix) blocks spread over the reducer grid via
+    :func:`salted_block_self_join` — exactly the routing q59's docstring
+    prescribes, and the same recipe q49b applies to (source, len_bucket).
+
+    Pair generation carries only (doc_id, lang, block); the LEV_PREFIX
+    comparison prefixes join back at the verify step, so hot-block row
+    replication never replicates the wide prefix payload, and the
+    expensive part — the O(LEV_PREFIX²) Levenshtein DP per pair — runs
+    grid²-ways parallel instead of on one straggler reducer. The pair
+    OUTPUT of a hot block remains inherently quadratic (docs sharing a
+    12-char opening are near-identical by construction); salting
+    parallelizes the comparison work, which is the actual stage cost."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    canon = docs.select("doc_id", "lang", normalized("text").alias("norm"))
+    blocked = canon.select(
+        "doc_id", "lang", F.substring("norm", 1, BLOCK_PREFIX).alias("block")
+    )
+    prefixes = canon.select(
+        "doc_id", F.substring("norm", 1, LEV_PREFIX).alias("prefix")
+    )
+    pairs = salted_block_self_join(blocked, ("lang", "block"), id_col="doc_id")
+    return (
+        pairs.join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_a"), F.col("prefix").alias("prefix_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            prefixes.select(
+                F.col("doc_id").alias("doc_b"), F.col("prefix").alias("prefix_b")
+            ),
+            "doc_b",
         )
         .select(
             "doc_a",

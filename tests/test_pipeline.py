@@ -516,6 +516,93 @@ def test_q49b_salted_equals_q49(spark):
     assert plain == salted
 
 
+def test_q59b_salted_equals_q59(spark):
+    """q59b (salted block join) must be row-identical to q59 (plain) on
+    real testdata — the equivalence the shared oracle hash-checks at
+    sf0.01, pinned here at sf0.001 including the edit distances."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q59_fuzzy_match_levenshtein,
+        q59b_fuzzy_match_salted,
+    )
+
+    plain = sorted(map(tuple, q59_fuzzy_match_levenshtein(spark, SF).collect()))
+    salted = sorted(map(tuple, q59b_fuzzy_match_salted(spark, SF).collect()))
+    assert plain == salted
+
+
+def test_q59b_hot_prefix_block(spark):
+    """Adversarial hot-prefix corpus: many documents share one 12-char
+    opening (a boilerplate header), far above the hot threshold. The
+    salted pipeline must emit exactly the pairs a plain blocked join
+    would — same pairs, same edit distances — with the hot block routed
+    through the fragment-replication grid."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        BLOCK_PREFIX,
+        HOT_BUCKET_THRESHOLD,
+        LEV_MAX,
+        LEV_PREFIX,
+        normalized,
+        salted_block_self_join,
+    )
+
+    hot_n = HOT_BUCKET_THRESHOLD * 3
+    header = "breaking news"  # 13 chars >= BLOCK_PREFIX after normalization
+    rows = [(i, "en", f"{header} item {i} body text {i}") for i in range(hot_n)]
+    rows += [(1000 + i, "en", f"totally unrelated opening {i} zzz") for i in range(4)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+
+    canon = docs.select("doc_id", "lang", normalized("text").alias("norm"))
+    blocked = canon.select(
+        "doc_id", "lang", F.substring("norm", 1, BLOCK_PREFIX).alias("block")
+    )
+    prefixes = canon.select(
+        "doc_id", F.substring("norm", 1, LEV_PREFIX).alias("prefix")
+    )
+    pairs = salted_block_self_join(blocked, ("lang", "block"), id_col="doc_id")
+    salted = sorted(
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in pairs.join(
+            prefixes.select(F.col("doc_id").alias("doc_a"), F.col("prefix").alias("prefix_a")),
+            "doc_a",
+        )
+        .join(
+            prefixes.select(F.col("doc_id").alias("doc_b"), F.col("prefix").alias("prefix_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("prefix_a", "prefix_b").cast("int").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= LEV_MAX)
+        .collect()
+    )
+    import re as _re
+
+    def _norm(t):
+        return _re.sub(r"\s+", " ", t.lower()).strip()
+
+    def _lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    norms = {i: _norm(t) for i, _, t in rows}
+    expected = sorted(
+        (a, b, _lev(norms[a][:LEV_PREFIX], norms[b][:LEV_PREFIX]))
+        for a in norms
+        for b in norms
+        if a < b and norms[a][:BLOCK_PREFIX] == norms[b][:BLOCK_PREFIX]
+        and _lev(norms[a][:LEV_PREFIX], norms[b][:LEV_PREFIX]) <= LEV_MAX
+    )
+    assert salted == expected
+    assert len([p for p in expected if p[0] < 1000 and p[1] < 1000]) > 0
+
+
 def test_multiprobe_recall_dominates_single_probe(spark):
     """Multi-probe ANN probes a superset of q54's buckets, so its recall
     of the exact top-5 must be >= single-probe recall."""
