@@ -103,3 +103,66 @@ def test_approx_percentiles_within_tolerance(spark):
                 f"{flag} p{int(q*100)}: value {got} at ranks [{lo},{hi}], "
                 f"target {target}"
             )
+
+
+def test_q28_hll_within_bound_of_duckdb_exact(spark, duck, sf_dir):
+    """q28's HLL++ estimates must land within the sketch's published error
+    bound of the EXACT answer computed by an independent engine (DuckDB
+    COUNT(DISTINCT)) — the tolerance-banded cross-check for a rows-only
+    sketch query. rsd=0.02 is the one-sigma relative standard deviation;
+    3 sigma = 6% bounds the estimate with ~99.7% confidence, floored at
+    +-2 for the small-cardinality regime where HLL++ uses exact sparse
+    counting anyway."""
+    from parquet_modular_encryption_spark.operators.relational import (
+        q28_approx_distinct,
+    )
+
+    got = {r.l_returnflag: r for r in q28_approx_distinct(spark, sf_dir).collect()}
+    rows = duck.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey), COUNT(DISTINCT l_orderkey), COUNT(*)
+        FROM lineitem GROUP BY l_returnflag
+        """
+    ).fetchall()
+    assert len(rows) == len(got)
+    for flag, parts, orders, n in rows:
+        r = got[flag]
+        assert abs(r.approx_parts - parts) <= max(0.06 * parts, 2), (
+            f"{flag}: HLL parts {r.approx_parts} vs exact {parts}"
+        )
+        assert abs(r.approx_orders - orders) <= max(0.06 * orders, 2), (
+            f"{flag}: HLL orders {r.approx_orders} vs exact {orders}"
+        )
+        assert r.n_rows == n
+
+
+def test_q87_gk_within_bound_of_duckdb_exact(spark, duck, sf_dir):
+    """q87's Greenwald-Khanna values must land within the sketch's rank
+    guarantee of the exact distribution held by an independent engine:
+    accuracy 10000 => epsilon = 1e-4, i.e. the returned value's rank is
+    within eps*n of the target rank. We bracket each sketch value between
+    DuckDB's exact discrete quantiles at q -+ eps_rank/n (eps_rank floored
+    at 2 ranks to absorb the engines' different rank-rounding conventions
+    at small n)."""
+    from parquet_modular_encryption_spark.operators.grouping import (
+        q87_approx_percentiles,
+    )
+
+    approx = {r.l_returnflag: r for r in q87_approx_percentiles(spark, sf_dir).collect()}
+    for flag, row in approx.items():
+        n = row.n_rows
+        eps_q = max(2.0, 2 * 1e-4 * n) / n
+        for q, got in ((0.25, row.p25), (0.5, row.p50), (0.75, row.p75), (0.95, row.p95)):
+            lo_q, hi_q = max(0.0, q - eps_q), min(1.0, q + eps_q)
+            lo, hi = duck.sql(
+                f"""
+                SELECT quantile_disc(l_extendedprice, {lo_q}),
+                       quantile_disc(l_extendedprice, {hi_q})
+                FROM lineitem WHERE l_returnflag = '{flag}'
+                """
+            ).fetchone()
+            assert float(lo) <= got <= float(hi), (
+                f"{flag} p{int(q * 100)}: sketch {got} outside exact band "
+                f"[{lo}, {hi}] (eps_q={eps_q:.5f}, n={n})"
+            )
