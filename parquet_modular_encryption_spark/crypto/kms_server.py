@@ -28,6 +28,77 @@ from parquet_modular_encryption_spark.crypto import kms_core
 from parquet_modular_encryption_spark.crypto.policy import can_unwrap
 
 
+# OpenAPI 3 document for the wrap/unwrap surface — the stdlib stand-in
+# for the reference's FastAPI auto-generated docs (reference serves
+# /docs + /openapi.json out of the box, README.md:82-94). Hand-written
+# but exact: same paths, bodies, auth header, and status codes the
+# handler below implements.
+OPENAPI_SPEC = {
+    "openapi": "3.0.3",
+    "info": {
+        "title": "Demo KMS",
+        "version": "0.1",
+        "description": (
+            "Parquet Modular Encryption demo KMS: RFC 3394 AES key "
+            "wrapping behind a privilege-lattice authorization check."
+        ),
+    },
+    "components": {
+        "schemas": {
+            "KeyPayload": {
+                "type": "object",
+                "required": ["key"],
+                "properties": {
+                    "key": {"type": "string", "format": "byte",
+                            "description": "base64 key material, length % 8 == 0"}
+                },
+            },
+            "Error": {
+                "type": "object",
+                "properties": {"detail": {"type": "string"}},
+            },
+        },
+        "securitySchemes": {
+            "apiKey": {"type": "apiKey", "in": "header", "name": "x-api-key"}
+        },
+    },
+    "paths": {
+        "/api/v1/wrap/{key_id}": {
+            "post": {
+                "summary": "Wrap key material (unauthenticated by design)",
+                "parameters": [{"name": "key_id", "in": "path",
+                                "required": True, "schema": {"type": "string"}}],
+                "requestBody": {"required": True, "content": {"application/json": {
+                    "schema": {"$ref": "#/components/schemas/KeyPayload"}}}},
+                "responses": {
+                    "200": {"description": "wrapped key", "content": {
+                        "application/json": {"schema": {"$ref": "#/components/schemas/KeyPayload"}}}},
+                    "404": {"description": "unknown wrapping key"},
+                    "422": {"description": "invalid key payload"},
+                },
+            }
+        },
+        "/api/v1/unwrap/{key_id}": {
+            "post": {
+                "summary": "Unwrap key material (requires x-api-key privilege)",
+                "security": [{"apiKey": []}],
+                "parameters": [{"name": "key_id", "in": "path",
+                                "required": True, "schema": {"type": "string"}}],
+                "requestBody": {"required": True, "content": {"application/json": {
+                    "schema": {"$ref": "#/components/schemas/KeyPayload"}}}},
+                "responses": {
+                    "200": {"description": "unwrapped key", "content": {
+                        "application/json": {"schema": {"$ref": "#/components/schemas/KeyPayload"}}}},
+                    "403": {"description": "token not authorized for key_id"},
+                    "404": {"description": "unknown wrapping key"},
+                    "422": {"description": "invalid key payload"},
+                },
+            }
+        },
+    },
+}
+
+
 class _KmsHandler(BaseHTTPRequestHandler):
     server_version = "DemoKMS/0.1"
 
@@ -41,6 +112,43 @@ class _KmsHandler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(body)))
         self.end_headers()
         self.wfile.write(body)
+
+    def do_GET(self) -> None:  # noqa: N802 (http.server API)
+        """Interactive self-documentation, matching the reference's FastAPI
+        surface: /openapi.json serves the machine-readable spec, /docs a
+        dependency-free HTML rendering of it (no CDN assets — the
+        environment is offline)."""
+        path = self.path.split("?", 1)[0]
+        if path == "/openapi.json":
+            self._reply(200, OPENAPI_SPEC)
+            return
+        if path == "/docs":
+            rows = []
+            for route, methods in OPENAPI_SPEC["paths"].items():
+                for method, op in methods.items():
+                    rows.append(
+                        f"<tr><td><code>{method.upper()}</code></td>"
+                        f"<td><code>{route}</code></td>"
+                        f"<td>{op['summary']}</td>"
+                        f"<td>{', '.join(sorted(op['responses']))}</td></tr>"
+                    )
+            info = OPENAPI_SPEC["info"]
+            body = (
+                "<!doctype html><html><head><title>{t}</title></head><body>"
+                "<h1>{t} v{v}</h1><p>{d}</p>"
+                "<p>Machine-readable spec: <a href='/openapi.json'>/openapi.json</a></p>"
+                "<table border='1' cellpadding='6'>"
+                "<tr><th>method</th><th>path</th><th>summary</th><th>statuses</th></tr>"
+                "{rows}</table></body></html>"
+            ).format(t=info["title"], v=info["version"],
+                     d=info["description"], rows="".join(rows)).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+            return
+        self._reply(404, {"detail": "not found"})
 
     def do_POST(self) -> None:  # noqa: N802 (http.server API)
         parts = self.path.strip("/").split("/")

@@ -178,3 +178,35 @@ def test_invalid_payload_422(kms_url):
 
 def test_lattice_total_order():
     assert Privilege.PUBLIC < Privilege.INTERNAL < Privilege.CONFIDENTIAL < Privilege.RESTRICTED
+
+
+def test_openapi_self_documentation(kms_url):
+    """The server documents itself like the reference's FastAPI app:
+    /openapi.json is a valid OpenAPI 3 document whose paths exactly match
+    the wire protocol the handler implements (wrap unauthenticated, unwrap
+    behind x-api-key with a 403), and /docs renders an HTML view of it."""
+    spec = json.loads(
+        urllib.request.urlopen(f"{kms_url}/openapi.json").read().decode()
+    )
+    assert spec["openapi"].startswith("3.")
+    assert set(spec["paths"]) == {
+        "/api/v1/wrap/{key_id}",
+        "/api/v1/unwrap/{key_id}",
+    }
+    wrap_op = spec["paths"]["/api/v1/wrap/{key_id}"]["post"]
+    unwrap_op = spec["paths"]["/api/v1/unwrap/{key_id}"]["post"]
+    assert "security" not in wrap_op  # wrap is unauthenticated by design
+    assert unwrap_op["security"] == [{"apiKey": []}]
+    assert "403" in unwrap_op["responses"] and "403" not in wrap_op["responses"]
+    assert (
+        spec["components"]["securitySchemes"]["apiKey"]["name"] == "x-api-key"
+    )
+
+    with urllib.request.urlopen(f"{kms_url}/docs") as resp:
+        assert resp.headers.get_content_type() == "text/html"
+        html = resp.read().decode()
+    assert "/api/v1/unwrap/{key_id}" in html and "/openapi.json" in html
+
+    with pytest.raises(urllib.error.HTTPError) as exc:
+        urllib.request.urlopen(f"{kms_url}/nope")
+    assert exc.value.code == 404
