@@ -79,7 +79,11 @@ def synthetic_media(spark: SparkSession, n: int = 64) -> DataFrame:
                 (w, h, 16000 if modality == "audio" else None, 30 if modality == "video" else None),
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    # A ~100-row fixture sliced into defaultParallelism (32) partitions
+    # spawns 32 Python workers per mapInPandas stage for ~3 rows each —
+    # pure worker-startup cost. Size partitions to the DATA (the rule a
+    # real ingest applies via maxPartitionBytes), not the core count.
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).coalesce(4)
 
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"

@@ -366,10 +366,11 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
         f"array_distinct(transform(sequence(1, size(h) - {WINNOW_W} + 1), "
         f"j -> array_min(slice(h, j, {WINNOW_W}))))"
     )
-    return (
-        normed.select("doc_id", hashes.alias("h"))
-        .select("doc_id", F.explode(minima).alias("fp"))
-        .distinct()
+    # No .distinct(): the per-document array_distinct above already makes
+    # every exploded (doc_id, fp) row unique, so a distinct here would be
+    # a semantic no-op costing one full shuffle of the fingerprint index.
+    return normed.select("doc_id", hashes.alias("h")).select(
+        "doc_id", F.explode(minima).alias("fp")
     )
 
 
