@@ -61,6 +61,7 @@ EXTENDED = [
     "q54e_ann_ivf_partitioned",
     "q57_neardup_clusters",
     "q59_fuzzy_match_levenshtein",
+    "q59b_fuzzy_match_salted",
     "q60b_encrypted_partitioned",
     "q62b_snapshot_time_travel",
     "q62d_snapshot_merge_upsert",
