@@ -166,3 +166,49 @@ def test_q87_gk_within_bound_of_duckdb_exact(spark, duck, sf_dir):
                 f"{flag} p{int(q * 100)}: sketch {got} outside exact band "
                 f"[{lo}, {hi}] (eps_q={eps_q:.5f}, n={n})"
             )
+
+
+def _py_winnow(norm: str, k: int, w: int) -> set[int]:
+    """Pure-Python mirror of textops.winnow_fingerprints' SQL construction
+    (same md5-based 60-bit gram hash, same windowed minima)."""
+    import hashlib
+
+    if len(norm) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(norm[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(norm) - k + 1)
+    ]
+    return {min(hs[j : j + w]) for j in range(len(hs) - w + 1)}
+
+
+@given(
+    shared=st.text(alphabet="abcdefghij", min_size=11, max_size=40),
+    pre_a=st.text(alphabet="klmnopqrst", min_size=0, max_size=30),
+    suf_a=st.text(alphabet="klmnopqrst", min_size=0, max_size=30),
+    pre_b=st.text(alphabet="uvwxyz", min_size=0, max_size=30),
+    suf_b=st.text(alphabet="uvwxyz", min_size=0, max_size=30),
+)
+@settings(max_examples=150)
+def test_winnowing_theorem_property(shared, pre_a, suf_a, pre_b, suf_b):
+    """The winnowing guarantee (Schleimer et al., SIGMOD'03) over random
+    documents: ANY shared substring of length >= k + w - 1 (= 11 for the
+    production k=8, w=4) forces at least one shared selected fingerprint,
+    whatever surrounds it — the property the q45b candidate generator
+    relies on for recall. Also pins the selection invariant: every
+    fingerprint is one of the document's gram hashes."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        WINNOW_K,
+        WINNOW_W,
+    )
+
+    assert len(shared) >= WINNOW_K + WINNOW_W - 1
+    a, b = pre_a + shared + suf_a, pre_b + shared + suf_b
+    fa, fb = _py_winnow(a, WINNOW_K, WINNOW_W), _py_winnow(b, WINNOW_K, WINNOW_W)
+    assert fa & fb, "shared passage produced no shared fingerprint"
+    for norm, fps in ((a, fa), (b, fb)):
+        grams = {
+            int(__import__("hashlib").md5(norm[i : i + WINNOW_K].encode()).hexdigest()[:15], 16)
+            for i in range(len(norm) - WINNOW_K + 1)
+        }
+        assert fps <= grams
