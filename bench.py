@@ -66,6 +66,7 @@ EXTENDED = [
     "q62b_snapshot_time_travel",
     "q62d_snapshot_merge_upsert",
     "q63b_curation_pipeline",
+    "q63c_dedup_pass",
     "q83_promo_revenue",
     "q94_small_qty_avg",
     "q73_term_doc_freq",

@@ -811,6 +811,101 @@ def q59b_fuzzy_match_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q63c_dedup_pass",
+    oracle=f"""
+    WITH RECURSIVE {_minhash_ctes()},
+    edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION
+        SELECT doc_b, doc_a FROM verified
+    ),
+    reach(node, label) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+    ),
+    comp AS (SELECT node, MIN(label) AS component FROM reach GROUP BY node),
+    fpg AS (
+        SELECT doc_id, lang, n_chars,
+               md5({sql_normalized('text')}) AS fingerprint
+        FROM documents
+    ),
+    exact_keep AS (
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars,
+                   MIN(doc_id) OVER (PARTITION BY fingerprint) AS canon
+            FROM fpg
+        ) WHERE doc_id = canon
+    ),
+    kept AS (
+        SELECT k.* FROM exact_keep k
+        WHERE NOT EXISTS (
+            SELECT 1 FROM comp c WHERE c.node = k.doc_id AND c.component <> k.doc_id
+        )
+    ),
+    keptagg AS (
+        SELECT lang, COUNT(*) AS n_kept,
+               CAST(SUM(n_chars) AS BIGINT) AS chars_kept
+        FROM kept GROUP BY lang
+    )
+    SELECT t.lang,
+           CAST(t.n_total AS BIGINT) AS n_total,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(COALESCE(k.chars_kept, 0) AS BIGINT) AS chars_kept
+    FROM (SELECT lang, COUNT(*) AS n_total FROM documents GROUP BY lang) t
+    LEFT JOIN keptagg k USING (lang)
+    """,
+    tags=("dedup", "pipeline", "clusters"),
+)
+def q63c_dedup_pass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone DEDUP PASS a training-data pipeline actually runs,
+    composed end-to-end from verified pieces: exact dedup (q45's
+    normalized fingerprint, keep min doc_id per group) ∩ near-dup dedup
+    (q47's MinHash-verified pairs → q57's connected components, keep the
+    component canonical) → per-language survivor census against the raw
+    corpus. Fully hash-checked: the oracle replays the same fingerprint
+    window, the same recursive-CTE transitive closure as q57, and the
+    same NOT-EXISTS drop rule.
+
+    Scale shape: one shuffle for the fingerprint window, the q47 banding
+    pipeline (already skew-audited), O(diameter) label-propagation
+    rounds, then a broadcast-friendly left-anti join of the (tiny) drop
+    list against the survivors — nothing new beyond the verified parts,
+    which is the point: composition adds no untested machinery."""
+    from pyspark.sql import Window
+
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id", "lang", "n_chars", F.md5(normalized("text")).alias("fingerprint")
+    )
+    exact_keep = (
+        fp.withColumn(
+            "canon", F.min("doc_id").over(Window.partitionBy("fingerprint"))
+        )
+        .filter(F.col("doc_id") == F.col("canon"))
+        .select("doc_id", "lang", "n_chars")
+    )
+    pairs = q47_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs)
+    drop = comp.filter(F.col("component") != F.col("node")).select(
+        F.col("node").alias("doc_id")
+    )
+    kept = exact_keep.join(drop, "doc_id", "left_anti")
+    keptagg = kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+    )
+    totals = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_total"))
+    return totals.join(keptagg, "lang", "left").select(
+        "lang",
+        "n_total",
+        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept"),
+        F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+    )
+
+
 CONTAM_SHINGLE_N = 5  # longer n-grams: contamination wants high precision
 
 # Shared by q61 (raw shingle join) and q61b (bloom pre-pass): the bloom
