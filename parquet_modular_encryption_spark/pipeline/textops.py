@@ -307,6 +307,68 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Fixed-window chunking parameters: 64-token windows advancing by 48
+# (16-token overlap) — the RAG / long-document pretraining chunker.
+# Overlap preserves context across boundaries; stride < size guarantees
+# every token lands in >= 1 chunk.
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "q43b_doc_chunks",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1, {CHUNK_STRIDE}),
+                      s -> struct_pack(
+                          idx := CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT),
+                          chunk := toks[s : s + {CHUNK_SIZE} - 1]))) AS c
+        FROM tok
+    )
+    SELECT doc_id,
+           c.idx AS chunk_index,
+           CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+           md5(array_to_string(c.chunk, ' ')) AS chunk_hash
+    FROM ch
+    """,
+    tags=("text", "chunking", "rag"),
+)
+def q43b_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-window document chunking with overlap — the context-window
+    splitter every RAG index and long-document pretraining pipeline runs:
+    {CHUNK_SIZE}-token windows advancing {CHUNK_STRIDE} tokens (so
+    consecutive chunks share {CHUNK_SIZE - CHUNK_STRIDE} tokens of
+    context), identified by (doc_id, chunk_index) with a deterministic
+    content hash for downstream dedup/joins. Complements q63's
+    bin-packing (which concatenates whole docs to a budget) — chunking
+    SPLITS oversized docs instead.
+
+    Pure map-side higher-order expressions (sequence → slice → md5):
+    ZERO shuffles at any scale, the plan is scan → project → explode.
+    Tail chunks are kept truncated (slice clips at the array end) — both
+    engines apply the identical rule, so the output is hash-checked
+    including chunk hashes."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    chunks = F.expr(
+        f"transform(sequence(1, size(toks), {CHUNK_STRIDE}), "
+        f"s -> slice(toks, s, {CHUNK_SIZE}))"
+    )
+    return (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk"))
+        .select(
+            "doc_id",
+            F.col("chunk_index").cast("bigint").alias("chunk_index"),
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
+        )
+    )
+
+
 # Winnowing fingerprint parameters (Schleimer, Wilkerson & Aiken,
 # SIGMOD'03 — the MOSS scheme): k-char grams hashed, then the minimum
 # hash of every w-window selected. Guarantee: any shared substring of

@@ -706,3 +706,38 @@ def test_ivf_exact_at_full_probe_and_monotone_recall(spark):
     r_more = len(exact_set & got_more) / len(exact_set)
     assert r_default <= r_more <= 1.0
     assert r_default > 0, "IVF found none of the true neighbors"
+
+
+def test_chunking_coverage_and_overlap(spark):
+    """q43b invariants on a synthetic doc: chunk i starts at token
+    i*stride, consecutive chunks share exactly size-stride tokens, every
+    token is covered, and only the tail chunk may be short."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        CHUNK_SIZE,
+        CHUNK_STRIDE,
+    )
+
+    n_toks = 200
+    words = [f"w{i}" for i in range(n_toks)]
+    docs = spark.createDataFrame([(1, " ".join(words))], "doc_id bigint, text string")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    chunks = F.expr(
+        f"transform(sequence(1, size(toks), {CHUNK_STRIDE}), "
+        f"s -> slice(toks, s, {CHUNK_SIZE}))"
+    )
+    rows = sorted(
+        (r.chunk_index, r.chunk)
+        for r in docs.select(toks.alias("toks"))
+        .select(F.posexplode(chunks).alias("chunk_index", "chunk"))
+        .collect()
+    )
+    covered = []
+    for idx, chunk in rows:
+        start = idx * CHUNK_STRIDE
+        assert chunk == words[start : start + CHUNK_SIZE]
+        covered.extend(chunk)
+    assert set(covered) == set(words), "a token escaped every chunk"
+    for (i, a), (_, b) in zip(rows, rows[1:]):
+        shared = CHUNK_SIZE - CHUNK_STRIDE
+        if len(a) == CHUNK_SIZE:
+            assert a[-shared:] == b[:shared], f"overlap broken at chunk {i}"
