@@ -53,6 +53,7 @@ EXTENDED = [
     "q40_product_profit",
     "q42b_subword_token_counts",
     "q43b_doc_chunks",
+    "q53c_bm25_topk",
     "q45b_winnow_fingerprint",
     "q47b_minhash_neardup_salted",
     "q49b_ngram_jaccard_salted",

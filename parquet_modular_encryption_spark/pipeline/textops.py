@@ -307,6 +307,130 @@ def q45_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# BM25 retrieval fixture + parameters. k1=1.2, b=0.75 (the standard
+# defaults); idf is the RATIONAL (N - df + 0.5)/(df + 0.5) form — the
+# log() in textbook BM25 is monotone, so top-k ranking is preserved,
+# and rational arithmetic is cross-engine exact where ln is not (the
+# q53 trick). Per-(query, doc) term scores are summed in FIXED-POINT
+# (floor(s * 1e7) as BIGINT) because double addition is not associative
+# and aggregation order differs between engines; integer sums are exact
+# in any order (the q52 centroid trick).
+BM25_QUERIES: tuple[tuple[int, str], ...] = (
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "agg"),
+    (3, "stream"), (3, "batch"), (3, "scan"),
+)
+# Identical expression STRING evaluated by both engines (F.expr on the
+# Spark side) over identically-named columns — same parse tree, same
+# IEEE operation order, bit-identical doubles.
+_BM25_TERM_SCORE = (
+    "(((CAST(n AS DOUBLE) - df) + 0.5) / (df + 0.5))"
+    " * ((tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)))"
+)
+_BM25_TERM_FP = f"CAST(floor(({_BM25_TERM_SCORE}) * 10000000.0) AS BIGINT)"
+
+
+@register(
+    "q53c_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
+    ),
+    qt(query_id, token) AS (
+        VALUES {', '.join(f"({q}, '{t}')" for q, t in BM25_QUERIES)}
+    ),
+    dl AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST((SELECT CAST(SUM(dl) AS BIGINT) FROM dl) AS DOUBLE)
+                   / COUNT(*) AS avgdl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM tok
+        WHERE token IN (SELECT token FROM qt) GROUP BY doc_id, token
+    ),
+    df AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY token
+    ),
+    term_scores AS (
+        SELECT qt.query_id, tf.doc_id, {_BM25_TERM_FP} AS s_fp
+        FROM qt
+        JOIN tf USING (token)
+        JOIN df USING (token)
+        JOIN dl ON dl.doc_id = tf.doc_id
+        CROSS JOIN stats
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(s_fp) AS BIGINT) / 10000000.0 AS score
+        FROM term_scores GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY score DESC, doc_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+    tags=("text", "retrieval", "bm25"),
+)
+def q53c_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval over the corpus — the quality-biased document
+    selection primitive (query-driven curation, contamination triage,
+    RAG indexing all rank this way): per query, top-5 documents by
+    Okapi BM25 with k1=1.2, b=0.75 and the rational idf (see
+    BM25_QUERIES/_BM25_TERM_SCORE for the determinism engineering:
+    shared expression string, fixed-point term-score summation).
+
+    Scale shape: tf/df are computed ONLY for query terms (the IN filter
+    sits under the aggregation, so the exploded token stream shrinks to
+    the term postings before any shuffle — at 100 TB this is the
+    posting-list fetch of an inverted index, cf. q98); dl is a per-doc
+    count (one shuffle); qt/df/stats are bounded and broadcast; the
+    tf-dl join shuffles on doc_id (dl is corpus-wide — NOT broadcast,
+    AQE decides); the rank window partitions by query over <= N_docs
+    candidate rows."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    qt = spark.createDataFrame(list(BM25_QUERIES), "query_id int, token string")
+    terms = sorted({t for _, t in BM25_QUERIES})
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
+    # avgdl = total tokens / total docs, both corpus-wide BIGINTs
+    stats = n_docs.crossJoin(
+        dl.agg(F.sum("dl").cast("bigint").alias("total_dl"))
+    ).select("n", (F.col("total_dl").cast("double") / F.col("n")).alias("avgdl"))
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    # df from tf, not a second pass over the token stream: tf has one
+    # row per (doc, token), so rows-per-token IS the document frequency.
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    term_scores = (
+        tf.join(F.broadcast(qt), "token")
+        .join(F.broadcast(df_), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", F.expr(_BM25_TERM_FP).alias("s_fp"))
+    )
+    scored = term_scores.groupBy("query_id", "doc_id").agg(
+        (F.sum("s_fp").cast("bigint") / F.lit(10000000.0)).alias("score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
 # Fixed-window chunking parameters: 64-token windows advancing by 48
 # (16-token overlap) — the RAG / long-document pretraining chunker.
 # Overlap preserves context across boundaries; stride < size guarantees
