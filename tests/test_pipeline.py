@@ -741,3 +741,16 @@ def test_chunking_coverage_and_overlap(spark):
         shared = CHUNK_SIZE - CHUNK_STRIDE
         if len(a) == CHUNK_SIZE:
             assert a[-shared:] == b[:shared], f"overlap broken at chunk {i}"
+
+
+def test_bm25_scores_run_invariant(spark):
+    """q53c's fixed-point score summation must make results identical
+    across runs (double addition is not associative; Spark's aggregation
+    order varies with partitioning) — two executions at different
+    parallelism must agree bit-for-bit, scores included."""
+    from parquet_modular_encryption_spark.pipeline.textops import q53c_bm25_topk
+
+    a = sorted(map(tuple, q53c_bm25_topk(spark, SF).collect()))
+    b = sorted(map(tuple, q53c_bm25_topk(spark, SF).coalesce(1).collect()))
+    assert a == b
+    assert len(a) > 0 and all(r[2] > 0 for r in a)

@@ -367,3 +367,14 @@ def test_snapshot_queries_no_cartesian(spark):
     df = q62d_snapshot_merge_upsert(spark, SF)
     df.collect()
     assert "CartesianProduct" not in executed_plan(df)
+
+
+def test_q43b_chunking_zero_shuffle(spark):
+    """q43b must stay a pure map-side pipeline (scan → project → explode):
+    chunking has no cross-row dependency, so ANY Exchange in the plan is
+    a regression — same contract as q116's zero-shuffle repetition filter."""
+    from parquet_modular_encryption_spark.pipeline.textops import q43b_doc_chunks
+
+    plan = executed_plan(q43b_doc_chunks(spark, SF))
+    assert "Exchange" not in plan, "q43b reintroduced a shuffle"
+    assert "BatchEvalPython" not in plan
