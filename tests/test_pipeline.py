@@ -754,3 +754,51 @@ def test_bm25_scores_run_invariant(spark):
     b = sorted(map(tuple, q53c_bm25_topk(spark, SF).coalesce(1).collect()))
     assert a == b
     assert len(a) > 0 and all(r[2] > 0 for r in a)
+
+
+def test_real_video_header_decode():
+    """sniff_video parses real AVI MainAVIHeader and MP4 tkhd/stsz box
+    layouts exactly — the video twin of the real-image header decode."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        encode_avi_header,
+        encode_mp4_header,
+        sniff_video,
+    )
+
+    assert sniff_video(encode_avi_header(640, 480, 300)) == ("avi", 640, 480, 300)
+    assert sniff_video(encode_mp4_header(1920, 1080, 24)) == ("mp4", 1920, 1080, 24)
+    with pytest.raises(ValueError, match="unrecognized"):
+        sniff_video(b"NOTAVIDEOCONTAINER")
+    # truncated AVI (magic ok, avih missing) must fail loudly, not guess
+    with pytest.raises(ValueError, match="avih"):
+        sniff_video(b"RIFF\x04\x00\x00\x00AVI ")
+
+
+def test_real_video_frame_sampling_distributed(spark):
+    """frame_sample_real through the actual mapInPandas operator: real
+    container bytes in, per-frame fetch rows out, executed on executors."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        encode_avi_header,
+        encode_mp4_header,
+        frame_sample_real,
+    )
+
+    rows = [
+        (0, "video", bytearray(encode_avi_header(320, 240, 25)), None),
+        (1, "video", bytearray(encode_mp4_header(640, 360, 7)), None),
+        (2, "image", bytearray(b"not a video, filtered out"), None),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id bigint, modality string, payload binary, "
+        "meta struct<width:int, height:int, sample_rate:int, n_frames:int>",
+    ).repartition(2)
+    got = frame_sample_real(media, every_nth=10).collect()
+    by_id = {}
+    for r in got:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert sorted(r.frame_index for r in by_id[0]) == [0, 10, 20]
+    assert all((r.container, r.width, r.height) == ("avi", 320, 240) for r in by_id[0])
+    assert sorted(r.frame_index for r in by_id[1]) == [0]
+    assert all((r.container, r.width, r.height) == ("mp4", 640, 360) for r in by_id[1])
+    assert 2 not in by_id
