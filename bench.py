@@ -87,6 +87,7 @@ EXTENDED = [
     "q115_epoch_shard_reshuffle",
     "q116_repetition_filter",
     "q117_source_cap_sample",
+    "q76c_temperature_mix",
     "q118_token_budget_sample",
 ]
 

@@ -215,6 +215,87 @@ def q117_source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Temperature-mixed sampling budget and the fixed-point weight scale.
+# Temperature t=0.5 (i.e. weight ∝ n^0.5) is deliberate: sqrt is the ONE
+# power IEEE 754 requires correctly rounded, so it is bit-identical
+# across engines where a general pow(n, alpha) is not — the same
+# portability reasoning as q53's rational idf.
+MIX_BUDGET = 400
+_MIX_QUOTA = "CAST(floor((CAST(w_fp AS DOUBLE) / total_fp) * 400.0) AS BIGINT)"
+
+
+@register(
+    "q76c_temperature_mix",
+    oracle=f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+        FROM documents GROUP BY source
+    ), weights AS (
+        SELECT source, n_s,
+               CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 10000000.0) AS BIGINT)
+                   AS w_fp
+        FROM counts
+    ), total AS (
+        SELECT CAST(SUM(w_fp) AS BIGINT) AS total_fp FROM weights
+    ), quotas AS (
+        SELECT source, n_s, {_MIX_QUOTA} AS quota
+        FROM weights CROSS JOIN total
+    ), ranked AS (
+        SELECT doc_id, source,
+               CAST(row_number() OVER (
+                   PARTITION BY source
+                   ORDER BY {_ORDER_KEY}, doc_id
+               ) AS BIGINT) AS rk
+        FROM documents
+    )
+    SELECT r.doc_id, r.source, r.rk, q.quota, q.n_s
+    FROM ranked r JOIN quotas q USING (source)
+    WHERE r.rk <= q.quota
+    """,
+    tags=("curation", "sampling", "mixture"),
+)
+def q76c_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixture sampling — the multilingual /
+    multi-source mixing knob (XLM-R-style n^alpha upsampling of small
+    sources): each source's share of a MIX_BUDGET-doc sample is
+    proportional to sqrt(n_s) instead of n_s, flattening the mixture so
+    dominant sources stop drowning out rare ones. Selection within a
+    source is the deterministic md5 order q117 uses (stable across runs,
+    engines, and repartitioning — no rand()).
+
+    Determinism engineering: weights are floor(sqrt(n)·1e7) BIGINTs
+    (sqrt is IEEE-correctly-rounded in both engines, the fixed-point sum
+    is order-free), and the quota arithmetic is ONE shared expression
+    string. Scale: counts is a map-side agg; weights/quotas are
+    #sources rows (broadcast); the rank window shuffles once on source —
+    the same shape as q117, with the same two-phase mitigation available
+    for a pathological mega-source."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    weights = counts.select(
+        "source",
+        "n_s",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_s AS DOUBLE)) * 10000000.0) AS BIGINT)"
+        ).alias("w_fp"),
+    )
+    total = weights.agg(F.sum("w_fp").cast("bigint").alias("total_fp"))
+    quotas = (
+        weights.crossJoin(F.broadcast(total))
+        .select("source", "n_s", F.expr(_MIX_QUOTA).alias("quota"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return ranked.join(F.broadcast(quotas), "source").filter(
+        F.col("rk") <= F.col("quota")
+    ).select("doc_id", "source", "rk", "quota", "n_s")
+
+
 @register(
     "q118_token_budget_sample",
     oracle=f"""

@@ -802,3 +802,31 @@ def test_real_video_frame_sampling_distributed(spark):
     assert sorted(r.frame_index for r in by_id[1]) == [0]
     assert all((r.container, r.width, r.height) == ("mp4", 640, 360) for r in by_id[1])
     assert 2 not in by_id
+
+
+def test_temperature_mix_flattens_sources(spark):
+    """q117b's sqrt weighting must FLATTEN the mixture: a smaller source's
+    sampling rate (quota / n_s) is >= any larger source's rate, and
+    per-source quotas are respected exactly."""
+    from parquet_modular_encryption_spark.pipeline.curation import (
+        q76c_temperature_mix,
+    )
+
+    rows = q76c_temperature_mix(spark, SF).collect()
+    assert rows
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, {"n_s": r.n_s, "quota": r.quota, "got": 0})
+        per_source[r.source]["got"] += 1
+        assert r.rk <= r.quota
+    for s, info in per_source.items():
+        assert info["got"] == min(info["quota"], info["n_s"]), s
+    rates = sorted(
+        ((v["n_s"], v["quota"] / v["n_s"]) for v in per_source.values())
+    )
+    for (n_small, rate_small), (n_big, rate_big) in zip(rates, rates[1:]):
+        if n_small < n_big:
+            assert rate_small >= rate_big - 1e-9, (
+                f"flattening violated: n={n_small} rate={rate_small} vs "
+                f"n={n_big} rate={rate_big}"
+            )
