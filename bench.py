@@ -61,6 +61,7 @@ EXTENDED = [
     "q54c_ann_quantized",
     "q54d_ann_ivf",
     "q54e_ann_ivf_partitioned",
+    "q55b_semdedup",
     "q57_neardup_clusters",
     "q59_fuzzy_match_levenshtein",
     "q59b_fuzzy_match_salted",

@@ -596,13 +596,11 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     )
 
 
-def _ivf_oracle() -> str:
-    """The IVF coarse-quantizer oracle — shared verbatim by q54d (logical
-    probing) and q54e (physical partition-pruned probing): the two engines
-    must produce identical results because partitioning only changes the
-    LAYOUT, never the candidate set."""
-    return f"""
-    WITH expanded AS (
+def _ivf_assign_ctes() -> str:
+    """WITH-body fragment ending in ``assign`` (vec_id → nearest-centroid
+    cell): the coarse-quantizer assignment shared by every IVF consumer —
+    q54d/q54e probing and q55b's SemDeDup within-cluster pruning."""
+    return """expanded AS (
         SELECT label,
                unnest(range(0, len(embedding))) AS dim,
                unnest(embedding::DOUBLE[]) AS val
@@ -625,11 +623,20 @@ def _ivf_oracle() -> str:
                row_number() OVER (PARTITION BY vec_id
                                   ORDER BY cos DESC, cell) AS rn
         FROM scored_cells
-    ), probes AS (
-        SELECT vec_id AS query_id, cell FROM ranked
-        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
     ), assign AS (
         SELECT vec_id, cell FROM ranked WHERE rn = 1
+    )"""
+
+
+def _ivf_oracle() -> str:
+    """The IVF coarse-quantizer oracle — shared verbatim by q54d (logical
+    probing) and q54e (physical partition-pruned probing): the two engines
+    must produce identical results because partitioning only changes the
+    LAYOUT, never the candidate set."""
+    return f"""
+    WITH {_ivf_assign_ctes()}, probes AS (
+        SELECT vec_id AS query_id, cell FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
     ), cand AS (
         SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
         FROM probes p JOIN assign a USING (cell)
@@ -846,6 +853,84 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eb, "vec_b")
         .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
+    )
+
+
+@register(
+    "q55b_semdedup",
+    oracle=f"""
+    WITH {_ivf_assign_ctes()},
+    av AS (
+        SELECT a.vec_id, a.cell, e.embedding::DOUBLE[] AS ee
+        FROM assign a JOIN embeddings e USING (vec_id)
+    ),
+    dup AS (
+        SELECT DISTINCT b.vec_id
+        FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.ee, b.ee)
+                  / (sqrt(list_dot_product(a.ee, a.ee))
+                     * sqrt(list_dot_product(b.ee, b.ee)))
+              >= {NEARDUP_COSINE}
+    )
+    SELECT a.vec_id, CAST(a.cell AS INT) AS cell,
+           (d.vec_id IS NOT NULL) AS pruned
+    FROM assign a LEFT JOIN dup d USING (vec_id)
+    """,
+    tags=("dedup", "similarity", "embedding", "ivf"),
+)
+def q55b_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al. 2023): cluster the
+    corpus with the IVF coarse codebook (q54d's map-side argmax against
+    the broadcast K-row centroid table), then prune, within each cluster,
+    every vector whose cosine to a LOWER-id cluster member exceeds the
+    near-dup threshold — the greedy keep-first policy, deterministic by
+    id order. Output: one row per vector with its cluster and pruned flag.
+
+    Scale shape: pairwise comparison happens ONLY within clusters — the
+    whole point of SemDeDup is that clustering bounds the candidate set,
+    exactly as q54d's cells bound probing. Pair generation routes through
+    ``salted_block_self_join`` on the cell key carrying (vec_id, cell)
+    ONLY — a megacluster (hot cell) fragments over the reducer grid
+    instead of stalling one reducer, and the wide embedding arrays join
+    back AFTER candidate generation (q59b's ship-ids-not-payloads
+    discipline). The (vec_id, cell) assignment is localCheckpointed: it
+    is consumed by the census, both join sides, and the final flag join,
+    and at any scale it is two fixed-width columns — the IVF inverted
+    list itself, the thing an IVF index materializes by definition.
+
+    Fully hash-checked: assignment, pairing, and the cosine threshold are
+    the same deterministic IEEE arithmetic as q54d/q55, and the oracle
+    shares the assignment CTEs with q54d verbatim."""
+    from parquet_modular_encryption_spark.pipeline.dedup import salted_block_self_join
+
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    centroids = _ivf_codebook(emb)
+    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    best = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
+    )
+    assign = best.select(
+        "vec_id", (-F.col("b.nc")).cast("int").alias("cell")
+    ).localCheckpoint(eager=True)
+    pairs = salted_block_self_join(
+        assign, ("cell",), id_col="vec_id", out_a="vec_a", out_b="vec_b"
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))
+    dup = (
+        pairs.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= NEARDUP_COSINE)
+        .select(F.col("vec_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assign.join(dup, "vec_id", "left").select(
+        "vec_id", "cell", F.coalesce("__dup", F.lit(False)).alias("pruned")
     )
 
 

@@ -708,6 +708,73 @@ def test_ivf_exact_at_full_probe_and_monotone_recall(spark):
     assert r_default > 0, "IVF found none of the true neighbors"
 
 
+def test_semdedup_matches_greedy_reference(spark):
+    """q55b vs an independent pure-Python SemDeDup: recompute the
+    floor-quantized centroids, the argmax cell assignment, and the
+    greedy keep-lowest-id within-cell pruning with sequential-fold
+    arithmetic (the same left-to-right IEEE order both engines use),
+    and require exact agreement on every (vec_id, cell, pruned) row.
+    Also pins the structural invariant that a cell's minimum-id member
+    is never pruned (greedy keeps the first arrival by construction)."""
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        NEARDUP_COSINE,
+        q55b_semdedup,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    rows = load(spark, SF, "embeddings").collect()
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+
+    def fold_dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc = acc + x * y
+        return acc
+
+    def cos(a, b):
+        return fold_dot(a, b) / (math.sqrt(fold_dot(a, a)) * math.sqrt(fold_dot(b, b)))
+
+    # centroid per label: floor-quantized integer mean per dim (q52 trick)
+    by_label: dict[int, list[list[float]]] = {}
+    for vid, v in vecs.items():
+        by_label.setdefault(labels[vid], []).append(v)
+    centroids = {}
+    for lab, members in by_label.items():
+        dims = len(members[0])
+        centroids[lab] = [
+            (sum(math.floor(m[d] * 1e7) for m in members) / 1e7) / len(members)
+            for d in range(dims)
+        ]
+    # argmax assignment, tie-break lowest cell (matches ORDER BY cos DESC, cell)
+    assign = {}
+    for vid, v in vecs.items():
+        best = max(
+            ((cos(v, ce), -lab) for lab, ce in centroids.items()),
+        )
+        assign[vid] = -best[1]
+    # greedy prune: vec pruned iff a lower-id same-cell member is >= tau close
+    cells: dict[int, list[int]] = {}
+    for vid in sorted(assign):
+        cells.setdefault(assign[vid], []).append(vid)
+    expected = {}
+    for cell, members in cells.items():
+        for i, b in enumerate(members):
+            pruned = any(
+                cos(vecs[a], vecs[b]) >= NEARDUP_COSINE for a in members[:i]
+            )
+            expected[b] = (cell, pruned)
+
+    got = {
+        r.vec_id: (r.cell, r.pruned) for r in q55b_semdedup(spark, SF).collect()
+    }
+    assert got == expected
+    for cell, members in cells.items():
+        assert got[min(members)] == (cell, False)
+
+
 def test_chunking_coverage_and_overlap(spark):
     """q43b invariants on a synthetic doc: chunk i starts at token
     i*stride, consecutive chunks share exactly size-stride tokens, every
