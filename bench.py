@@ -54,6 +54,7 @@ EXTENDED = [
     "q42b_subword_token_counts",
     "q43b_doc_chunks",
     "q53c_bm25_topk",
+    "q53d_hybrid_rrf",
     "q45b_winnow_fingerprint",
     "q47b_minhash_neardup_salted",
     "q49b_ngram_jaccard_salted",

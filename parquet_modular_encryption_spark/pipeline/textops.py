@@ -330,10 +330,9 @@ _BM25_TERM_SCORE = (
 _BM25_TERM_FP = f"CAST(floor(({_BM25_TERM_SCORE}) * 10000000.0) AS BIGINT)"
 
 
-@register(
-    "q53c_bm25_topk",
-    oracle=f"""
-    WITH tok AS (
+# WITH-body fragment ending in ``scored`` (query_id, doc_id, score) —
+# the BM25 scoring core shared by q53c's top-k and q53d's hybrid fusion.
+_BM25_SCORED_CTES = f"""tok AS (
         SELECT doc_id, unnest({sql_tokens('text')}) AS token FROM documents
     ),
     qt(query_id, token) AS (
@@ -367,7 +366,13 @@ _BM25_TERM_FP = f"CAST(floor(({_BM25_TERM_SCORE}) * 10000000.0) AS BIGINT)"
         SELECT query_id, doc_id,
                CAST(SUM(s_fp) AS BIGINT) / 10000000.0 AS score
         FROM term_scores GROUP BY query_id, doc_id
-    )
+    )"""
+
+
+@register(
+    "q53c_bm25_topk",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES}
     SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
         SELECT *, row_number() OVER (PARTITION BY query_id
                                      ORDER BY score DESC, doc_id) AS rn
@@ -396,6 +401,18 @@ def q53c_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = load(spark, sf_dir, "documents")
+    scored = _bm25_scored(spark, docs)
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def _bm25_scored(spark: SparkSession, docs: DataFrame) -> DataFrame:
+    """(query_id, doc_id, score) BM25 scoring core — the Spark twin of
+    ``_BM25_SCORED_CTES``, shared by q53c (top-k) and q53d (hybrid RRF)."""
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
     qt = spark.createDataFrame(list(BM25_QUERIES), "query_id int, token string")
     terms = sorted({t for _, t in BM25_QUERIES})
@@ -420,14 +437,134 @@ def q53c_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(stats))
         .select("query_id", "doc_id", F.expr(_BM25_TERM_FP).alias("s_fp"))
     )
-    scored = term_scores.groupBy("query_id", "doc_id").agg(
+    return term_scores.groupBy("query_id", "doc_id").agg(
         (F.sum("s_fp").cast("bigint") / F.lit(10000000.0)).alias("score")
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+
+
+# Hybrid retrieval (q53d): fuse the BM25 lexical ranking with a dense
+# cosine ranking via Reciprocal Rank Fusion (Cormack et al., SIGIR'09):
+# score(d) = sum over systems of 1/(K_RRF + rank_s(d)). Determinism:
+# ranks are integers, and each contribution is floor(1e12/(K_RRF+r)) —
+# a correctly-rounded IEEE division of exact integers followed by floor,
+# bit-identical in both engines — summed as exact BIGINTs, so fusion
+# order can never flip a tie. The dense query vector for BM25 query q is
+# embeddings.vec_id == q (the testdata contract keeps doc_id and vec_id
+# row-aligned); the query's own vector is excluded from its candidates.
+K_RRF = 60
+RRF_CAND_K = 20  # per-system candidate depth fed into fusion
+RRF_TOP_K = 10
+_RRF_FP = (
+    f"coalesce(CAST(floor(1000000000000.0 / ({K_RRF} + r_lex)) AS BIGINT), 0)"
+    f" + coalesce(CAST(floor(1000000000000.0 / ({K_RRF} + r_dense)) AS BIGINT), 0)"
+)
+
+
+@register(
+    "q53d_hybrid_rrf",
+    oracle=f"""
+    WITH {_BM25_SCORED_CTES},
+    lex AS (
+        SELECT query_id, doc_id, CAST(rn AS INT) AS r_lex FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY score DESC, doc_id) AS rn
+            FROM scored
+        ) WHERE rn <= {RRF_CAND_K}
+    ),
+    dq AS (
+        SELECT CAST(vec_id AS INT) AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings
+        WHERE vec_id IN (SELECT DISTINCT query_id FROM qt)
+    ),
+    dense_scored AS (
+        SELECT dq.query_id, e.vec_id AS doc_id,
+               list_dot_product(qe, e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                              e.embedding::DOUBLE[]))) AS cos
+        FROM dq JOIN embeddings e ON e.vec_id <> dq.query_id
+    ),
+    dense AS (
+        SELECT query_id, doc_id, CAST(rn AS INT) AS r_dense FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, doc_id) AS rn
+            FROM dense_scored
+        ) WHERE rn <= {RRF_CAND_K}
+    ),
+    fused AS (
+        SELECT query_id, doc_id, r_lex, r_dense, {_RRF_FP} AS rrf_fp
+        FROM lex FULL JOIN dense USING (query_id, doc_id)
+    )
+    SELECT query_id, doc_id, r_lex, r_dense, rrf_fp,
+           CAST(rn AS INT) AS hybrid_rank
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY rrf_fp DESC, doc_id) AS rn
+        FROM fused
+    ) WHERE rn <= {RRF_TOP_K}
+    """,
+    tags=("text", "retrieval", "hybrid", "similarity"),
+)
+def q53d_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid lexical+semantic retrieval — BM25 (q53c's scoring core) and
+    dense cosine top-{RRF_CAND_K} lists fused per query by Reciprocal
+    Rank Fusion, the standard production hybrid-search combiner: a
+    document ranked by either system scores 1/({K_RRF}+rank) per list,
+    summed in exact fixed-point (see _RRF_FP), top-{RRF_TOP_K} kept.
+
+    Scale shape: each branch is a verified bounded-output primitive —
+    BM25's posting-list fetch (tf computed only for query terms) and the
+    broadcast-queries×corpus-scan cosine ranking (q50's shape) each end
+    in a per-query top-k window over candidate rows, so the fusion join
+    receives at most 2×queries×{RRF_CAND_K} rows regardless of corpus
+    size; the full-outer fuse and final window are driver-scale work.
+    Fully hash-checked: both rankings and the fixed-point RRF sum are
+    deterministic in both engines."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        as_double,
+        cosine,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    query_ids = sorted({q for q, _ in BM25_QUERIES})
+
+    w_lex = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        _bm25_scored(spark, docs)
+        .withColumn("r_lex", F.row_number().over(w_lex).cast("int"))
+        .filter(F.col("r_lex") <= RRF_CAND_K)
+        .select("query_id", "doc_id", "r_lex")
+    )
+
+    dq = emb.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").cast("int").alias("query_id"),
+        as_double(F.col("embedding")).alias("qe"),
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("doc_id"), as_double(F.col("embedding")).alias("ee")
+    )
+    w_dense = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("doc_id"))
+    dense = (
+        F.broadcast(dq)
+        .join(corpus, F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id", cosine(F.col("qe"), F.col("ee")).alias("cos"))
+        .withColumn("r_dense", F.row_number().over(w_dense).cast("int"))
+        .filter(F.col("r_dense") <= RRF_CAND_K)
+        .select("query_id", "doc_id", "r_dense")
+    )
+
+    fused = lex.join(dense, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_fp", F.expr(_RRF_FP)
+    )
+    w_rrf = Window.partitionBy("query_id").orderBy(F.desc("rrf_fp"), F.asc("doc_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "doc_id", "score", "rank")
+        fused.withColumn("hybrid_rank", F.row_number().over(w_rrf).cast("int"))
+        .filter(F.col("hybrid_rank") <= RRF_TOP_K)
+        .select("query_id", "doc_id", "r_lex", "r_dense", "rrf_fp", "hybrid_rank")
     )
 
 

@@ -823,6 +823,41 @@ def test_bm25_scores_run_invariant(spark):
     assert len(a) > 0 and all(r[2] > 0 for r in a)
 
 
+def test_hybrid_rrf_fusion_invariants(spark):
+    """q53d structural pins: every fused row came from >= 1 candidate
+    list; the fixed-point RRF score equals the driver-side recomputation
+    from its component ranks (floor(1e12/(60+r)) per present list); and
+    within each query the hybrid ranking is exactly (rrf_fp DESC, doc_id)
+    with no gaps. Fusion-dominance: if some doc is #1 in BOTH lists it
+    must be hybrid #1 (2/(K+1) strictly beats any other achievable sum)."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        K_RRF,
+        RRF_TOP_K,
+        q53d_hybrid_rrf,
+    )
+
+    rows = q53d_hybrid_rrf(spark, SF).collect()
+    assert rows
+
+    def contrib(r):
+        return 0 if r is None else int(1_000_000_000_000 // (K_RRF + r))
+
+    by_query: dict[int, list] = {}
+    for r in rows:
+        assert r.r_lex is not None or r.r_dense is not None
+        assert r.rrf_fp == contrib(r.r_lex) + contrib(r.r_dense)
+        by_query.setdefault(r.query_id, []).append(r)
+    for qid, qrows in by_query.items():
+        qrows.sort(key=lambda r: r.hybrid_rank)
+        assert [r.hybrid_rank for r in qrows] == list(range(1, len(qrows) + 1))
+        assert len(qrows) <= RRF_TOP_K
+        keys = [(-r.rrf_fp, r.doc_id) for r in qrows]
+        assert keys == sorted(keys)
+        double_first = [r for r in qrows if r.r_lex == 1 and r.r_dense == 1]
+        if double_first:
+            assert double_first[0].hybrid_rank == 1
+
+
 def test_real_video_header_decode():
     """sniff_video parses real AVI MainAVIHeader and MP4 tkhd/stsz box
     layouts exactly — the video twin of the real-image header decode."""
