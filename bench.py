@@ -67,6 +67,7 @@ EXTENDED = [
     "q59_fuzzy_match_levenshtein",
     "q59b_fuzzy_match_salted",
     "q60b_encrypted_partitioned",
+    "q60c_crypto_shred",
     "q62b_snapshot_time_travel",
     "q62d_snapshot_merge_upsert",
     "q63b_curation_pipeline",

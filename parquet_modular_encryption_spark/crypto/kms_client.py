@@ -32,6 +32,12 @@ class KmsAuthorizationError(PermissionError):
     """HTTP 403 from the unwrap endpoint: token privilege insufficient."""
 
 
+class KmsKeyShreddedError(RuntimeError):
+    """HTTP 410 from wrap/unwrap: the wrapping key's material was
+    deliberately destroyed (crypto-shredding) — data encrypted under it is
+    permanently unrecoverable, at ANY privilege level."""
+
+
 class RestKmsClient:
     """Minimal REST client for the wrap/unwrap protocol."""
 
@@ -58,6 +64,10 @@ class RestKmsClient:
             if exc.code == 403:
                 raise KmsAuthorizationError(
                     f"unwrap denied for key {key_id!r}: {detail}"
+                ) from exc
+            if exc.code == 410:
+                raise KmsKeyShreddedError(
+                    f"key {key_id!r} crypto-shredded: {detail}"
                 ) from exc
             raise RuntimeError(f"KMS {action} failed ({exc.code}): {detail}") from exc
 

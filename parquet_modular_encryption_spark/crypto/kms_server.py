@@ -74,6 +74,7 @@ OPENAPI_SPEC = {
                     "200": {"description": "wrapped key", "content": {
                         "application/json": {"schema": {"$ref": "#/components/schemas/KeyPayload"}}}},
                     "404": {"description": "unknown wrapping key"},
+                    "410": {"description": "key material destroyed (crypto-shredded)"},
                     "422": {"description": "invalid key payload"},
                 },
             }
@@ -91,6 +92,7 @@ OPENAPI_SPEC = {
                         "application/json": {"schema": {"$ref": "#/components/schemas/KeyPayload"}}}},
                     "403": {"description": "token not authorized for key_id"},
                     "404": {"description": "unknown wrapping key"},
+                    "410": {"description": "key material destroyed (crypto-shredded)"},
                     "422": {"description": "invalid key payload"},
                 },
             }
@@ -160,9 +162,24 @@ class _KmsHandler(BaseHTTPRequestHandler):
         counters = getattr(self.server, "pme_counters", None)
         if counters is not None:  # wire-level call census (tests)
             counters[action] = counters.get(action, 0) + 1
-        kek = kms_core.WRAPPING_KEYS.get(key_id)
+        key_counters = getattr(self.server, "pme_key_counters", None)
+        if key_counters is not None:  # per-key-id census (least-privilege tests)
+            k = (parts[2], parts[3])
+            key_counters[k] = key_counters.get(k, 0) + 1
+        # per-server key registry: KmsServer seeds a COPY of the demo
+        # keys, so crypto-shredding one instance never affects another
+        keys = getattr(self.server, "pme_keys", kms_core.WRAPPING_KEYS)
+        kek = keys.get(key_id)
         if kek is None:
-            self._reply(404, {"detail": f"unknown wrapping key {key_id!r}"})
+            if key_id in getattr(self.server, "pme_shredded", ()):
+                # 410 Gone, not 404: the key EXISTED and its material was
+                # deliberately destroyed — data under it is unrecoverable
+                self._reply(
+                    410,
+                    {"detail": f"key material for {key_id!r} destroyed (crypto-shredded)"},
+                )
+            else:
+                self._reply(404, {"detail": f"unknown wrapping key {key_id!r}"})
             return
         try:
             length = int(self.headers.get("Content-Length", "0"))
@@ -206,6 +223,14 @@ class KmsServer:
         # wire-level wrap/unwrap request counts, visible to tests via
         # ``counters`` — the ground truth for "did pruning skip KMS work"
         self._httpd.pme_counters = {"wrap": 0, "unwrap": 0}
+        # per-instance key registry (a COPY of the demo keys): shredding a
+        # key on this server leaves every other server — in particular the
+        # process-wide shared singleton — untouched
+        self._httpd.pme_keys = dict(kms_core.WRAPPING_KEYS)
+        self._httpd.pme_shredded = set()
+        # per-(action, key_id) request counts — the ground truth for
+        # "which keys did this read actually fetch" least-privilege tests
+        self._httpd.pme_key_counters = {}
         self._tls = certfile is not None
         if self._tls:
             ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
@@ -223,8 +248,31 @@ class KmsServer:
         """Wire-level request counts: {"wrap": n, "unwrap": n}."""
         return self._httpd.pme_counters
 
+    @property
+    def key_counters(self) -> dict:
+        """Per-(action, key_id) wire request counts, e.g.
+        ``{("unwrap", "INTERNAL"): 3}``."""
+        return self._httpd.pme_key_counters
+
     def reset_counters(self) -> None:
         self._httpd.pme_counters.update(wrap=0, unwrap=0)
+        self._httpd.pme_key_counters.clear()
+
+    def shred(self, key_id: str) -> None:
+        """Crypto-shredding: destroy the wrapping key's material on THIS
+        server. Every DEK double-wrapped under it — in every file ever
+        written against this KMS — becomes permanently unrecoverable, so
+        deleting one key erases an entire data class without touching a
+        single data file (the GDPR-erasure mechanism PME enables: map keys
+        to tenants/users in production; this demo maps them to
+        sensitivity levels). Subsequent wrap AND unwrap calls return 410
+        Gone (vs 404 for a key that never existed). Irreversible by
+        design — there is deliberately no ``unshred``."""
+        try:
+            del self._httpd.pme_keys[key_id]
+        except KeyError:
+            raise KeyError(f"unknown wrapping key {key_id!r}") from None
+        self._httpd.pme_shredded.add(key_id)
 
     def start(self) -> "KmsServer":
         self._thread.start()

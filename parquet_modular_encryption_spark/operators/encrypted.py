@@ -168,3 +168,89 @@ def q60b_encrypted_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     # path-level pruning: only the matching bucket's directory is listed,
     # so only its files are opened and only their keys unwrapped
     return _agg(read_encrypted(spark, f"{path}/nation_bucket=2", token="RESTRICTED"))
+
+
+@register(
+    "q60c_crypto_shred",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_customers,
+           MIN(c_name) AS min_name
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+    tags=("encryption", "shredding", "lifecycle"),
+)
+def q60c_crypto_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crypto-shredding, the erasure mechanism PME exists to enable: after
+    customer is written encrypted (c_name/c_mktsegment INTERNAL,
+    c_acctbal CONFIDENTIAL), the CONFIDENTIAL wrapping key is DESTROYED
+    at the KMS — no data file is touched, yet every c_acctbal column
+    chunk in every file ever written against that key becomes permanently
+    unreadable at ANY privilege (410 Gone, typed KmsKeyShreddedError; the
+    wire test is tests/test_kms.py::test_crypto_shred_wire_semantics).
+    The builder then proves BOTH halves: a projection touching the
+    shredded column must fail even with a RESTRICTED token (asserted
+    in-builder — the query errors if erasure did not take), while the
+    surviving INTERNAL + plaintext columns aggregate losslessly
+    (hash-checked against the plaintext oracle). At 100 TB this is the
+    point: erasing a data class costs one KMS delete, not a rewrite of
+    the lake.
+
+    The shredded class is CONFIDENTIAL (not INTERNAL) deliberately: the
+    Arrow scanner fetches the FIRST encrypted column's key (c_name,
+    INTERNAL) on every multi-column read — the metadata over-fetch pinned
+    by tests/test_encryption.py::test_multi_column_read_key_fetch_scope —
+    so the surviving read must not depend on the destroyed key id.
+
+    Runs on a PRIVATE KmsServer instance (keys are per-instance, so the
+    shared singleton serving q60/q60b is untouched), on the Arrow
+    backend (works in any session, jar or not); the aggregate is
+    materialized inside the server's lifetime and returned as a bounded
+    local frame, one row per market segment."""
+    prep(spark)
+    from parquet_modular_encryption_spark.crypto.kms_server import KmsServer
+    from parquet_modular_encryption_spark.crypto.policy import CUSTOMER_POLICY
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        read_encrypted,
+        write_encrypted,
+    )
+
+    plain = load(spark, sf_dir, "customer").coalesce(4)
+    path = f"{scratch_dir('pme_q60c_')}/customer_enc"
+    server = KmsServer().start()
+    try:
+        write_encrypted(plain, path, CUSTOMER_POLICY, kms_url=server.url)
+
+        server.shred("CONFIDENTIAL")  # right-to-erasure: kill the class
+
+        # negative half: the shredded column must be unreadable even for
+        # the most privileged token; anything else means erasure failed
+        try:
+            read_encrypted(
+                spark, path, token="RESTRICTED",
+                columns=["c_nationkey", "c_acctbal"], kms_url=server.url,
+            ).collect()
+        except Exception as exc:  # noqa: BLE001 — executor wraps the 410
+            if "shred" not in str(exc).lower() and "410" not in str(exc):
+                raise
+        else:
+            raise RuntimeError(
+                "crypto-shred failed: CONFIDENTIAL column still readable"
+            )
+
+        # positive half: untouched keys keep serving — lossless aggregate
+        # over the surviving INTERNAL + plaintext columns
+        survivors = read_encrypted(
+            spark, path, token="RESTRICTED",
+            columns=["c_name", "c_mktsegment"],
+            kms_url=server.url,
+        )
+        agg = survivors.groupBy("c_mktsegment").agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("c_name").alias("min_name"),
+        )
+        rows, schema = agg.collect(), agg.schema
+    finally:
+        server.stop()
+    return spark.createDataFrame(rows, schema)

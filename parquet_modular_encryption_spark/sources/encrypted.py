@@ -14,8 +14,15 @@ read_encrypted_parquet.py) as distributed Spark operators:
   executor task decrypts its share of files with a per-task KMS client and
   60 s unwrapped-key cache (read_encrypted_parquet.py:28-39,36). Projection
   is pushed into the Arrow scanner, so unread encrypted columns are never
-  decrypted and their keys never requested — the reference's
-  least-privilege projection (read_encrypted_parquet.py:43).
+  decrypted — the reference's least-privilege projection
+  (read_encrypted_parquet.py:43). Key-fetch caveat (pinned at the KMS wire
+  level by tests/test_encryption.py::test_multi_column_read_key_fetch_scope):
+  single-column projections request exactly the keys they need, but
+  pyarrow's multi-column read path additionally fetches the key of the
+  file's FIRST encrypted column while planning metadata. Over-fetch never
+  leaks — it can only fail a read closed — but policies should expect the
+  first encrypted column's key id to be exercised by every wide read
+  (q60c's crypto-shred chooses its victim class accordingly).
 
 Scale design: parallelism is file-granular on read and partition-granular
 on write — the same sharding a 1000-executor cluster would use. The KMS

@@ -154,7 +154,11 @@ def test_encrypted_columns_not_recoverable_without_kms(people_path):
 def test_projection_least_privilege(spark, people_path):
     """Projecting only INTERNAL columns with an INTERNAL token works even
     though CONFIDENTIAL/RESTRICTED columns exist in the file — pruned
-    columns are never decrypted, so their keys are never requested."""
+    columns are never decrypted. (Key-FETCH scope is subtler: pyarrow's
+    multi-column reads also fetch the first encrypted column's key —
+    date_of_birth here, INTERNAL, so this read stays authorized; the
+    exact wire-level scope is pinned by
+    test_multi_column_read_key_fetch_scope.)"""
     got = read_encrypted(
         spark, people_path, token="INTERNAL", columns=["id", "date_of_birth"]
     ).collect()
@@ -274,3 +278,83 @@ def test_key_rotation_policy_migration(spark, people_path, tmp_path):
     assert sorted((r.id, r.first_name) for r in old) == [
         (row[0], row[2]) for row in PEOPLE_ROWS
     ]
+
+
+def test_multi_column_read_key_fetch_scope(spark, tmp_path):
+    """Pins the Arrow scanner's key-fetch scope at the KMS wire level
+    (per-key counters): a SINGLE-column projection fetches exactly the
+    keys it needs (footer + that column's key — strict least privilege),
+    while a MULTI-column projection additionally fetches the key of the
+    file's FIRST encrypted column — a pyarrow metadata over-fetch,
+    observed on every multi-column read regardless of which columns are
+    projected. The assertion brackets the behavior (needed ⊆ fetched ⊆
+    needed ∪ {first-encrypted-column key}) so a future pyarrow that
+    becomes strictly least-privilege stays green while a broader
+    over-fetch fails loudly.
+
+    Security consequence (also pinned): over-fetching never LEAKS — it
+    can only make a read fail that least privilege would have allowed.
+    With the policy below (CONFIDENTIAL column first, INTERNAL second),
+    an INTERNAL token CAN read the INTERNAL column alone but a
+    multi-column [plaintext, INTERNAL] projection trips a 403 on the
+    first encrypted column's CONFIDENTIAL key. q60c_crypto_shred routes
+    around exactly this by never shredding the first encrypted column's
+    key class."""
+    from parquet_modular_encryption_spark.crypto.kms_client import (
+        KmsAuthorizationError,
+    )
+    from parquet_modular_encryption_spark.crypto.kms_server import KmsServer
+    from parquet_modular_encryption_spark.crypto.policy import EncryptionPolicy
+
+    policy = EncryptionPolicy(
+        column_levels={
+            "first_name": Privilege.CONFIDENTIAL,  # first encrypted column
+            "last_name": Privilege.INTERNAL,
+        },
+        name="conf_first",
+    )
+    path = str(tmp_path / "conf_first")
+    df = spark.createDataFrame(PEOPLE_ROWS, PEOPLE_SCHEMA)
+    server = KmsServer().start()
+    try:
+        write_encrypted(df, path, policy, kms_url=server.url)
+
+        def fetched_for(columns):
+            server.reset_counters()
+            read_encrypted(
+                spark, path, token="RESTRICTED", columns=columns,
+                kms_url=server.url,
+            ).collect()
+            return {k for (a, k) in server.key_counters if a == "unwrap"}
+
+        needed_single = {"PUBLIC", "INTERNAL"}
+        assert fetched_for(["last_name"]) == needed_single
+
+        fetched_multi = fetched_for(["id", "last_name"])
+        assert needed_single <= fetched_multi <= needed_single | {"CONFIDENTIAL"}
+
+        # the INTERNAL token consequence: single-column read authorized...
+        got = read_encrypted(
+            spark, path, token="INTERNAL", columns=["last_name"],
+            kms_url=server.url,
+        ).collect()
+        assert sorted(r.last_name for r in got) == ["Bonzalez", "McSriff", "Truk"]
+        # ...and the multi-column read either succeeds (strict pyarrow)
+        # or fails CLOSED on the first encrypted column's key — never
+        # returns data the token could not have read column-by-column.
+        try:
+            rows = read_encrypted(
+                spark, path, token="INTERNAL", columns=["id", "last_name"],
+                kms_url=server.url,
+            ).collect()
+        except Exception as exc:  # noqa: BLE001 — executor wraps the 403
+            msg = str(exc)
+            assert "CONFIDENTIAL" in msg or "403" in msg or isinstance(
+                exc, KmsAuthorizationError
+            )
+        else:
+            assert sorted(r.last_name for r in rows) == [
+                "Bonzalez", "McSriff", "Truk",
+            ]
+    finally:
+        server.stop()

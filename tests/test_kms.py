@@ -210,3 +210,46 @@ def test_openapi_self_documentation(kms_url):
     with pytest.raises(urllib.error.HTTPError) as exc:
         urllib.request.urlopen(f"{kms_url}/nope")
     assert exc.value.code == 404
+
+
+def test_crypto_shred_wire_semantics():
+    """Crypto-shredding at the wire level: after KmsServer.shred(key_id),
+    wrap AND unwrap of that key return 410 Gone (typed as
+    KmsKeyShreddedError by the client) — even for a RESTRICTED caller,
+    because authorization cannot resurrect destroyed key material. Other
+    keys on the same server keep working, an unknown key still maps to
+    404 (never existed != destroyed), shredding an unknown key raises,
+    and a SECOND server instance retains the shredded key — the registry
+    is per-instance, so the process-wide singleton is never affected."""
+    from parquet_modular_encryption_spark.crypto.kms_client import (
+        KmsKeyShreddedError,
+    )
+
+    key = bytes(range(32))
+    server = KmsServer().start()
+    try:
+        client = RestKmsClient(server.url, access_token="RESTRICTED")
+        blob = client.wrap_key(key, "CONFIDENTIAL")
+        assert client.unwrap_key(blob, "CONFIDENTIAL") == key
+
+        server.shred("CONFIDENTIAL")
+        with pytest.raises(KmsKeyShreddedError):
+            client.unwrap_key(blob, "CONFIDENTIAL")
+        with pytest.raises(KmsKeyShreddedError):
+            client.wrap_key(key, "CONFIDENTIAL")
+        # sibling keys unaffected; unknown key is 404, not 410
+        b2 = client.wrap_key(key, "INTERNAL")
+        assert client.unwrap_key(b2, "INTERNAL") == key
+        with pytest.raises(RuntimeError, match=r"\(404\)"):
+            client.wrap_key(key, "NO_SUCH_KEY")
+        with pytest.raises(KeyError):
+            server.shred("NO_SUCH_KEY")
+    finally:
+        server.stop()
+
+    other = KmsServer().start()
+    try:
+        c2 = RestKmsClient(other.url, access_token="RESTRICTED")
+        assert c2.unwrap_key(c2.wrap_key(key, "CONFIDENTIAL"), "CONFIDENTIAL") == key
+    finally:
+        other.stop()
