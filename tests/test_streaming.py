@@ -264,3 +264,68 @@ def test_stream_static_enrich_matches_batch(spark):
         .collect()
     }
     assert got == want
+
+
+def test_incremental_dedup_ingest_earliest_wins(spark, tmp_path):
+    """Continuous-ingestion dedup (streaming/ingest.py): documents arrive
+    as three batch files in doc_id order; after the stream drains, the
+    accepted corpus must be EXACTLY q45's canonical set (global
+    earliest-wins per normalized-text fingerprint), with no fingerprint
+    accepted twice. Resuming from the same checkpoint with no new files
+    is a no-op; a later-arriving batch of pure duplicates adds nothing,
+    while one with a novel document adds exactly that document."""
+    import os
+    import time
+
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.pipeline.textops import q45_fingerprint
+    from parquet_modular_encryption_spark.streaming.ingest import (
+        incremental_dedup_ingest,
+        read_accepted,
+    )
+
+    src = tmp_path / "arrivals"
+    work = str(tmp_path / "work")
+    os.makedirs(src)
+    table = pq.read_table(f"{SF}/documents.parquet")
+    table = table.take(
+        [i for _, i in sorted(zip(table.column("doc_id").to_pylist(), range(len(table))))]
+    )
+    n = len(table)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pq.write_table(table.slice(cuts[i], cuts[i + 1] - cuts[i]), src / f"{i:03d}.parquet")
+        os.utime(src / f"{i:03d}.parquet", (time.time() - 300 + i, time.time() - 300 + i))
+
+    incremental_dedup_ingest(spark, str(src), work)
+    accepted = {r.doc_id for r in read_accepted(spark, work).collect()}
+    canonical = {
+        r.canonical_doc_id for r in q45_fingerprint(spark, SF).collect()
+    }
+    assert accepted == canonical
+    fps = [r.fp for r in read_accepted(spark, work).select("fp").collect()]
+    assert len(fps) == len(set(fps)), "a fingerprint was accepted twice"
+
+    # resume with nothing new: no-op
+    incremental_dedup_ingest(spark, str(src), work)
+    assert {r.doc_id for r in read_accepted(spark, work).collect()} == accepted
+
+    # late batch: two exact duplicates of already-accepted docs + one novel
+    sample = table.slice(0, 2)
+    import pyarrow as pa
+
+    novel = pa.table(
+        {
+            "doc_id": pa.array([10_000_000], type=table.schema.field("doc_id").type),
+            "text": pa.array(["an entirely novel late-arriving document"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["late"]),
+            "n_chars": pa.array([40], type=table.schema.field("n_chars").type),
+        }
+    ).select(table.schema.names)
+    late = pa.concat_tables([sample, novel])
+    pq.write_table(late, src / "900.parquet")
+    incremental_dedup_ingest(spark, str(src), work)
+    got = {r.doc_id for r in read_accepted(spark, work).collect()}
+    assert got == accepted | {10_000_000}
