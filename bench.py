@@ -56,6 +56,7 @@ EXTENDED = [
     "q53c_bm25_topk",
     "q53d_hybrid_rrf",
     "q45b_winnow_fingerprint",
+    "q45c_dup_substring_spans",
     "q47b_minhash_neardup_salted",
     "q49b_ngram_jaccard_salted",
     "q50b_knn_vectorized",

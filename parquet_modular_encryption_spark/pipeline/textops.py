@@ -780,6 +780,151 @@ def q45b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_candidate_pairs(docs)
 
 
+# Exact-substring dedup threshold (Lee et al., ACL'22, "Deduplicating
+# Training Data Makes Language Models Better"): any normalized-text run
+# of >= SUBDUP_K characters that occurs more than once ANYWHERE in the
+# corpus (across documents or within one) is a duplicated span to flag.
+# Stride-1 k-grams make this exact for runs >= k: a shared run of length
+# L >= k contains L - k + 1 aligned k-grams, so every character of the
+# run is covered by at least one duplicated gram.
+SUBDUP_K = 20
+
+
+def dup_substring_spans(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_dup_spans, dup_chars, norm_len, clean_chars) per
+    document containing at least one duplicated >= SUBDUP_K-char
+    substring — the q45c core, exposed for the adversarial test.
+
+    Three stages, all linear in corpus characters:
+    1. gram index: stride-1 SUBDUP_K-char substrings with positions
+       (higher-order transform + posexplode, no Python);
+    2. duplicated-gram detection: groupBy(gram) count >= 2 (map-side
+       partial agg), then a semi-join back onto the positional index —
+       output is one row per duplicated position, never pairs, so a
+       boilerplate gram in 10^6 documents contributes 10^6 linear rows,
+       not 10^12 pairs (contrast q45b's pair generation, which needs the
+       DF cap for exactly that reason);
+    3. span assembly: per-document gaps-and-islands over the hit
+       positions (one window pass ordered by start) merges overlapping
+       or adjacent [s, s+k-1] intervals into maximal duplicated spans.
+
+    At 100 TB the semi-join back is the one skew-sensitive edge (every
+    position of a hot gram shuffles to one reducer, linearly); AQE's
+    skew-join split handles it, and production replaces the join with a
+    bloom filter of duplicated grams (q61b's pre-pass pattern) so stage
+    2 becomes a map-side membership test."""
+    from pyspark.sql import Window
+
+    normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
+        F.length("norm") >= SUBDUP_K
+    )
+    grams = normed.select(
+        "doc_id",
+        F.length("norm").cast("bigint").alias("norm_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {SUBDUP_K} + 1), "
+                f"i -> substr(norm, i, {SUBDUP_K}))"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "norm_len",
+        "gram",
+        (F.col("pos0") + 1).cast("bigint").alias("s"),
+        (F.col("pos0") + SUBDUP_K).cast("bigint").alias("e"),
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter(F.col("occ") >= 2)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "norm_len", "s", "e")
+    w = Window.partitionBy("doc_id").orderBy("s")
+    prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = hits.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.coalesce(prev_e, F.lit(-1)) + 1, F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn("island", F.sum("new_island").over(w))
+    spans = flagged.groupBy("doc_id", "norm_len", "island").agg(
+        F.min("s").alias("ss"), F.max("e").alias("ee")
+    )
+    return spans.groupBy("doc_id", "norm_len").agg(
+        F.count(F.lit(1)).alias("n_dup_spans"),
+        F.sum(F.col("ee") - F.col("ss") + 1).cast("bigint").alias("dup_chars"),
+    ).select(
+        "doc_id",
+        "n_dup_spans",
+        "dup_chars",
+        "norm_len",
+        (F.col("norm_len") - F.col("dup_chars")).alias("clean_chars"),
+    )
+
+
+@register(
+    "q45c_dup_substring_spans",
+    oracle=f"""
+    WITH normed AS (
+        SELECT doc_id, {sql_normalized('text')} AS norm FROM documents
+    ), pos AS (
+        SELECT doc_id, CAST(length(norm) AS BIGINT) AS norm_len, norm,
+               unnest(range(1, length(norm) - {SUBDUP_K} + 2)) AS s
+        FROM normed WHERE length(norm) >= {SUBDUP_K}
+    ), grams AS (
+        SELECT doc_id, norm_len, CAST(s AS BIGINT) AS s,
+               CAST(s + {SUBDUP_K} - 1 AS BIGINT) AS e,
+               substr(norm, CAST(s AS INT), {SUBDUP_K}) AS gram
+        FROM pos
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) >= 2
+    ), hits AS (
+        SELECT doc_id, norm_len, s, e FROM grams JOIN dup USING (gram)
+    ), isl AS (
+        SELECT doc_id, norm_len, s, e,
+               CASE WHEN s > coalesce(max(e) OVER (
+                        PARTITION BY doc_id ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                    THEN 1 ELSE 0 END AS new_island
+        FROM hits
+    ), isl2 AS (
+        SELECT doc_id, norm_len, s, e,
+               SUM(new_island) OVER (PARTITION BY doc_id ORDER BY s) AS island
+        FROM isl
+    ), spans AS (
+        SELECT doc_id, norm_len, island, MIN(s) AS ss, MAX(e) AS ee
+        FROM isl2 GROUP BY doc_id, norm_len, island
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_dup_spans,
+           CAST(SUM(ee - ss + 1) AS BIGINT) AS dup_chars,
+           norm_len,
+           norm_len - CAST(SUM(ee - ss + 1) AS BIGINT) AS clean_chars
+    FROM spans GROUP BY doc_id, norm_len
+    """,
+    tags=("text", "dedup", "substring"),
+)
+def q45c_dup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring span detection (Lee et al., ACL'22):
+    flag every maximal region of a document covered by a >= {SUBDUP_K}
+    normalized-char substring that occurs more than once in the corpus —
+    the "remove the duplicated bytes, keep the rest of the document"
+    dedup mode, complementing q45 (whole-doc exact), q45b (winnowed
+    passage pairs), and q47 (MinHash near-dup): those decide which
+    DOCUMENTS to drop; this decides which BYTES.
+
+    Lee et al. build a corpus suffix array; the Spark-native equivalent
+    is a stride-1 k-gram index, identical in output for runs >= k and
+    O(corpus chars) in both index size and work — see
+    :func:`dup_substring_spans` for the three-stage shape and the 100 TB
+    skew note. Output is all-integer (span counts, char counts), so the
+    hash check is exact with no floating-point canonicalization."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return dup_substring_spans(docs)
+
+
 @register(
     "q46_lang_profile",
     oracle=f"""

@@ -448,6 +448,58 @@ def test_winnowing_boilerplate_cap(spark):
         assert pair in uncapped and n <= uncapped[pair]
 
 
+def test_dup_substring_spans_adversarial(spark):
+    """Exact-substring span dedup (q45c core): a cross-document shared
+    passage is flagged in BOTH documents with a span covering exactly the
+    shared run; a within-document repeat yields two disjoint spans; a
+    unique document is absent; and a passage shared by 500 documents
+    produces 500 linear per-doc rows, never pairs."""
+    import hashlib
+
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        SUBDUP_K,
+        dup_substring_spans,
+    )
+
+    passage = "the quick brown fox jumps over the lazy dog tonight"
+    assert len(passage) >= SUBDUP_K
+    rows = [
+        (1, f"alpha beta {passage} gamma delta unique closing one"),
+        (2, f"zzz entirely different preamble {passage} other suffix"),
+        # within-doc repeat: two copies separated by a unique bridge
+        (3, f"opening {passage} unique bridging middle part {passage} end"),
+        (4, "nothing here repeats anywhere else in this corpus at all ok"),
+    ]
+    # 500 boilerplate-sharing docs with md5-unique bodies
+    boiler = "copyright acme corporation all rights reserved worldwide"
+    rows += [
+        (100 + i, f"{hashlib.md5(str(i).encode()).hexdigest()} {boiler}")
+        for i in range(500)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: r for r in dup_substring_spans(docs).collect()}
+
+    # linear output: one row per affected doc (503 = docs 1,2,3 + 500)
+    assert len(out) == 503
+    assert 4 not in out
+
+    # cross-doc passage: flagged in both, span covers the shared run
+    # (± the flanking spaces both sides share)
+    for d in (1, 2):
+        assert out[d].n_dup_spans == 1
+        assert len(passage) <= out[d].dup_chars <= len(passage) + 2
+
+    # within-doc repeat: two disjoint spans, each covering one copy
+    assert out[3].n_dup_spans == 2
+    assert out[3].dup_chars >= 2 * len(passage)
+
+    # invariants: spans are disjoint and >= K chars each
+    for r in out.values():
+        assert 0 < r.dup_chars <= r.norm_len
+        assert r.clean_chars == r.norm_len - r.dup_chars
+        assert r.dup_chars >= SUBDUP_K * r.n_dup_spans
+
+
 def test_winnowing_covers_minhash_neardups(spark):
     """Cross-method validation (the q58-vs-q47 pattern): documents that
     MinHash verifies as Jaccard-similar share whole word shingles, hence
