@@ -60,6 +60,7 @@ EXTENDED = [
     "q47b_minhash_neardup_salted",
     "q49b_ngram_jaccard_salted",
     "q50b_knn_vectorized",
+    "q52b_kmeans_refine",
     "q54c_ann_quantized",
     "q54d_ann_ivf",
     "q54e_ann_ivf_partitioned",

@@ -210,6 +210,170 @@ def q52_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q52b_kmeans_refine",
+    oracle="""
+    WITH expanded AS (
+        SELECT label,
+               unnest(range(0, len(embedding))) AS dim,
+               unnest(embedding::DOUBLE[]) AS val
+        FROM embeddings
+    ), cdims AS (
+        SELECT label, dim,
+               CAST(SUM(CAST(floor(val * 10000000.0) AS BIGINT)) AS DOUBLE)
+                   / 10000000.0 / COUNT(*) AS c
+        FROM expanded GROUP BY label, dim
+    ), centroids AS (
+        SELECT label AS cell, list(c ORDER BY dim) AS ce FROM cdims GROUP BY label
+    ), scored_cells AS (
+        SELECT e.vec_id, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], c.ce)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        FROM embeddings e CROSS JOIN centroids c
+    ), ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM scored_cells
+    ), assign AS (
+        SELECT vec_id, cell FROM ranked WHERE rn = 1
+    ), upd AS (
+        SELECT a.cell,
+               unnest(range(0, len(e.embedding))) AS dim,
+               unnest(e.embedding::DOUBLE[]) AS val
+        FROM assign a JOIN embeddings e USING (vec_id)
+    ), cdims2 AS (
+        SELECT cell, dim,
+               CAST(SUM(CAST(floor(val * 10000000.0) AS BIGINT)) AS DOUBLE)
+                   / 10000000.0 / COUNT(*) AS c
+        FROM upd GROUP BY cell, dim
+    ), centroids2 AS (
+        SELECT cell, list(c ORDER BY dim) AS ce FROM cdims2 GROUP BY cell
+    ), scored2 AS (
+        SELECT e.vec_id, c.cell,
+               list_dot_product(e.embedding::DOUBLE[], c.ce)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(c.ce, c.ce))) AS cos
+        FROM embeddings e CROSS JOIN centroids2 c
+    ), ranked2 AS (
+        SELECT vec_id, cell, cos,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM scored2
+    ), assign2 AS (
+        SELECT vec_id, cell, cos FROM ranked2 WHERE rn = 1
+    ), n0 AS (
+        SELECT cell, COUNT(*) AS n_init FROM assign GROUP BY cell
+    ), n1 AS (
+        SELECT cell, COUNT(*) AS n_refined,
+               CAST(SUM(CAST(floor(cos * 10000000.0) AS BIGINT)) AS BIGINT)
+                   AS inertia_fp
+        FROM assign2 GROUP BY cell
+    ), moved AS (
+        SELECT a2.cell, COUNT(*) AS n_moved_in
+        FROM assign2 a2 JOIN assign a USING (vec_id)
+        WHERE a.cell <> a2.cell GROUP BY a2.cell
+    )
+    SELECT COALESCE(n0.cell, n1.cell) AS cell,
+           COALESCE(n_init, 0) AS n_init,
+           COALESCE(n_refined, 0) AS n_refined,
+           COALESCE(n_moved_in, 0) AS n_moved_in,
+           COALESCE(inertia_fp, 0) AS inertia_fp
+    FROM n0
+    FULL JOIN n1 ON n0.cell = n1.cell
+    LEFT JOIN moved ON COALESCE(n0.cell, n1.cell) = moved.cell
+    """,
+    tags=("similarity", "kmeans", "clustering"),
+)
+def q52b_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One Lloyd iteration of k-means over the embedding corpus — the
+    training step behind every clustering-based curation pass (SemDeDup
+    cells, DCLM cluster-balanced sampling, IVF codebook training):
+    initialize centroids from the labels (q52's deterministic reduce),
+    assign every vector to its nearest centroid by cosine, recompute
+    centroids from that assignment, reassign, and report per-cell
+    membership, migration, and fixed-point inertia — the convergence
+    diagnostics a driver loop watches.
+
+    Every stage is the deterministic cross-engine arithmetic the ANN
+    triad already proved out: centroid means are floor-quantized integer
+    sums (order-independent, q52), assignment is an argmax with the
+    struct-max tie-break mirroring the oracle's row_number window
+    (q54d), and inertia is a BIGINT sum of floor-scaled cosines — so a
+    genuinely iterative ML training step is fully hash-checked.
+
+    100 TB shape: assignment never shuffles the corpus — it is a
+    map-side argmax against the broadcast K-row codebook with map-side
+    partial aggregation collapsing corpus x K before the exchange; the
+    update step is ONE groupBy(cell, dim) shuffle of floor-quantized
+    partial sums (map-side combine makes the exchanged volume K x dims
+    per mapper, not corpus-sized); further iterations are a driver loop
+    re-broadcasting the K-row codebook each pass (q57's
+    localCheckpoint-per-iteration pattern). The report is K rows."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+
+    def _assign(codebook: DataFrame) -> DataFrame:
+        scored = e.crossJoin(F.broadcast(codebook)).select(
+            "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+        )
+        best = scored.groupBy("vec_id").agg(
+            F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
+        )
+        return best.select(
+            "vec_id", (-F.col("b.nc")).alias("cell"), F.col("b.cos").alias("cos")
+        )
+
+    def _centroids(assigned: DataFrame) -> DataFrame:
+        expanded = assigned.join(e, "vec_id").select(
+            "cell", F.posexplode("ee").alias("dim", "val")
+        )
+        qsum = F.sum(F.floor(F.col("val") * F.lit(10000000.0)).cast("bigint"))
+        cdims = expanded.groupBy("cell", "dim").agg(
+            (qsum.cast("double") / F.lit(10000000.0) / F.count(F.lit(1))).alias("c")
+        )
+        return (
+            cdims.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("dc"))
+            .select("cell", F.transform("dc", lambda x: x["c"]).alias("ce"))
+            .localCheckpoint(eager=True)
+        )
+
+    cb0 = _ivf_codebook(emb)
+    # materialize the init assignment once: both the update step and the
+    # migration/report joins consume it (q57's per-iteration pattern)
+    assign0 = _assign(cb0).select("vec_id", "cell").localCheckpoint(eager=True)
+    assign1 = _assign(_centroids(assign0))
+
+    n0 = assign0.groupBy("cell").agg(F.count(F.lit(1)).alias("n_init"))
+    n1 = assign1.groupBy("cell").agg(
+        F.count(F.lit(1)).alias("n_refined"),
+        F.sum(F.floor(F.col("cos") * F.lit(10000000.0)).cast("bigint"))
+        .cast("bigint")
+        .alias("inertia_fp"),
+    )
+    moved = (
+        assign1.alias("a2")
+        .join(assign0.alias("a0"), "vec_id")
+        .filter(F.col("a0.cell") != F.col("a2.cell"))
+        .groupBy(F.col("a2.cell").alias("cell"))
+        .agg(F.count(F.lit(1)).alias("n_moved_in"))
+    )
+    return (
+        n0.join(n1, "cell", "full")
+        .join(moved, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("n_init", F.lit(0)).alias("n_init"),
+            F.coalesce("n_refined", F.lit(0)).alias("n_refined"),
+            F.coalesce("n_moved_in", F.lit(0)).alias("n_moved_in"),
+            F.coalesce("inertia_fp", F.lit(0)).alias("inertia_fp"),
+        )
+    )
+
+
 # OR-amplified banded LSH for candidate generation: a pair is a candidate
 # if ALL planes within ANY band agree. Bands of 3 planes balance recall
 # against candidate volume for the ~0.3-0.5 cosine range where "nearest

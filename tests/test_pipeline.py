@@ -675,6 +675,58 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     assert r_multi >= r_single, f"multi-probe recall {r_multi} < single {r_single}"
 
 
+def test_kmeans_refine_matches_numpy_lloyd(spark):
+    """q52b against a hand-rolled numpy Lloyd iteration: same
+    floor-quantized centroid means, same cosine argmax with the
+    (max cos, min cell) tie-break, same update/reassign. Membership and
+    migration counts must agree exactly (an argmax flip needs a
+    cross-cell cosine tie, far above ulp noise); fixed-point inertia is
+    allowed +-1 per vector for summation-order ulp drift."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q52b_kmeans_refine,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    vecs = np.array([np.asarray(v, dtype=np.float64) for v in t["embedding"]])
+    labels = t["label"].to_numpy()
+    cells = np.sort(np.unique(labels))
+
+    def centroids_from(assign):
+        return np.stack([
+            np.floor(vecs[assign == c] * 1e7).sum(axis=0) / 1e7
+            / (assign == c).sum()
+            for c in cells
+        ])
+
+    def assign_to(cb):
+        # cosine against each centroid; argmax with min-cell tie-break
+        sims = (vecs @ cb.T) / (
+            np.linalg.norm(vecs, axis=1)[:, None] * np.linalg.norm(cb, axis=1)[None, :]
+        )
+        best = sims.argmax(axis=1)  # np.argmax takes the FIRST max = min cell
+        return cells[best], sims[np.arange(len(vecs)), best]
+
+    a0, _ = assign_to(centroids_from(labels))
+    a1, cos1 = assign_to(centroids_from(a0))
+
+    out = {r.cell: r for r in q52b_kmeans_refine(spark, SF).collect()}
+    assert set(out) == set(cells.tolist())
+    n_total = len(vecs)
+    assert sum(r.n_init for r in out.values()) == n_total
+    assert sum(r.n_refined for r in out.values()) == n_total
+    for c in cells:
+        r = out[int(c)]
+        assert r.n_init == int((a0 == c).sum()), f"cell {c} init count"
+        assert r.n_refined == int((a1 == c).sum()), f"cell {c} refined count"
+        assert r.n_moved_in == int(((a1 == c) & (a0 != c)).sum()), f"cell {c} moved"
+        assert r.n_moved_in <= r.n_refined
+        ref_inertia = int(np.floor(cos1[a1 == c] * 1e7).sum())
+        assert abs(r.inertia_fp - ref_inertia) <= max(1, r.n_refined)
+
+
 def test_quantization_zero_vector_guard(spark):
     """An all-zero embedding must quantize to finite scale and all-zero
     codes — without the greatest(max|x|, eps) floor the scale is Inf and
