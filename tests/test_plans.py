@@ -357,6 +357,64 @@ def test_aqe_skew_join_safety_net(spark):
     )
 
 
+def test_runtime_bloom_filter_join_pruning(spark):
+    """Runtime row-level filtering for 100 TB shuffle joins: when a fact
+    table shuffle-joins a selectively-filtered dimension, Spark should
+    inject a bloom filter of the dimension's surviving keys on the fact
+    side, so non-matching fact rows die at the scan stage instead of
+    shuffling. prep() must leave the optimizer rule enabled (it is the
+    no-broadcast analogue of q04's broadcast pruning), and the rewrite
+    must be semantics-preserving.
+
+    The application-side size threshold defaults to 10 GiB — far above
+    any local fixture — so the test lowers it to 0 to make the rule
+    fire; at production scale the default engages on exactly the
+    fact-table scans this repo's TPC-H-shape joins read."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.plans.explain import executed_plan
+    from parquet_modular_encryption_spark.session import prep
+
+    prep(spark)
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+
+    tuned = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k) for k in tuned}
+
+    def run():
+        lineitem = spark.read.parquet(f"{SF}/lineitem.parquet")
+        orders = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        return (
+            lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("l_quantity").cast("bigint").alias("sq"),
+            )
+        )
+
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        j = run()
+        with_bloom = j.collect()
+        plan = executed_plan(j)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "might_contain" in plan, (
+        "no runtime bloom filter injected on the fact side:\n" + plan[:1500]
+    )
+    # the rewrite must not change results (compare against the default
+    # path, where the toy-scale scan stays under the size threshold)
+    assert with_bloom == run().collect()
+
+
 def test_snapshot_queries_no_cartesian(spark):
     """Snapshot-table queries read back scratch tables; their plans must
     stay keyed (anti-join for merge) with no cartesian products."""
