@@ -66,6 +66,7 @@ EXTENDED = [
     "q54e_ann_ivf_partitioned",
     "q55b_semdedup",
     "q57_neardup_clusters",
+    "q57b_pagerank",
     "q59_fuzzy_match_levenshtein",
     "q59b_fuzzy_match_salted",
     "q60b_encrypted_partitioned",

@@ -643,6 +643,102 @@ def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PageRank over the near-dup similarity graph: 3 power iterations in
+# exact BIGINT fixed-point (rank scaled by 1e7; damping 0.85 applied as
+# (x * 17) DIV 20; per-edge contribution r DIV deg). Integer division
+# and integer sums are bit-identical in every engine and order-
+# independent, so an ITERATIVE numeric algorithm becomes fully
+# hash-checkable — the same trick as q53c's fixed-point BM25, extended
+# to a multi-round fixpoint.
+PAGERANK_ITERS = 3
+PAGERANK_SCALE = 10_000_000
+_PR_BASE = PAGERANK_SCALE * 15 // 100  # (1 - d) * scale, exact
+
+
+def _pagerank_sql() -> str:
+    it_prev = "r0"
+    its = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        its.append(
+            f"""it{i} AS (
+        SELECT e.dst AS node,
+               {_PR_BASE} + CAST((SUM(r.r_fp // d.deg) * 17) // 20 AS BIGINT)
+                   AS r_fp
+        FROM edges e
+        JOIN deg d ON e.src = d.src
+        JOIN {it_prev} r ON e.src = r.node
+        GROUP BY e.dst
+    )"""
+        )
+        it_prev = f"it{i}"
+    return f"""
+    WITH {_minhash_ctes()}, edges AS (
+        SELECT doc_a AS src, doc_b AS dst FROM verified
+        UNION ALL
+        SELECT doc_b AS src, doc_a AS dst FROM verified
+    ), deg AS (
+        SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), r0 AS (
+        SELECT src AS node, CAST({PAGERANK_SCALE} AS BIGINT) AS r_fp FROM deg
+    ), {", ".join(its)}
+    SELECT r.node AS doc_id, d.deg AS degree, r.r_fp AS rank_fp
+    FROM {it_prev} r JOIN deg d ON r.node = d.src
+    """
+
+
+@register("q57b_pagerank", oracle=_pagerank_sql(), tags=("dedup", "graph", "pagerank"))
+def q57b_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the MinHash near-dup graph — the
+    generic iterative-graph-algorithm primitive (q57's label propagation
+    specialized to components; this is the weighted-importance variant
+    used to pick the most-connected canonical document of a dup family,
+    or to rank pages by link authority in a crawl): symmetric edges from
+    q47's verified pairs, then {PAGERANK_ITERS} power iterations of
+    r' = 0.15 + 0.85 * sum(r_in / deg).
+
+    Determinism: ranks live in BIGINT fixed-point (scale 1e7); each
+    neighbor contribution is an exact integer division r DIV deg, the
+    damping factor is (x*17) DIV 20, and per-node sums are exact-integer
+    and order-independent — so a multi-round iterative fixpoint is fully
+    hash-checked against the oracle's unrolled CTE chain.
+
+    100 TB shape: per iteration ONE shuffle (contributions grouped by
+    destination, map-side combinable); the edge list with degrees is
+    localCheckpointed once and reused by every round (q57's
+    lineage-truncation pattern); a production run replaces the unrolled
+    loop with convergence-tested rounds, same per-round plan."""
+    prep(spark)
+    pairs = q47_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    return pagerank_fixed_point(pairs)
+
+
+def pagerank_fixed_point(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataFrame:
+    """(doc_id, degree, rank_fp) fixed-point PageRank over an undirected
+    (doc_a, doc_b) pair frame — the q57b core, exposed for the exact
+    pure-Python cross-check test."""
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # (src, dst, deg): the iteration-invariant adjacency, materialized once
+    adj = edges.join(deg, "src").localCheckpoint(eager=True)
+    ranks = deg.select(
+        F.col("src").alias("node"), F.lit(PAGERANK_SCALE).cast("bigint").alias("r_fp")
+    )
+    for _ in range(iters):
+        contribs = adj.join(ranks, adj.src == ranks.node).select(
+            "dst", F.expr("r_fp DIV deg").alias("c")
+        )
+        ranks = contribs.groupBy(F.col("dst").alias("node")).agg(
+            (F.lit(_PR_BASE) + F.expr("(SUM(c) * 17) DIV 20")).alias("r_fp")
+        )
+    return ranks.join(deg, ranks.node == deg.src).select(
+        F.col("node").alias("doc_id"),
+        F.col("deg").alias("degree"),
+        F.col("r_fp").alias("rank_fp"),
+    )
+
+
 @register("q58_ml_minhash_lsh", oracle=None, tags=("dedup", "minhash", "ml"))
 def q58_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark ML's MinHashLSH (SURVEY.md §2B's mapped primitive) as the

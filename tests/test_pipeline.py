@@ -290,6 +290,46 @@ def test_connected_components_two_jobs_per_iteration(spark):
     )
 
 
+def test_pagerank_matches_exact_integer_reference(spark):
+    """q57b core against a pure-Python integer PageRank with the same
+    fixed-point arithmetic: since every operation is exact BIGINT math
+    (r DIV deg, (sum * 17) DIV 20), the distributed result must equal
+    the single-threaded reference BIT-FOR-BIT, not approximately. Also
+    pins the semantics: a hub node outranks leaves."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        PAGERANK_ITERS,
+        PAGERANK_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star (hub 0, leaves 1-4) + a triangle (10, 11, 12) + an isolated pair
+    pairs = [(0, i) for i in (1, 2, 3, 4)] + [(10, 11), (10, 12), (11, 12), (20, 21)]
+    df = spark.createDataFrame(pairs, "doc_a bigint, doc_b bigint")
+
+    # single-threaded exact-integer reference
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    r = {n: PAGERANK_SCALE for n in adj}
+    base = PAGERANK_SCALE * 15 // 100
+    for _ in range(PAGERANK_ITERS):
+        nxt = {n: 0 for n in adj}
+        for u, nbrs in adj.items():
+            c = r[u] // len(nbrs)
+            for v in nbrs:
+                nxt[v] += c
+        r = {n: base + (s * 17) // 20 for n, s in nxt.items()}
+
+    out = {row.doc_id: row for row in pagerank_fixed_point(df).collect()}
+    assert set(out) == set(adj)
+    for n in adj:
+        assert out[n].degree == len(adj[n])
+        assert out[n].rank_fp == r[n], f"node {n}: {out[n].rank_fp} != {r[n]}"
+    # hub centrality: the star hub outranks every leaf
+    assert all(out[0].rank_fp > out[i].rank_fp for i in (1, 2, 3, 4))
+
+
 def test_ml_minhash_overlaps_handrolled(spark):
     """Spark ML's MinHashLSH and the hand-rolled q47 pipeline hunt the same
     ground truth; their verified pair sets must substantially overlap."""
