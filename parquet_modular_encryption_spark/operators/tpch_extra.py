@@ -1,6 +1,7 @@
-"""Additional TPC-H-shaped analytic queries (Q10/Q12/Q15/Q18/Q19/Q21/Q22/Q11
-shapes), adapted to the driver's column subset (TESTDATA.md has no
-shipmode/commitdate/receiptdate/phone columns).
+"""Additional TPC-H-shaped analytic queries (Q10/Q12/Q15/Q18/Q19/Q21/Q22/
+Q11/Q9/Q14/Q17 shapes, plus Q2/Q16/Q20 as q80b/q88b/q94b), adapted to the
+driver's column subset (TESTDATA.md has no shipmode/commitdate/receiptdate/
+phone/partsupp columns).
 
 Widens the SURVEY.md §2B relational surface with the classic OLAP patterns
 those queries exist to exercise: top-k over an aggregated join (Q10),
@@ -537,5 +538,174 @@ def q94_small_qty_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "q80b_min_cost_supplier",
+    oracle="""
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey, MIN(l_extendedprice) AS cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, s.s_acctbal,
+           ps.cost AS supply_cost
+    FROM part p
+    JOIN supply ps ON ps.l_partkey = p.p_partkey
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    WHERE p.p_size <= 15
+      AND ps.cost = (SELECT MIN(s2.cost) FROM supply s2
+                     WHERE s2.l_partkey = p.p_partkey)
+    """,
+    tags=("join", "subquery", "argmin"),
+)
+def q80b_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp replaced by the observed per-(part,
+    supplier) minimum sale price — the closest supply-cost analogue in
+    TESTDATA.md's column subset): for every small part, the supplier(s)
+    offering it at the part's minimum cost — a correlated scalar-MIN
+    subquery referencing the outer part, the one canonical TPC-H
+    subquery pattern the module did not yet register.
+
+    The Spark side decorrelates the same way Catalyst rewrites Q2: a
+    per-part MIN pre-aggregate joined back on (partkey, cost) — both
+    shuffles share the l_partkey key, so a cluster reuses the exchange;
+    ties (several suppliers at the minimum) are preserved, exactly as
+    Q2's specification keeps them. MIN of raw doubles is exact (no
+    arithmetic), so the equality join is deterministic cross-engine.
+    Dimensions (filtered part, supplier) broadcast."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_size") <= 15)
+    supplier = load(spark, sf_dir, "supplier")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min("l_extendedprice").alias("cost")
+    )
+    best = supply.groupBy("l_partkey").agg(F.min("cost").alias("min_cost"))
+    return (
+        supply.join(best, "l_partkey")
+        .filter(F.col("cost") == F.col("min_cost"))
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("cost").alias("supply_cost"),
+        )
+    )
+
+
+@register(
+    "q88b_part_supplier_census",
+    oracle="""
+    WITH blacklist AS (
+        SELECT l_suppkey FROM lineitem GROUP BY l_suppkey
+        HAVING SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) * 100
+               > 34 * COUNT(*)
+    )
+    SELECT p_brand, p_size % 5 AS size_class,
+           COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1'
+      AND l_suppkey NOT IN (SELECT l_suppkey FROM blacklist)
+    GROUP BY p_brand, p_size % 5
+    """,
+    tags=("join", "subquery", "census"),
+)
+def q88b_part_supplier_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier census per part category,
+    excluding suppliers matching a NOT IN subquery (Q16's "complaints"
+    replaced by a high return-rate test). The exclusion predicate is
+    integer-only cross-engine arithmetic — returns*100 > 34*total — so
+    the blacklist membership is deterministic with no ratio rounding.
+
+    Spark plans the NOT IN as a broadcast anti-join against the tiny
+    aggregated blacklist (|suppliers| rows), then one shuffle for the
+    COUNT(DISTINCT) census — the partial-distinct expansion keeps the
+    map side combining. At 100 TB the blacklist aggregation is the
+    standard two-phase count over the supplier key and stays bounded by
+    supplier cardinality."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    part = load(spark, sf_dir, "part").filter(F.col("p_brand") != "Brand#1")
+    returns = F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+    blacklist = (
+        li.groupBy("l_suppkey")
+        .agg(returns.alias("n_ret"), F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n_ret") * 100 > 34 * F.col("n"))
+        .select("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(blacklist), "l_suppkey", "left_anti")
+        .join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("p_brand", (F.col("p_size") % 5).alias("size_class"))
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "q94b_excess_share_suppliers",
+    oracle="""
+    WITH target AS (
+        SELECT p_partkey FROM part WHERE p_size >= 40
+    ), sq AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem JOIN target ON p_partkey = l_partkey
+        GROUP BY l_partkey, l_suppkey
+    ), pt AS (
+        SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS total
+        FROM sq GROUP BY l_partkey
+    )
+    SELECT s.s_suppkey, s.s_name, COUNT(*) AS n_dominated_parts,
+           CAST(SUM(sq.qty) AS BIGINT) AS dominated_qty
+    FROM sq
+    JOIN pt ON pt.l_partkey = sq.l_partkey
+    JOIN supplier s ON s.s_suppkey = sq.l_suppkey
+    WHERE 8 * sq.qty > pt.total
+    GROUP BY s.s_suppkey, s.s_name
+    """,
+    tags=("join", "subquery", "share"),
+)
+def q94b_excess_share_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty-vs-half-of-shipped replaced by
+    share-of-part-volume in TESTDATA.md's columns): suppliers carrying
+    an outsized share (> 1/8, strict) of any large part's total shipped
+    quantity — the nested-subquery "excess concentration" selection,
+    decorrelated into two chained aggregates over the same l_partkey
+    shuffle key. Quantities are integral doubles cast to BIGINT before
+    summing, and the share test is the integer cross-multiplication
+    8*qty > total — zero floating point anywhere, so the selection is
+    exact in both engines.
+
+    Scale: the target-part filter (broadcast) prunes lineitem first;
+    both aggregates and the share join key on l_partkey so the exchange
+    is reused; the supplier dimension broadcasts onto the final
+    bounded (supplier, part) survivors."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    target = (
+        load(spark, sf_dir, "part").filter(F.col("p_size") >= 40).select("p_partkey")
+    )
+    supplier = load(spark, sf_dir, "supplier")
+    sq = (
+        li.join(F.broadcast(target), F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(F.col("l_quantity").cast("bigint")).alias("qty"))
+    )
+    pt = sq.groupBy("l_partkey").agg(F.sum("qty").cast("bigint").alias("total"))
+    return (
+        sq.join(pt, "l_partkey")
+        .filter(8 * F.col("qty") > F.col("total"))
+        .join(F.broadcast(supplier), F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_dominated_parts"),
+            F.sum("qty").cast("bigint").alias("dominated_qty"),
         )
     )
