@@ -296,6 +296,98 @@ def q76c_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source", "rk", "quota", "n_s")
 
 
+# Cluster-balanced sampling budget: quota per embedding cluster is
+# temperature-flattened (weight ∝ sqrt(cell size)) exactly like q76c's
+# source mixture, but the strata are LEARNED k-means cells instead of
+# metadata — the semantic-diversity sampling used by DCLM-style curation
+# (cap dominant content clusters, keep rare ones represented).
+CB_BUDGET = 200
+_CB_QUOTA = f"CAST(floor((CAST(w_fp AS DOUBLE) / total_fp) * {CB_BUDGET}.0) AS BIGINT)"
+
+
+def _cluster_balanced_oracle() -> str:
+    from parquet_modular_encryption_spark.pipeline.similarity import _ivf_assign_ctes
+
+    return f"""
+    WITH {_ivf_assign_ctes()}, counts AS (
+        SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_c FROM assign GROUP BY cell
+    ), weights AS (
+        SELECT cell, n_c,
+               CAST(floor(sqrt(CAST(n_c AS DOUBLE)) * 10000000.0) AS BIGINT)
+                   AS w_fp
+        FROM counts
+    ), total AS (
+        SELECT CAST(SUM(w_fp) AS BIGINT) AS total_fp FROM weights
+    ), quotas AS (
+        SELECT cell, n_c, {_CB_QUOTA} AS quota
+        FROM weights CROSS JOIN total
+    ), rksel AS (
+        SELECT vec_id, cell,
+               CAST(row_number() OVER (
+                   PARTITION BY cell
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+               ) AS BIGINT) AS rk
+        FROM assign
+    )
+    SELECT r.vec_id, CAST(r.cell AS BIGINT) AS cell, r.rk, q.quota, q.n_c
+    FROM rksel r JOIN quotas q ON r.cell = q.cell
+    WHERE r.rk <= q.quota
+    """
+
+
+@register(
+    "q76d_cluster_balanced_sample",
+    oracle=_cluster_balanced_oracle(),
+    tags=("curation", "sampling", "clustering"),
+)
+def q76d_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced corpus sampling: q76c's temperature-flattened
+    quota mixture applied to LEARNED strata — every embedding is
+    assigned to its k-means cell (q54d's broadcast-codebook argmax via
+    :func:`ivf_assignment`), each cell gets a sqrt(n_c)-proportional
+    share of the CB_BUDGET sample, and selection within a cell is the
+    deterministic md5 order. This is the semantic-diversity pass of a
+    DCLM-style curation pipeline: dominant content clusters are capped,
+    rare clusters stay represented, and no metadata column is needed.
+
+    Composition of verified pieces end-to-end: deterministic centroid
+    reduce (q52) → argmax assignment (q54d) → fixed-point sqrt weights
+    and shared quota expression (q76c) → md5 rank selection (q117) —
+    fully hash-checked through all four stages. Scale: assignment never
+    shuffles the corpus (broadcast codebook, map-side argmax with
+    partial-agg collapse); the assignment frame is materialized once
+    (localCheckpoint) for its two consumers; quotas are K rows
+    broadcast; the rank window shuffles once on cell."""
+    from parquet_modular_encryption_spark.pipeline.similarity import ivf_assignment
+
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    assign = ivf_assignment(emb).localCheckpoint(eager=True)
+    counts = assign.groupBy("cell").agg(F.count(F.lit(1)).alias("n_c"))
+    weights = counts.select(
+        "cell",
+        "n_c",
+        F.expr(
+            "CAST(floor(sqrt(CAST(n_c AS DOUBLE)) * 10000000.0) AS BIGINT)"
+        ).alias("w_fp"),
+    )
+    total = weights.agg(F.sum("w_fp").cast("bigint").alias("total_fp"))
+    quotas = weights.crossJoin(F.broadcast(total)).select(
+        "cell", "n_c", F.expr(_CB_QUOTA).alias("quota")
+    )
+    w = Window.partitionBy("cell").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = assign.select(
+        "vec_id", "cell", F.row_number().over(w).cast("bigint").alias("rk")
+    )
+    return (
+        ranked.join(F.broadcast(quotas), "cell")
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("vec_id", "cell", "rk", "quota", "n_c")
+    )
+
+
 @register(
     "q118_token_budget_sample",
     oracle=f"""

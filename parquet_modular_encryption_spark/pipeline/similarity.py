@@ -851,6 +851,23 @@ def q54d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 _IVF_LAYOUT_CACHE: dict[tuple[str, str], str] = {}
 
 
+def ivf_assignment(emb: DataFrame) -> DataFrame:
+    """(vec_id, cell) nearest-centroid assignment against the label
+    codebook — q54d's map-side argmax (broadcast K-row codebook,
+    struct-max tie-break mirroring the oracle's ``ORDER BY cos DESC,
+    cell`` window), shared by the partitioned layout (q54e) and
+    cluster-balanced sampling (q76d)."""
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    centroids = _ivf_codebook(emb)
+    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    best = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
+    )
+    return best.select("vec_id", (-F.col("b.nc")).cast("bigint").alias("cell"))
+
+
 def ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> str:
     """Write the embeddings corpus physically partitioned by its assigned
     IVF cell (``cell=<k>/`` Hive directories) and return the path — the
@@ -869,14 +886,7 @@ def ivf_partitioned_layout(spark: SparkSession, sf_dir: str) -> str:
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    centroids = _ivf_codebook(emb)
-    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-    )
-    best = scored_cells.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
-    )
-    assign = best.select("vec_id", (-F.col("b.nc")).cast("bigint").alias("cell"))
+    assign = ivf_assignment(emb)
     path = scratch_dir("pme_q54e_")
     e.join(assign, "vec_id").write.mode("overwrite").partitionBy("cell").parquet(path)
     _IVF_LAYOUT_CACHE[key] = path

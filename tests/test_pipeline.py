@@ -1050,6 +1050,36 @@ def test_real_video_frame_sampling_distributed(spark):
     assert 2 not in by_id
 
 
+def test_cluster_balanced_sample_invariants(spark):
+    """q76d: every cell keeps exactly min(quota, n_c) vectors, the total
+    stays within the budget, and the sqrt-temperature flattening holds —
+    smaller cells get a HIGHER sampling rate than larger ones."""
+    from parquet_modular_encryption_spark.pipeline.curation import (
+        CB_BUDGET,
+        q76d_cluster_balanced_sample,
+    )
+
+    rows = q76d_cluster_balanced_sample(spark, SF).collect()
+    assert rows and sum(1 for _ in rows) <= CB_BUDGET
+    by_cell = {}
+    for r in rows:
+        by_cell.setdefault(r.cell, []).append(r)
+    for cell, rs in by_cell.items():
+        quota, n_c = rs[0].quota, rs[0].n_c
+        assert len(rs) == min(quota, n_c), f"cell {cell}"
+        assert all(r.rk <= r.quota for r in rs)
+    # flattening: the ideal rate is ∝ 1/sqrt(n_c); the floored integer
+    # quota perturbs it by < 1 doc, so compare only cells whose sizes are
+    # clearly separated (2x) and allow the one-doc flooring margin
+    rates = sorted((rs[0].n_c, len(rs) / rs[0].n_c) for rs in by_cell.values())
+    for n1, r1 in rates:
+        for n2, r2 in rates:
+            if n2 >= 2 * n1:
+                assert r1 + 1.0 / n1 >= r2, (
+                    f"rate not flattened: {n1}:{r1} vs {n2}:{r2}"
+                )
+
+
 def test_temperature_mix_flattens_sources(spark):
     """q117b's sqrt weighting must FLATTEN the mixture: a smaller source's
     sampling rate (quota / n_s) is >= any larger source's rate, and
