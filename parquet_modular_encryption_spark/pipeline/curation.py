@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from parquet_modular_encryption_spark.functions.text import sql_tokens, tokens
+from parquet_modular_encryption_spark.functions.text import sql_hash60, sql_tokens, tokens
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -563,4 +563,125 @@ def q63b_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs_kept"),
         F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
         davg(F.col("q")).alias("avg_quality"),
+    )
+
+
+# DSIR-style importance weighting (Xie et al., NeurIPS'23, "Data
+# Selection for Language Models via Importance Resampling"): score every
+# document by how much its hashed-unigram distribution looks like a
+# TARGET domain (here: the English slice) relative to the raw corpus,
+# then keep the top scorers. Token features are hashed into a fixed
+# bucket table, so the "model" is two bounded count vectors — the trick
+# that makes importance estimation O(corpus) with O(buckets) state.
+DSIR_BUCKETS = 4096
+DSIR_TOP_K = 100
+# Per-bucket importance ratio in exact integer arithmetic. Dropping the
+# constant total-count normalization (p_t/p_r = (cnt_t/T)/(cnt_r/R))
+# rescales every bucket by the same T/R factor and leaves the ranking
+# untouched, while keeping all intermediates < 2^63 at any corpus size
+# where per-bucket counts fit a BIGINT.
+
+
+@register(
+    "q43c_dsir_importance",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, lang, source, unnest({sql_tokens('text')}) AS token
+        FROM documents
+    ), bucketed AS (
+        SELECT doc_id, lang, source,
+               {sql_hash60('token')} % {DSIR_BUCKETS} AS bucket
+        FROM tok
+    ), cnt_r AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_r
+        FROM bucketed GROUP BY bucket
+    ), cnt_t AS (
+        SELECT bucket, CAST(COUNT(*) AS BIGINT) AS cnt_t
+        FROM bucketed WHERE lang = 'en' GROUP BY bucket
+    ), ratio AS (
+        SELECT r.bucket,
+               CAST(((COALESCE(t.cnt_t, 0) + 1) * 10000000) // (r.cnt_r + 1)
+                    AS BIGINT) AS ratio_fp
+        FROM cnt_r r LEFT JOIN cnt_t t ON r.bucket = t.bucket
+    ), scored AS (
+        SELECT b.doc_id, b.lang, b.source,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(ratio_fp) AS BIGINT) AS score_sum
+        FROM bucketed b JOIN ratio USING (bucket)
+        GROUP BY b.doc_id, b.lang, b.source
+    )
+    SELECT doc_id, lang, source, n_tokens,
+           CAST(score_sum // n_tokens AS BIGINT) AS avg_ratio_fp
+    FROM scored
+    ORDER BY avg_ratio_fp DESC, doc_id
+    LIMIT {DSIR_TOP_K}
+    """,
+    tags=("curation", "sampling", "dsir"),
+)
+def q43c_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weighting: rank documents by hashed-unigram
+    likelihood ratio against a target domain (the English slice) and
+    keep the top {DSIR_TOP_K} — the quality-by-distribution-match
+    selection pass (Xie et al. 2023) that complements q43's rule-based
+    quality filter and q76d's diversity sampling.
+
+    Determinism engineering: token features hash through the portable
+    md5-derived hash60 into {DSIR_BUCKETS} buckets; the per-bucket
+    importance ratio is exact integer arithmetic (+1 smoothing, the
+    constant total-count normalization dropped — it rescales every
+    bucket identically, preserving ranking while keeping intermediates
+    in BIGINT range); per-doc scores are exact integer sums with an
+    integer-division average, and the top-K tie-breaks on doc_id — so
+    the whole selection is hash-checked bit-for-bit.
+
+    100 TB shape: two bounded aggregations build the {DSIR_BUCKETS}-row
+    ratio table (map-side combinable — state is O(buckets) per mapper
+    regardless of corpus size); scoring joins the token stream to the
+    BROADCAST ratio table (no shuffle) and groups once on doc_id; the
+    global top-K is orderBy+limit, which Spark plans as
+    TakeOrderedAndProject (per-partition heaps + a K-row driver merge,
+    never a global sort)."""
+    prep(spark)
+    from parquet_modular_encryption_spark.functions.text import hash60
+
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(tokens("text")).alias("token")
+    )
+    bucketed = tok.select(
+        "doc_id",
+        "lang",
+        "source",
+        (hash60(F.col("token")) % DSIR_BUCKETS).alias("bucket"),
+    )
+    cnt_r = bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt_r"))
+    cnt_t = (
+        bucketed.filter(F.col("lang") == "en")
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt_t"))
+    )
+    ratio = cnt_r.join(cnt_t, "bucket", "left").select(
+        "bucket",
+        F.expr(
+            "CAST(((COALESCE(cnt_t, 0) + 1) * 10000000) DIV (cnt_r + 1) AS BIGINT)"
+        ).alias("ratio_fp"),
+    )
+    scored = (
+        bucketed.join(F.broadcast(ratio), "bucket")
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("ratio_fp").cast("bigint").alias("score_sum"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_tokens",
+            F.expr("CAST(score_sum DIV n_tokens AS BIGINT)").alias("avg_ratio_fp"),
+        )
+        .orderBy(F.desc("avg_ratio_fp"), F.asc("doc_id"))
+        .limit(DSIR_TOP_K)
     )

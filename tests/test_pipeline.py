@@ -1050,6 +1050,27 @@ def test_real_video_frame_sampling_distributed(spark):
     assert 2 not in by_id
 
 
+def test_dsir_importance_enriches_target_domain(spark):
+    """q43c: selecting by hashed-unigram importance ratio against the
+    English target distribution must ENRICH English — the en share of
+    the top-K strictly exceeds the en share of the corpus — and scores
+    must be positive integers with the advertised K."""
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.pipeline.curation import (
+        DSIR_TOP_K,
+        q43c_dsir_importance,
+    )
+
+    rows = q43c_dsir_importance(spark, SF).collect()
+    assert len(rows) == DSIR_TOP_K
+    assert all(r.avg_ratio_fp > 0 and r.n_tokens > 0 for r in rows)
+    langs = pq.read_table(f"{SF}/documents.parquet", columns=["lang"])
+    corpus_share = sum(1 for v in langs["lang"].to_pylist() if v == "en") / len(langs)
+    top_share = sum(1 for r in rows if r.lang == "en") / len(rows)
+    assert top_share > corpus_share, f"no enrichment: {top_share} <= {corpus_share}"
+
+
 def test_cluster_balanced_sample_invariants(spark):
     """q76d: every cell keeps exactly min(quota, n_c) vectors, the total
     stays within the budget, and the sqrt-temperature flattening holds —
