@@ -53,6 +53,7 @@ EXTENDED = [
     "q40_product_profit",
     "q42b_subword_token_counts",
     "q43b_doc_chunks",
+    "q43c_dsir_importance",
     "q53c_bm25_topk",
     "q53d_hybrid_rrf",
     "q45b_winnow_fingerprint",
@@ -79,8 +80,10 @@ EXTENDED = [
     "q94_small_qty_avg",
     "q73_term_doc_freq",
     "q75_train_val_test_split",
+    "q76d_cluster_balanced_sample",
     "q77_volume_shipping",
     "q78_market_share",
+    "q80b_min_cost_supplier",
     "q81_activity_streaks",
     "q86_salted_aggregation",
     "q90_embedding_quantization",
