@@ -798,21 +798,27 @@ def dup_substring_spans(docs: DataFrame) -> DataFrame:
     Three stages, all linear in corpus characters:
     1. gram index: stride-1 SUBDUP_K-char substrings with positions
        (higher-order transform + posexplode, no Python);
-    2. duplicated-gram detection: groupBy(gram) count >= 2 (map-side
-       partial agg), then a semi-join back onto the positional index —
-       output is one row per duplicated position, never pairs, so a
-       boilerplate gram in 10^6 documents contributes 10^6 linear rows,
-       not 10^12 pairs (contrast q45b's pair generation, which needs the
-       DF cap for exactly that reason);
+    2. duplicated-gram detection: ONE exchange on the gram value with a
+       partition-wide count window (COUNT over PARTITION BY gram, no
+       ORDER BY — no frame scan), filtering occ >= 2 in place. The index
+       rows carry their positions THROUGH the shuffle, so there is no
+       count-then-join-back — the first cut of this operator computed
+       the gram index on both sides of a self-semi-join, paying the
+       20x substr blowup three times and the exchange twice; this shape
+       pays each once (measured ~2x end-to-end at sf0.1). Output is one
+       row per duplicated position, never pairs, so a boilerplate gram
+       in 10^6 documents contributes 10^6 linear rows, not 10^12 pairs
+       (contrast q45b's pair generation, which needs the DF cap for
+       exactly that reason);
     3. span assembly: per-document gaps-and-islands over the hit
        positions (one window pass ordered by start) merges overlapping
        or adjacent [s, s+k-1] intervals into maximal duplicated spans.
 
-    At 100 TB the semi-join back is the one skew-sensitive edge (every
-    position of a hot gram shuffles to one reducer, linearly); AQE's
-    skew-join split handles it, and production replaces the join with a
-    bloom filter of duplicated grams (q61b's pre-pass pattern) so stage
-    2 becomes a map-side membership test."""
+    At 100 TB the gram exchange is the one skew-sensitive edge (every
+    position of a hot gram hashes to one reducer, linearly); AQE handles
+    the imbalance, and a production variant pre-salts the count (two-
+    phase: count per (gram, salt), sum per gram — q86's pattern) if one
+    boilerplate gram dominates a corpus."""
     from pyspark.sql import Window
 
     normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
@@ -834,13 +840,12 @@ def dup_substring_spans(docs: DataFrame) -> DataFrame:
         (F.col("pos0") + 1).cast("bigint").alias("s"),
         (F.col("pos0") + SUBDUP_K).cast("bigint").alias("e"),
     )
-    dup = (
-        grams.groupBy("gram")
-        .agg(F.count(F.lit(1)).alias("occ"))
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    hits = (
+        grams.withColumn("occ", occ)
         .filter(F.col("occ") >= 2)
-        .select("gram")
+        .select("doc_id", "norm_len", "s", "e")
     )
-    hits = grams.join(dup, "gram").select("doc_id", "norm_len", "s", "e")
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = hits.withColumn(
