@@ -716,6 +716,10 @@ def pagerank_fixed_point(pairs: DataFrame, iters: int = PAGERANK_ITERS) -> DataF
     """(doc_id, degree, rank_fp) fixed-point PageRank over an undirected
     (doc_a, doc_b) pair frame — the q57b core, exposed for the exact
     pure-Python cross-check test."""
+    # materialize the pair frame once: both edge directions consume it,
+    # and without this the whole upstream pipeline (for q57b: the full
+    # MinHash candidate+verify DAG) is planned twice under the unionAll
+    pairs = pairs.localCheckpoint(eager=True)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
