@@ -54,6 +54,7 @@ EXTENDED = [
     "q42b_subword_token_counts",
     "q43b_doc_chunks",
     "q43c_dsir_importance",
+    "q43d_chunk_hash_chain",
     "q53c_bm25_topk",
     "q53d_hybrid_rrf",
     "q45b_winnow_fingerprint",

@@ -576,6 +576,46 @@ def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q38b_variant_json",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+           CAST(COUNT(json_extract(props, '$.missing')) AS BIGINT) AS n_missing_hits
+    FROM events
+    GROUP BY event_type
+    """,
+    tags=("scalar", "json", "variant"),
+)
+def q38b_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured decode via Spark 4's VARIANT type: ``parse_json``
+    converts the props string to the binary variant encoding ONCE, then
+    ``variant_get`` performs typed path extraction and ``try_variant_get``
+    null-safely probes an absent path — the modern replacement for q18's
+    per-path ``get_json_object`` (which re-parses the JSON string for
+    every extraction). At 100 TB the difference is material: variant
+    decodes each value once into a traversable binary form, and Parquet
+    variant shredding can push typed subfields down to the scan. Output
+    matches q18's aggregate shape (plus the absent-path probe count), so
+    the oracle stays plain JSON SQL — the VARIANT path must be a pure
+    representation change, never a semantics change."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    k = F.variant_get(v, "$.k", "bigint")
+    missing = F.try_variant_get(v, "$.missing", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.count(missing).alias("n_missing_hits"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sort / limit / subqueries
 # ---------------------------------------------------------------------------

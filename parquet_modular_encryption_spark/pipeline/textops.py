@@ -575,11 +575,9 @@ def q53d_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHUNK_SIZE = 64
 CHUNK_STRIDE = 48
 
-
-@register(
-    "q43b_doc_chunks",
-    oracle=f"""
-    WITH tok AS (
+# DuckDB WITH-body fragment ending in ``ch`` (doc_id, c.idx, c.chunk) —
+# the chunking core shared by q43b's listing and q43d's recursive chain.
+_CHUNK_CTES = f"""tok AS (
         SELECT doc_id, {sql_tokens('text')} AS toks FROM documents
     ), ch AS (
         SELECT doc_id,
@@ -588,7 +586,13 @@ CHUNK_STRIDE = 48
                           idx := CAST((s - 1) // {CHUNK_STRIDE} AS BIGINT),
                           chunk := toks[s : s + {CHUNK_SIZE} - 1]))) AS c
         FROM tok
-    )
+    )"""
+
+
+@register(
+    "q43b_doc_chunks",
+    oracle=f"""
+    WITH {_CHUNK_CTES}
     SELECT doc_id,
            c.idx AS chunk_index,
            CAST(len(c.chunk) AS BIGINT) AS n_tokens,
@@ -628,6 +632,69 @@ def q43b_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_hash"),
         )
     )
+
+
+@register(
+    "q43d_chunk_hash_chain",
+    oracle=f"""
+    WITH RECURSIVE {_CHUNK_CTES}, chunks AS (
+        SELECT doc_id, c.idx AS chunk_index,
+               md5(array_to_string(c.chunk, ' ')) AS chunk_hash
+        FROM ch
+    ), chain(doc_id, chunk_index, h) AS (
+        SELECT doc_id, chunk_index, chunk_hash FROM chunks WHERE chunk_index = 0
+        UNION ALL
+        SELECT c.doc_id, c.chunk_index, md5(concat(chain.h, c.chunk_hash))
+        FROM chain JOIN chunks c
+          ON c.doc_id = chain.doc_id AND c.chunk_index = chain.chunk_index + 1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           max_by(h, chunk_index) AS chain_hash
+    FROM chain GROUP BY doc_id
+    """,
+    tags=("text", "chunking", "recursive", "provenance"),
+)
+def q43d_chunk_hash_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Merkle-style hash chain over the q43b chunk sequence,
+    computed with Spark 4's RECURSIVE CTE: h_0 = hash(chunk_0),
+    h_i = md5(h_{{i-1}} || hash(chunk_i)), reported as (doc_id, n_chunks,
+    final chain hash) — the tamper-evident provenance fingerprint a
+    training-data pipeline stamps on every document so any chunk
+    insertion, deletion, reorder, or edit changes the chain (a plain
+    unordered hash of chunk hashes would miss reorders).
+
+    This is the one computation class windows cannot express: an
+    ORDER-DEPENDENT fold whose step function (md5 of the running state)
+    is neither associative nor a SQL aggregate. The recursive CTE is the
+    declarative form of that fold, and Spark 4.1 executes it as an
+    iterative loop over the previous step's rows — each step one
+    hash-join on (doc_id, chunk_index), depth = max chunks per document
+    (bounded by the longest document / CHUNK_STRIDE, far under the
+    default 100-level recursion limit; a 100 TB corpus raises
+    spark.sql.cteRecursionLevelLimit for pathological documents or
+    pre-splits them). The same recursive SQL runs verbatim on DuckDB, so
+    the engine's recursion, not just the chain arithmetic, is
+    hash-checked."""
+    prep(spark)
+    chunks = q43b_doc_chunks(spark, sf_dir).select(
+        "doc_id", "chunk_index", "chunk_hash"
+    )
+    chunks.createOrReplaceTempView("pme_chunks_v")
+    return spark.sql("""
+        WITH RECURSIVE chain (doc_id, chunk_index, h) AS (
+            SELECT doc_id, chunk_index, chunk_hash
+            FROM pme_chunks_v WHERE chunk_index = 0
+            UNION ALL
+            SELECT c.doc_id, c.chunk_index, md5(concat(chain.h, c.chunk_hash))
+            FROM chain JOIN pme_chunks_v c
+              ON c.doc_id = chain.doc_id AND c.chunk_index = chain.chunk_index + 1
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               max_by(h, chunk_index) AS chain_hash
+        FROM chain GROUP BY doc_id
+    """)
 
 
 # Winnowing fingerprint parameters (Schleimer, Wilkerson & Aiken,

@@ -954,6 +954,77 @@ def test_chunking_coverage_and_overlap(spark):
             assert a[-shared:] == b[:shared], f"overlap broken at chunk {i}"
 
 
+def test_python_udtf_surface(spark):
+    """Spark 4 Python UDTF (user-defined TABLE function) surface: a
+    lateral-joinable table function, registered for SQL use, matching
+    the equivalent built-in explode. Row-at-a-time Python — kept OUT of
+    the registry/hot paths deliberately (plan audit would flag
+    ROW_PYTHON); this pins the API for the rare genuinely-tabular UDF
+    (multi-column, variable-arity output per input row)."""
+    from pyspark.sql.functions import explode, lit, posexplode, split, udtf
+
+    @udtf(returnType="word: string, pos: int")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate(text.split()):
+                yield w, i
+
+    got = SplitWords(lit("alpha beta gamma")).collect()
+    assert [(r.word, r.pos) for r in got] == [
+        ("alpha", 0), ("beta", 1), ("gamma", 2)
+    ]
+
+    # SQL registration + LATERAL application over a real column
+    spark.udtf.register("pme_split_words", SplitWords)
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "c d e")], "id int, txt string"
+    )
+    df.createOrReplaceTempView("pme_udtf_in")
+    via_udtf = spark.sql(
+        "SELECT id, word, pos FROM pme_udtf_in, "
+        "LATERAL pme_split_words(txt)"
+    ).collect()
+    via_builtin = df.select(
+        "id", posexplode(split("txt", " ")).alias("pos", "word")
+    ).select("id", "word", "pos").collect()
+    assert sorted(map(tuple, via_udtf)) == sorted(map(tuple, via_builtin))
+
+
+def test_chunk_hash_chain_matches_python_fold(spark):
+    """q43d's recursive-CTE chain vs a driver-side md5 fold over q43b's
+    chunk listing: exact equality per document, and order sensitivity —
+    reversing a multi-chunk document's fold yields a DIFFERENT chain
+    (the property an unordered hash-of-hashes would lose)."""
+    import hashlib
+
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        q43b_doc_chunks,
+        q43d_chunk_hash_chain,
+    )
+
+    chunks: dict[int, list[str]] = {}
+    for r in q43b_doc_chunks(spark, SF).collect():
+        chunks.setdefault(r.doc_id, []).append((r.chunk_index, r.chunk_hash))
+
+    def fold(hashes):
+        h = hashes[0]
+        for nxt in hashes[1:]:
+            h = hashlib.md5((h + nxt).encode()).hexdigest()
+        return h
+
+    out = {r.doc_id: r for r in q43d_chunk_hash_chain(spark, SF).collect()}
+    assert set(out) == set(chunks)
+    multi = 0
+    for doc_id, pairs in chunks.items():
+        ordered = [h for _, h in sorted(pairs)]
+        assert out[doc_id].n_chunks == len(ordered)
+        assert out[doc_id].chain_hash == fold(ordered), f"doc {doc_id}"
+        if len(ordered) >= 2:
+            multi += 1
+            assert fold(ordered) != fold(list(reversed(ordered)))
+    assert multi > 0, "fixture has no multi-chunk docs; order test vacuous"
+
+
 def test_bm25_scores_run_invariant(spark):
     """q53c's fixed-point score summation must make results identical
     across runs (double addition is not associative; Spark's aggregation
