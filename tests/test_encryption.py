@@ -358,3 +358,67 @@ def test_multi_column_read_key_fetch_scope(spark, tmp_path):
             ]
     finally:
         server.stop()
+
+
+def test_gcm_tamper_detection(spark, people_path, tmp_path):
+    """PME's integrity guarantee, not just confidentiality: every
+    encrypted module carries an AES-GCM authentication tag, so a
+    bit-flip inside an encrypted column chunk MUST surface as a hard
+    decryption failure ("failed decryption finalization" = tag
+    mismatch) — never silently-wrong data. The flip is aimed using the
+    column chunk offsets from an AUTHORIZED metadata read, so the test
+    provably tampers ciphertext, not the plaintext footer (whose
+    corruption fails differently, as a thrift parse error — and
+    unencrypted columns are deliberately out of scope: parquet offers
+    plaintext pages no integrity). The KMS-level AES-KW tamper test
+    covers wrapped keys in transit; this covers data at rest."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet.encryption as pe
+
+    from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+    from parquet_modular_encryption_spark.sources import encrypted as enc
+
+    src = sorted(glob.glob(f"{people_path}/*.parquet"))
+    assert src, "encrypted fixture missing"
+    victim_src = src[0]
+
+    # authorized metadata read -> the CONFIDENTIAL column's byte range
+    props = enc._crypto_factory_for_tasks().file_decryption_properties(
+        enc._connection_config_for_tasks(shared_kms_url(), "RESTRICTED"),
+        pe.DecryptionConfiguration(cache_lifetime=enc.CACHE_LIFETIME),
+    )
+    rg = pq.ParquetFile(victim_src, decryption_properties=props).metadata.row_group(0)
+    ssn = next(
+        rg.column(i)
+        for i in range(rg.num_columns)
+        if rg.column(i).path_in_schema == "social_security_number"
+    )
+
+    tampered_dir = tmp_path / "tampered"
+    tampered_dir.mkdir()
+    for f in src:
+        shutil.copy(f, tampered_dir)
+    victim = str(tampered_dir / victim_src.rsplit("/", 1)[1])
+    raw = bytearray(open(victim, "rb").read())
+    assert raw[:4] == b"PAR1" and raw[-4:] == b"PAR1"
+    off = ssn.data_page_offset + 20  # inside the encrypted page module
+    assert off + 8 < ssn.data_page_offset + ssn.total_compressed_size
+    for i in range(off, off + 8):
+        raw[i] ^= 0xFF
+    open(victim, "wb").write(bytes(raw))
+
+    with pytest.raises(Exception) as exc_info:
+        read_encrypted(spark, str(tampered_dir), token="RESTRICTED").collect()
+    msg = str(exc_info.value).lower()
+    assert "decryption" in msg, f"expected a GCM decryption failure, got: {msg[:300]}"
+    assert "403" not in msg  # fail-closed on integrity, not authz
+
+    # the untampered original still reads in the same session (the
+    # failure is the flipped bytes, not environment drift)
+    got = sorted(
+        tuple(r)
+        for r in read_encrypted(spark, people_path, token="RESTRICTED").collect()
+    )
+    assert got == sorted(PEOPLE_ROWS)
