@@ -258,6 +258,59 @@ def main() -> None:
         old.unpersist(blocking=True)
         print("OK native_key_rotation")
 
+        # 5c. GCM tamper detection on the PRODUCTION (parquet-mr) path:
+        # flip bytes inside an encrypted column chunk (aimed via an
+        # authorized Arrow metadata read — interop gives us the offsets)
+        # and the JVM read must fail the GCM tag check, never return
+        # silently-wrong data. Twin of the Arrow-path test in
+        # tests/test_encryption.py::test_gcm_tamper_detection.
+        import shutil
+
+        import pyarrow.parquet as pq
+        import pyarrow.parquet.encryption as pe
+
+        from parquet_modular_encryption_spark.sources import encrypted as enc
+
+        native_files = sorted(glob.glob(f"{scratch}/native/*.parquet"))
+        props = enc._crypto_factory_for_tasks().file_decryption_properties(
+            enc._connection_config_for_tasks(kms_url, "RESTRICTED"),
+            pe.DecryptionConfiguration(cache_lifetime=enc.CACHE_LIFETIME),
+        )
+        rg = pq.ParquetFile(
+            native_files[0], decryption_properties=props
+        ).metadata.row_group(0)
+        acct = next(
+            rg.column(i)
+            for i in range(rg.num_columns)
+            if rg.column(i).path_in_schema == "c_acctbal"
+        )
+        tdir = f"{scratch}/tampered"
+        shutil.copytree(f"{scratch}/native", tdir)
+        # drop Hadoop's local-FS .crc sidecars: on local disk they catch
+        # the flip before PME ever runs, but production object stores
+        # have no such sidecar — the GCM tag IS the integrity layer this
+        # check must prove out
+        import os as _os
+
+        for crc in glob.glob(f"{tdir}/.*.crc"):
+            _os.remove(crc)
+        victim = f"{tdir}/{native_files[0].rsplit('/', 1)[1]}"
+        raw = bytearray(open(victim, "rb").read())
+        off = acct.data_page_offset + 20
+        assert off + 8 < acct.data_page_offset + acct.total_compressed_size
+        for i in range(off, off + 8):
+            raw[i] ^= 0xFF
+        open(victim, "wb").write(bytes(raw))
+        try:
+            read_encrypted_native(spark, tdir, kms_url, "RESTRICTED").collect()
+            raise AssertionError("tampered ciphertext read back silently")
+        except AssertionError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — executor wraps the JVM error
+            msg = str(exc)
+            assert "GCM" in msg or "Tag" in msg or "decrypt" in msg.lower(), msg
+        print("OK native_gcm_tamper_detection")
+
         # 6. unpersist contract: releasing the returned frames (whose
         # .unpersist forwards to the internal pinned frame) drains every
         # decrypted block from executor memory — plaintext does not outlive
