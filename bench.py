@@ -50,6 +50,7 @@ HEADLINE = [
 # Timed but reported outside the headline total (round-over-round
 # comparability): operators added after the headline set was frozen.
 EXTENDED = [
+    "q38b_variant_json",
     "q40_product_profit",
     "q42b_subword_token_counts",
     "q43b_doc_chunks",
