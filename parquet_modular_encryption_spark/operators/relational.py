@@ -1048,6 +1048,69 @@ def q85_region_segment_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q92b_set_ops_all",
+    oracle="""
+    WITH ia AS (
+        SELECT l_orderkey FROM (
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            INTERSECT ALL
+            SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+        ) GROUP BY l_orderkey HAVING COUNT(*) >= 2
+    ), ea AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_excess FROM (
+            SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+            EXCEPT ALL
+            SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'
+        ) GROUP BY l_orderkey
+    )
+    SELECT COALESCE(ia.l_orderkey, ea.l_orderkey) AS l_orderkey,
+           ia.l_orderkey IS NOT NULL AS multi_overlap,
+           COALESCE(ea.n_excess, 0) AS n_excess
+    FROM ia FULL JOIN ea ON ia.l_orderkey = ea.l_orderkey
+    """,
+    tags=("setops", "bag"),
+)
+def q92b_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag-semantics set operations — ``intersectAll`` / ``exceptAll``
+    (multiset min / multiset difference), the ALL variants q12's
+    distinct INTERSECT/EXCEPT do not exercise: per order key, the
+    returned-lines multiset is intersected with and subtracted from the
+    finished-lines multiset, keeping DUPLICATE cardinalities (an order
+    with 3 returned + 2 finished lines contributes min=2 to the
+    intersection and 3-2=1 to the difference — distinct semantics would
+    collapse both to 0/1).
+
+    Spark plans both as aggregate-then-expand (count per row value on
+    each side, then replicate min/difference counts) — one shuffle per
+    side on the row value, no join of the raw inputs. The output
+    aggregates the multisets back to per-key cardinalities so the hash
+    check pins the duplicate counts exactly."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    b = li.filter(F.col("l_linestatus") == "F").select("l_orderkey")
+    ia = (
+        a.intersectAll(b)
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_int"))
+        .filter(F.col("n_int") >= 2)
+        .select("l_orderkey")
+    )
+    ea = a.exceptAll(b).groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_excess")
+    )
+    return (
+        ia.withColumn("hit", F.lit(True))
+        .join(ea, "l_orderkey", "full")
+        .select(
+            "l_orderkey",
+            F.col("hit").isNotNull().alias("multi_overlap"),
+            F.coalesce("n_excess", F.lit(0)).alias("n_excess"),
+        )
+    )
+
+
+@register(
     "q92_union_by_name",
     oracle=f"""
     WITH unified AS (

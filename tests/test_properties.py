@@ -212,3 +212,68 @@ def test_winnowing_theorem_property(shared, pre_a, suf_a, pre_b, suf_b):
             for i in range(len(norm) - WINNOW_K + 1)
         }
         assert fps <= grams
+
+
+def _py_dup_spans(norms: dict[int, str], k: int) -> dict[int, list[tuple[int, int]]]:
+    """Pure-Python mirror of textops.dup_substring_spans' construction:
+    stride-1 k-gram occurrence counts, hits where count >= 2, per-doc
+    merge of overlapping-or-adjacent [s, s+k-1] intervals (1-based)."""
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    grams: dict[int, list[str]] = {}
+    for d, n in norms.items():
+        if len(n) < k:
+            continue
+        g = [n[i : i + k] for i in range(len(n) - k + 1)]
+        grams[d] = g
+        cnt.update(g)
+    spans: dict[int, list[tuple[int, int]]] = {}
+    for d, g in grams.items():
+        merged: list[tuple[int, int]] = []
+        for i, x in enumerate(g):
+            if cnt[x] < 2:
+                continue
+            s, e = i + 1, i + k
+            if merged and s <= merged[-1][1] + 1:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        if merged:
+            spans[d] = merged
+    return spans
+
+
+@given(
+    shared=st.text(alphabet="abcdefghij", min_size=20, max_size=60),
+    pre_a=st.text(alphabet="klmnopqrst", min_size=0, max_size=40),
+    suf_a=st.text(alphabet="klmnopqrst", min_size=0, max_size=40),
+    pre_b=st.text(alphabet="uvwxyz", min_size=0, max_size=40),
+    suf_b=st.text(alphabet="uvwxyz", min_size=0, max_size=40),
+)
+@settings(max_examples=150)
+def test_dup_substring_span_coverage_property(shared, pre_a, suf_a, pre_b, suf_b):
+    """q45c's exactness guarantee over random documents: a shared run of
+    length >= k is FULLY covered by a detected duplicated span in both
+    documents (stride-1 grams leave no gap — the property Lee et al.
+    get from suffix arrays), while a document sharing nothing stays
+    span-free. Alphabets are disjoint so the only >= k-char repeat is
+    the planted passage."""
+    from parquet_modular_encryption_spark.pipeline.textops import SUBDUP_K
+
+    assert len(shared) >= SUBDUP_K
+    a, b = pre_a + shared + suf_a, pre_b + shared + suf_b
+    # all-distinct codepoints: no within-doc gram repeat (a run like
+    # "AAA..." would legitimately self-match — within-doc duplicates
+    # count by design) and disjoint from every lowercase doc
+    unique = "".join(chr(0x100 + i) for i in range(SUBDUP_K * 3))
+    spans = _py_dup_spans({1: a, 2: b, 3: unique}, SUBDUP_K)
+    assert 3 not in spans, "unique doc got a duplicated span"
+    for doc, text, pre in ((1, a, pre_a), (2, b, pre_b)):
+        region = (len(pre) + 1, len(pre) + len(shared))
+        covering = [
+            (s, e) for s, e in spans.get(doc, []) if s <= region[0] and e >= region[1]
+        ]
+        assert covering, (
+            f"doc {doc}: shared run {region} not covered by spans {spans.get(doc)}"
+        )
