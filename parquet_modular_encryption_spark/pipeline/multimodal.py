@@ -545,3 +545,103 @@ def q91_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# -- JVM-side binary header parsing ----------------------------------------
+
+
+def _le_u32(col: F.Column, off: int) -> F.Column:
+    """Little-endian u32 at 1-based byte offset ``off``, decoded with pure
+    JVM built-ins: per-byte binary substring → hex → base-16 conv, bytes
+    concatenated most-significant-first. Stays inside whole-stage codegen —
+    no Python touches the payload."""
+    return F.conv(
+        F.concat(*[F.hex(F.substring(col, off + k, 1)) for k in (3, 2, 1, 0)]),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def parse_headers(media: DataFrame) -> DataFrame:
+    """Parse the synthetic container header (magic | u8 modality | u32 LE
+    width/height/n_bytes) with PURE JVM expressions — zero Python in the
+    plan. Binary columns are first-class to Catalyst: substring/hex/conv
+    compose over them inside whole-stage codegen, so fixed-layout header
+    fields (the common object-store metadata-sniff at 100 TB: magic bytes,
+    dimensions, frame counts) never need a Python worker. The mapInPandas
+    path (:func:`extract_features`) is reserved for body decode, where a
+    real codec genuinely needs Python."""
+    p = F.col("payload")
+    code = F.conv(F.hex(F.substring(p, 5, 1)), 16, 10).cast("int")
+    return media.filter(F.substring(p, 1, 4) == F.lit(b"FAKE")).select(
+        "media_id",
+        F.element_at(
+            F.create_map(
+                F.lit(1), F.lit("image"),
+                F.lit(2), F.lit("audio"),
+                F.lit(3), F.lit("video"),
+            ),
+            code,
+        ).alias("modality"),
+        _le_u32(p, 6).alias("width"),
+        _le_u32(p, 10).alias("height"),
+        _le_u32(p, 14).alias("n_declared"),
+        F.octet_length(p).cast("bigint").alias("payload_bytes"),
+    )
+
+
+@register(
+    "q91c_media_header_census",
+    oracle="""
+    WITH gen AS (
+        SELECT CAST(i AS BIGINT) AS i,
+               ['image', 'audio', 'video'][CAST(i % 3 AS INTEGER) + 1] AS modality,
+               32 + (i % 7) * 16 AS width,
+               32 + (i % 5) * 16 AS height
+        FROM range(96) t(i)
+    ), hdr AS (
+        SELECT i, modality, width, height,
+               GREATEST(16, (width * height) % 4096) AS n_declared
+        FROM gen
+    )
+    SELECT modality,
+           CAST(COUNT(*) AS BIGINT) AS n_media,
+           CAST(SUM(width) AS BIGINT) AS sum_width,
+           CAST(SUM(height) AS BIGINT) AS sum_height,
+           CAST(SUM(n_declared) AS BIGINT) AS sum_declared_bytes,
+           CAST(SUM(n_declared + 17) AS BIGINT) AS sum_payload_bytes
+    FROM hdr
+    GROUP BY modality
+    """,
+    tags=("multimodal", "binary", "jvm-parse"),
+)
+def q91c_media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary header census with ZERO Python in the plan: the synthetic
+    media table round-trips through parquet (binary column through a real
+    scan), then magic check + modality byte + little-endian u32 fields are
+    decoded entirely by JVM expressions (:func:`parse_headers`) and
+    aggregated per modality. The oracle recomputes the expected header
+    fields from the generator formula, so a hash match proves written
+    bytes → parsed fields end-to-end; tests/test_pipeline.py additionally
+    has DuckDB parse the SAME parquet blobs byte-for-byte (hex + CAST) and
+    compares per-row against this parse — a cross-engine binary-decode
+    check. Complements q91 (mapInPandas body decode, rows-only by design):
+    header sniffing — the metadata pass a 100 TB media lake runs before
+    any expensive body decode — needs no Python workers at all."""
+    prep(spark)
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+
+    path = scratch_dir("pme_q91c_")
+    synthetic_media(spark, n=96).write.mode("overwrite").parquet(path)
+    parsed = parse_headers(spark.read.parquet(path))
+    return (
+        parsed.groupBy("modality")
+        .agg(
+            F.count(F.lit(1)).alias("n_media"),
+            F.sum("width").alias("sum_width"),
+            F.sum("height").alias("sum_height"),
+            F.sum("n_declared").alias("sum_declared_bytes"),
+            F.sum("payload_bytes").alias("sum_payload_bytes"),
+        )
+        .orderBy("modality")
+    )

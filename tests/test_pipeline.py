@@ -1198,3 +1198,52 @@ def test_temperature_mix_flattens_sources(spark):
                 f"flattening violated: n={n_small} rate={rate_small} vs "
                 f"n={n_big} rate={rate_big}"
             )
+
+
+def test_jvm_header_parse_matches_duckdb_blob_parse(spark, tmp_path):
+    """Cross-engine BINARY decode check: Spark's pure-JVM header parse
+    (parse_headers: substring/hex/conv over the binary column) and DuckDB
+    parsing the SAME parquet blobs byte-for-byte (hex() + '0x' CAST) must
+    agree on every row — pinning that the little-endian field decode is
+    byte-identical across engines, not just census-level."""
+    import duckdb
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import parse_headers
+
+    path = str(tmp_path / "media")
+    synthetic_media(spark, n=60).write.mode("overwrite").parquet(path)
+    parsed = parse_headers(spark.read.parquet(path))
+    spark_rows = {
+        r.media_id: (r.modality, r.width, r.height, r.n_declared, r.payload_bytes)
+        for r in parsed.collect()
+    }
+
+    # DuckDB-side decode: byte k (0-indexed) of the blob is hex chars
+    # [2k+1, 2k+2]; a LE u32 is the four pairs concatenated MSB-first.
+    def le_u32(off0: int) -> str:  # off0 = 0-indexed byte offset
+        pairs = " || ".join(
+            f"substr(hx, {2 * (off0 + k) + 1}, 2)" for k in (3, 2, 1, 0)
+        )
+        return f"CAST('0x' || {pairs} AS BIGINT)"
+
+    sql = f"""
+    WITH raw AS (
+        SELECT media_id, hex(payload) AS hx, octet_length(payload) AS nb
+        FROM read_parquet('{path}/*.parquet')
+    )
+    SELECT media_id,
+           ['image', 'audio', 'video'][CAST('0x' || substr(hx, 9, 2) AS INTEGER)]
+               AS modality,
+           {le_u32(5)} AS width,
+           {le_u32(9)} AS height,
+           {le_u32(13)} AS n_declared,
+           CAST(nb AS BIGINT) AS payload_bytes
+    FROM raw
+    WHERE substr(hx, 1, 8) = hex('FAKE')
+    """
+    duck_rows = {
+        mid: (modality, w, h, n, pb)
+        for mid, modality, w, h, n, pb in duckdb.sql(sql).fetchall()
+    }
+    assert len(spark_rows) == 60
+    assert spark_rows == duck_rows
