@@ -685,3 +685,134 @@ def q43c_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("avg_ratio_fp"), F.asc("doc_id"))
         .limit(DSIR_TOP_K)
     )
+
+
+# Gopher-style duplicate n-gram character threshold (Rae et al. 2021 §A1.1:
+# drop when characters inside duplicated 5-grams exceed this fraction).
+DUP_NGRAM_N = 5
+DUP_NGRAM_MAX_FRAC = 0.15
+
+
+@register(
+    "q41b_dup_ngram_chars",
+    oracle=f"""
+    WITH toks0 AS (
+        SELECT doc_id, lang,
+               list_filter({sql_tokens('text')}, x -> x <> '') AS t
+        FROM documents
+    ), toks AS (
+        SELECT * FROM toks0 WHERE len(t) >= 1
+    ), grams AS (
+        SELECT doc_id, lang,
+               CASE WHEN len(t) >= {DUP_NGRAM_N}
+                    THEN list_transform(
+                        range(1, len(t) - {DUP_NGRAM_N} + 2),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                             || ' ' || t[i+3] || ' ' || t[i+4])
+                    ELSE [array_to_string(t, ' ')] END AS g
+        FROM toks
+    ), exploded AS (
+        SELECT doc_id, lang, len(g) AS n_grams, unnest(g) AS gram
+        FROM grams
+    ), per_gram AS (
+        SELECT doc_id, lang, n_grams, gram,
+               COUNT(*) AS c, length(gram) AS chars
+        FROM exploded
+        GROUP BY ALL
+    )
+    SELECT doc_id, lang,
+           CAST(n_grams AS BIGINT) AS n_grams,
+           CAST(SUM(c * chars) AS BIGINT) AS total_gram_chars,
+           CAST(SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS BIGINT)
+               AS dup_gram_chars,
+           CAST(SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS DOUBLE)
+               / SUM(c * chars) AS dup_char_frac,
+           (CAST(SUM(CASE WHEN c >= 2 THEN c * chars ELSE 0 END) AS DOUBLE)
+               / SUM(c * chars) <= {DUP_NGRAM_MAX_FRAC}) AS keep
+    FROM per_gram
+    GROUP BY doc_id, lang, n_grams
+    """,
+    tags=("curation", "quality", "repetition"),
+)
+def q41b_dup_ngram_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's OTHER repetition rule — the duplicate n-gram character
+    fraction (Rae et al. 2021 §A1.1: drop documents where characters
+    belonging to duplicated 5-grams exceed 15%). Complements
+    q116_repetition_filter (top-bigram coverage + duplicate-word fraction):
+    that rule catches one dominant repeated phrase, this one catches many
+    DIFFERENT repeated passages each occurring a few times — the templated-
+    page signature top-bigram coverage misses.
+
+    Character accounting is the occurrence-weighted published form (NeMo
+    Curator / Dolma): chars(g)·count(g) summed over duplicated grams,
+    normalized by the same sum over all grams — both sums are exact BIGINTs
+    so the only float op is one division, identical cross-engine.
+
+    Scale: same zero-exchange shape as q116 — n-gram construction, sort,
+    and a run-length fold over the sorted gram array are all map-side array
+    expressions; nothing shuffles, no Python in the plan. O(G log G) per
+    document, G = token count. Documents shorter than n words contribute a
+    single whole-text gram (never duplicated ⇒ frac 0, kept)."""
+    prep(spark)
+    n_ = DUP_NGRAM_N
+    t = F.filter(tokens("text"), lambda x: x != "")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", t.alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    k = F.size("t")
+    grams = F.when(
+        k >= n_,
+        F.transform(
+            F.sequence(F.lit(1), k - n_ + 1),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + j) for j in range(n_)]
+            ),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", F.col("t"))))
+    sg = docs.select(
+        "doc_id", "lang", F.array_sort(grams).alias("sg")
+    )
+    # Sorted-run fold: equal grams are adjacent, so duplicate-char credit
+    # is run-local — when a run reaches 2, credit both occurrences (the
+    # first retroactively); each further repeat credits itself.
+    init = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).alias("run"),
+        F.lit(0).cast("bigint").alias("dup"),
+    )
+
+    def _step(acc, x):
+        run = F.when(x.eqNullSafe(acc["prev"]), acc["run"] + F.lit(1)).otherwise(
+            F.lit(1)
+        )
+        add = (
+            F.when(run == 2, F.length(x) * 2)
+            .when(run > 2, F.length(x))
+            .otherwise(F.lit(0))
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            (acc["dup"] + add).cast("bigint").alias("dup"),
+        )
+
+    dup = F.aggregate(F.col("sg"), init, _step, lambda acc: acc["dup"])
+    total = F.aggregate(
+        F.col("sg"),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + F.length(x),
+    )
+    frac = F.col("dup_gram_chars").cast("double") / F.col("total_gram_chars")
+    return sg.select(
+        "doc_id",
+        "lang",
+        F.size("sg").cast("bigint").alias("n_grams"),
+        total.alias("total_gram_chars"),
+        dup.alias("dup_gram_chars"),
+    ).select(
+        "*",
+        frac.alias("dup_char_frac"),
+        (frac <= F.lit(DUP_NGRAM_MAX_FRAC)).alias("keep"),
+    )

@@ -1247,3 +1247,38 @@ def test_jvm_header_parse_matches_duckdb_blob_parse(spark, tmp_path):
     }
     assert len(spark_rows) == 60
     assert spark_rows == duck_rows
+
+
+def test_dup_ngram_chars_catches_multi_passage_repetition(spark, tmp_path):
+    """The complementarity claim behind q41b: a document made of MANY
+    DIFFERENT passages each repeated twice sails past q116's top-bigram
+    rule (no single bigram dominates) but must be dropped by the duplicate
+    5-gram character rule; a no-repeat document must be kept with frac 0."""
+    from parquet_modular_encryption_spark.pipeline.curation import (
+        q41b_dup_ngram_chars,
+        q116_repetition_filter,
+    )
+
+    passages = [
+        " ".join(f"w{p}{i}" for i in range(6)) for p in range(12)
+    ]
+    repeated = " ".join(p for p in passages for _ in (0, 1))  # p0 p0 p1 p1 ...
+    unique = " ".join(f"u{i}" for i in range(80))
+    rows = [(1, repeated, "en", "web", len(repeated)),
+            (2, unique, "en", "web", len(unique))]
+    sdf = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+
+    by_id = {r.doc_id: r for r in q41b_dup_ngram_chars(spark, sf).collect()}
+    # back-to-back repeats duplicate ~1/3 of gram chars (boundary grams
+    # mixing two passages occur once) — comfortably past the 0.15 threshold
+    assert by_id[1].keep is False and by_id[1].dup_char_frac > 0.30
+    assert by_id[2].keep is True and by_id[2].dup_gram_chars == 0
+
+    # q116's top-bigram rule does NOT catch the multi-passage document:
+    # twelve distinct passages mean no bigram covers >20% of the text.
+    g = {r.doc_id: r for r in q116_repetition_filter(spark, sf).collect()}
+    assert g[1].top_bigram_frac <= 0.20
