@@ -1313,3 +1313,110 @@ def q63_document_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / float(CTX_TOKENS)).alias("fill_ratio"),
         )
     )
+
+
+# -- fastText-style hashed linear quality classifier -----------------------
+
+# Two-class linear model over hashed word uni+bigram features. Weights are
+# DERIVED from the feature hash itself (md5 with a per-class salt, mapped to
+# [-1000, 1000]) — a deterministic stand-in for trained parameters with the
+# exact serving shape: production swaps the weight expression for a
+# broadcast-joined weight table without touching the plan.
+CLF_WEIGHT_RANGE = 2001  # odd => symmetric [-1000, 1000]
+
+
+def _clf_weight(feat: Column, salt: str) -> Column:
+    h = F.conv(F.substring(F.md5(F.concat(F.lit(salt), feat)), 1, 15), 16, 10).cast(
+        "bigint"
+    )
+    return h % CLF_WEIGHT_RANGE - F.lit((CLF_WEIGHT_RANGE - 1) // 2)
+
+
+def _sql_clf_weight(expr: str, salt: str) -> str:
+    return (
+        f"CAST(concat('0x', substr(md5('{salt}' || {expr}), 1, 15)) AS BIGINT) "
+        f"% {CLF_WEIGHT_RANGE} - {(CLF_WEIGHT_RANGE - 1) // 2}"
+    )
+
+
+@register(
+    "q43e_quality_classifier",
+    oracle=f"""
+    WITH toks0 AS (
+        SELECT doc_id, lang,
+               list_filter({sql_tokens('text')}, x -> x <> '') AS t
+        FROM documents
+    ), toks AS (
+        SELECT * FROM toks0 WHERE len(t) >= 1
+    ), feats AS (
+        SELECT doc_id, lang,
+               t || CASE WHEN len(t) >= 2
+                    THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])
+                    ELSE [] END AS f
+        FROM toks
+    )
+    SELECT doc_id, lang,
+           CAST(len(f) AS BIGINT) AS n_features,
+           CAST(list_sum(list_transform(f, x -> {_sql_clf_weight('x', 'q|')}))
+                AS BIGINT) AS pos_score,
+           CAST(list_sum(list_transform(f, x -> {_sql_clf_weight('x', 's|')}))
+                AS BIGINT) AS neg_score,
+           (list_sum(list_transform(f, x -> {_sql_clf_weight('x', 'q|')}))
+            >= list_sum(list_transform(f, x -> {_sql_clf_weight('x', 's|')})))
+               AS keep
+    FROM feats
+    """,
+    tags=("curation", "quality", "classifier"),
+)
+def q43e_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering, the DCLM/fastText recipe (Li et al.
+    2024 §4.1; Joulin et al. 2017): a linear classifier over hashed word
+    uni+bigram features scores every document, and the keep decision
+    compares the quality-class score against the spam-class score. The
+    reference has no text surface — LLM-pipeline expansion per SURVEY §2B.
+
+    The model here is weight-by-hash (deterministic, so the whole inference
+    pass is hash-checked cross-engine); the SERVING shape is the real
+    deliverable and survives a trained model unchanged: per-doc feature
+    extraction is a map-side array expression, scoring is a fold over the
+    feature array — zero exchanges, no Python, no weight table shuffle. A
+    trained fastText model at 100 TB broadcasts its (bucket → weight)
+    table (a few MB for 2^20 buckets) and the fold becomes a lookup —
+    same single-pass, still shuffle-free.
+
+    Integer engineering: weights live in [-1000, 1000] (md5-derived), a
+    1e5-word doc bounds |score| < 2·10^8 — BIGINT-exact everywhere; the
+    keep decision is an integer comparison, no float anywhere."""
+    prep(spark)
+    t = F.filter(tokens("text"), lambda x: x != "")
+    docs = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "lang", t.alias("t"))
+        .filter(F.size("t") >= 1)
+    )
+    k = F.size("t")
+    bigrams = F.when(
+        k >= 2,
+        F.transform(
+            F.sequence(F.lit(1), k - 1),
+            lambda i: F.concat_ws(" ", F.element_at("t", i), F.element_at("t", i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = docs.select(
+        "doc_id", "lang", F.concat(F.col("t"), bigrams).alias("f")
+    )
+
+    def score(salt: str) -> Column:
+        return F.aggregate(
+            F.col("f"),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + _clf_weight(x, salt),
+        )
+
+    return feats.select(
+        "doc_id",
+        "lang",
+        F.size("f").cast("bigint").alias("n_features"),
+        score("q|").alias("pos_score"),
+        score("s|").alias("neg_score"),
+    ).select("*", (F.col("pos_score") >= F.col("neg_score")).alias("keep"))

@@ -1282,3 +1282,46 @@ def test_dup_ngram_chars_catches_multi_passage_repetition(spark, tmp_path):
     # twelve distinct passages mean no bigram covers >20% of the text.
     g = {r.doc_id: r for r in q116_repetition_filter(spark, sf).collect()}
     assert g[1].top_bigram_frac <= 0.20
+
+
+def test_quality_classifier_matches_python_reference(spark, tmp_path):
+    """q43e's fold-based scoring must equal a pure-Python reimplementation
+    of the hashed linear model (independent of the DuckDB oracle), and the
+    plan must stay shuffle-free (map-side fold, no exchange)."""
+    import hashlib
+
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        CLF_WEIGHT_RANGE,
+        q43e_quality_classifier,
+    )
+
+    rows = [(1, "good clean prose about data", "en", "web", 27),
+            (2, "spam spam buy now spam", "en", "web", 22),
+            (3, "solo", "en", "web", 4)]
+    sdf = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    sdf.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    def pyscore(text: str, salt: str) -> tuple[int, int]:
+        toks = [t for t in text.strip().split() if t]
+        feats = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        half = (CLF_WEIGHT_RANGE - 1) // 2
+        s = sum(
+            int(hashlib.md5((salt + f).encode()).hexdigest()[:15], 16)
+            % CLF_WEIGHT_RANGE
+            - half
+            for f in feats
+        )
+        return s, len(feats)
+
+    out = q43e_quality_classifier(spark, str(tmp_path))
+    got = {r.doc_id: r for r in out.collect()}
+    for doc_id, text, *_ in rows:
+        pos, n = pyscore(text, "q|")
+        neg, _ = pyscore(text, "s|")
+        assert got[doc_id].pos_score == pos
+        assert got[doc_id].neg_score == neg
+        assert got[doc_id].n_features == n
+        assert got[doc_id].keep == (pos >= neg)
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
