@@ -1420,3 +1420,126 @@ def q43e_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("q|").alias("pos_score"),
         score("s|").alias("neg_score"),
     ).select("*", (F.col("pos_score") >= F.col("neg_score")).alias("keep"))
+
+
+# -- BPE merge training -----------------------------------------------------
+
+BPE_MERGES = 6  # learned merge rules per training run (demo depth)
+
+
+def _bpe_oracle(m: int) -> str:
+    """Unrolled m-iteration BPE trainer as chained CTEs (the q57b/q43d
+    pattern: iterative fixpoints become CTE chains so DuckDB replays the
+    EXACT algorithm). Symbol sequences are '|'-wrapped ('|a||b||c|') so a
+    literal replace('|a||b|' -> '|ab|') applies one merge rule greedily
+    left-to-right without cross-symbol false matches — semantics probed
+    identical in Spark and DuckDB."""
+    ctes = [
+        f"""words AS (
+        SELECT x AS word, COUNT(*) AS freq
+        FROM (SELECT unnest(list_filter({sql_tokens('text')}, x -> x <> '')) AS x
+              FROM documents)
+        WHERE NOT contains(x, '|')
+        GROUP BY x
+    ), v0 AS (
+        SELECT word, freq, regexp_replace(word, '(.)', '|\\1|', 'g') AS s
+        FROM words
+    )"""
+    ]
+    for i in range(1, m + 1):
+        ctes.append(f"""p{i} AS (
+        SELECT pair, SUM(freq) AS c FROM (
+            SELECT freq, unnest(
+                CASE WHEN len(y) >= 2
+                     THEN list_transform(range(1, len(y)), j -> y[j] || ' ' || y[j+1])
+                     ELSE [] END) AS pair
+            FROM (SELECT freq, string_split(trim(s, '|'), '||') AS y FROM v{i - 1})
+        ) GROUP BY pair
+    ), b{i} AS (
+        SELECT pair, c FROM p{i} ORDER BY c DESC, pair ASC LIMIT 1
+    ), v{i} AS (
+        SELECT word, freq,
+               replace(s,
+                       '|' || replace((SELECT pair FROM b{i}), ' ', '||') || '|',
+                       '|' || replace((SELECT pair FROM b{i}), ' ', '') || '|') AS s
+        FROM v{i - 1}
+    )""")
+    finals = "\n    UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS merge_rank, pair, "
+        f"replace(pair, ' ', '') AS merged, CAST(c AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, m + 1)
+    )
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + finals
+
+
+@register(
+    "q42c_bpe_merge_train",
+    oracle=_bpe_oracle(BPE_MERGES),
+    tags=("text", "tokenizer", "iterative"),
+)
+def q42c_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING (Sennrich et al. 2016 §3.2): learn the top
+    merge rules from the corpus — count adjacent symbol pairs over the
+    word-type vocabulary (frequency-weighted), merge the argmax pair
+    (count DESC, pair ASC tie-break) in every word, repeat. This is the
+    genuinely iterative data-dependent step q42b's fixed BPE-ish regex
+    only mimics; together they cover tokenizer train + apply.
+
+    Spark shape per iteration: pair explode → one tiny aggregate (pairs
+    are bounded by total chars over word TYPES, not corpus size — the
+    classic vocab-based formulation) → 1-row argmax collect → the merge
+    applies map-side as a literal string replace. Training cost scales
+    with |vocab|, not the 100 TB corpus: the one corpus-sized pass is the
+    initial word count; every merge iteration touches only word types
+    (~10^7 at web scale, a few MB of driver traffic per rule). Production
+    BPE learns ~32k merges with pair-delta bookkeeping instead of a full
+    recount; {BPE_MERGES} full-recount rounds pin the semantics the
+    incremental algorithm must preserve. The oracle replays all
+    iterations as an unrolled CTE chain, so every learned rule, its
+    count, and every tie-break is hash-checked; the pure-Python trainer
+    equality test is independent of both engines."""
+    prep(spark)
+    t = F.filter(tokens("text"), lambda x: x != "")
+    vocab = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(t).alias("word"))
+        .filter(~F.col("word").contains("|"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.regexp_replace(F.col("word"), "(.)", r"|$1|").alias("s"),
+        )
+        .localCheckpoint(eager=True)  # truncate lineage across iterations
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(1, BPE_MERGES + 1):
+        y = F.split(F.expr("btrim(s, '|')"), r"\|\|")
+        pairs = F.when(
+            F.size(y) >= 2,
+            F.transform(
+                F.sequence(F.lit(1), F.size(y) - 1),
+                lambda j: F.concat_ws(
+                    " ", F.element_at(y, j), F.element_at(y, j + 1)
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        top = (
+            vocab.select(F.col("freq"), F.explode(pairs).alias("pair"))
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("c"))
+            .orderBy(F.col("c").desc(), F.col("pair").asc())
+            .first()
+        )
+        a, b = top.pair.split(" ")
+        merges.append((rank, top.pair, a + b, int(top.c)))
+        vocab = vocab.withColumn(
+            "s",
+            F.replace(
+                F.col("s"), F.lit(f"|{a}||{b}|"), F.lit(f"|{a}{b}|")
+            ),
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
+    )

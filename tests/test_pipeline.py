@@ -1325,3 +1325,53 @@ def test_quality_classifier_matches_python_reference(spark, tmp_path):
         assert got[doc_id].n_features == n
         assert got[doc_id].keep == (pos >= neg)
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bpe_merge_train_matches_python_reference(spark):
+    """q42c's learned merge rules must equal a pure-Python BPE trainer
+    (Sennrich et al. alg.: vocab of word types, frequency-weighted
+    adjacent-pair counts, argmax with (count DESC, pair ASC) tie-break,
+    greedy left-to-right non-overlapping merge) — independent of the
+    unrolled-CTE oracle."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        BPE_MERGES,
+        q42c_bpe_merge_train,
+    )
+
+    texts = pq.read_table(f"{SF}/documents.parquet", columns=["text"])["text"]
+    vocab = Counter()
+    for t in texts.to_pylist():
+        for w in t.strip().split():
+            if w and "|" not in w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+
+    expect = []
+    for rank in range(1, BPE_MERGES + 1):
+        counts = Counter()
+        for w, freq in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += freq
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, f"{a} {b}", a + b, c))
+        for w in vocab:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+
+    got = [
+        (r.merge_rank, r.pair, r.merged, r.pair_count)
+        for r in q42c_bpe_merge_train(spark, SF).orderBy("merge_rank").collect()
+    ]
+    assert got == expect
