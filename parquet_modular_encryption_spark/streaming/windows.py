@@ -143,6 +143,24 @@ def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def dedup_stream_within_watermark(
+    events: DataFrame, delay: str = "30 minutes"
+) -> DataFrame:
+    """Streaming dedup with BOUNDED retention (Spark 3.5+
+    ``dropDuplicatesWithinWatermark``): duplicates arriving within the
+    watermark delay of the first-seen event are suppressed, and the key's
+    state is GUARANTEED evicted once the watermark passes it — so a
+    re-occurrence beyond the horizon is emitted again. This is the
+    contract a 100 TB ingest wants: exactly-once within the dedup
+    horizon with state bounded by keys-per-horizon, versus
+    ``dropDuplicates`` (:func:`dedup_stream`) whose state is
+    keys-ever-seen and whose watermark eviction silently turns "first
+    wins forever" into the same bounded semantics without saying so."""
+    return events.withWatermark("ts", delay).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
 def run_to_memory(
     df: DataFrame, name: str, output_mode: str = "append"
 ) -> DataFrame:

@@ -329,3 +329,55 @@ def test_incremental_dedup_ingest_earliest_wins(spark, tmp_path):
     incremental_dedup_ingest(spark, str(src), work)
     got = {r.doc_id for r in read_accepted(spark, work).collect()}
     assert got == accepted | {10_000_000}
+
+
+def test_drop_duplicates_within_watermark_bounded_retention(spark, tmp_path):
+    """dropDuplicatesWithinWatermark semantics pinned: a duplicate inside
+    the 30-minute horizon is suppressed; after the watermark passes the
+    key's expiry, the SAME key occurring again IS emitted (state was
+    evicted — bounded retention, unlike dropDuplicates)."""
+    from parquet_modular_encryption_spark.streaming.windows import (
+        dedup_stream_within_watermark,
+    )
+
+    path = str(tmp_path / "src")
+
+    def write(rows):
+        spark.createDataFrame(
+            [
+                (i, datetime.datetime(2024, 1, 1, h, m), uid, et, 1.0, "{}")
+                for i, (h, m, uid, et) in enumerate(rows)
+            ],
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string",
+        ).withColumn("ts", F.unix_micros("ts") * 1000).write.mode(
+            "append"
+        ).parquet(path)
+
+    # batch 1: key (7, click) at 12:00 plus a duplicate at 12:10 —
+    # inside the horizon, so exactly one survives
+    write([(12, 0, 7, "click"), (12, 10, 7, "click")])
+    stream = stream_events(spark, path, max_files_per_trigger=1)
+    q = (
+        dedup_stream_within_watermark(stream, delay="30 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("t_ddww")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: advance the watermark far past 12:40 via another key...
+        write([(14, 0, 8, "view")])
+        q.processAllAvailable()
+        # batch 3: ...then the SAME key again — state was evicted, emit
+        write([(15, 0, 7, "click")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = [
+        (r.ts, r.user_id, r.event_type)
+        for r in spark.table("t_ddww").filter(F.col("user_id") == 7).collect()
+    ]
+    assert sorted(t.hour for t, _, _ in got) == [12, 15], got
