@@ -1382,3 +1382,188 @@ def q54b_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# -- MMR diversified rerank -------------------------------------------------
+
+MMR_LAMBDA = 0.7  # relevance weight; (1 - λ) weights the diversity penalty
+MMR_K = 3  # diversified selections per query
+
+
+def _sql_mmr_ctes() -> str:
+    """Candidate CTEs shared by the q50c oracle: per-query top-{TOP_K}
+    relevance candidates plus their pairwise cosine matrix."""
+    return f"""
+    q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS ee FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, ee,
+               list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+                   AS rel
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ), cand AS (
+        SELECT query_id, neighbor_id, ee, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS rn
+            FROM scored
+        ) WHERE rn <= {TOP_K}
+    ), pairs AS (
+        SELECT a.query_id, a.neighbor_id AS a_id, b.neighbor_id AS b_id,
+               list_dot_product(a.ee, b.ee)
+                   / (sqrt(list_dot_product(a.ee, a.ee))
+                      * sqrt(list_dot_product(b.ee, b.ee))) AS sim
+        FROM cand a JOIN cand b
+          ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+    )"""
+
+
+@register(
+    "q50c_mmr_rerank",
+    oracle=f"""
+    WITH {_sql_mmr_ctes()},
+    s1 AS (
+        SELECT query_id, neighbor_id, rel, {MMR_LAMBDA} * rel AS mmr FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY rel DESC, neighbor_id) AS rn
+            FROM cand
+        ) WHERE rn = 1
+    ),
+    r2 AS (
+        SELECT c.query_id, c.neighbor_id, c.rel,
+               {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * MAX(p.sim) AS mmr
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id <> s1.neighbor_id
+        JOIN pairs p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+                     AND p.b_id = s1.neighbor_id
+        GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    s2 AS (
+        SELECT query_id, neighbor_id, rel, mmr FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY mmr DESC, neighbor_id) AS rn
+            FROM r2
+        ) WHERE rn = 1
+    ),
+    r3 AS (
+        SELECT c.query_id, c.neighbor_id, c.rel,
+               {MMR_LAMBDA} * c.rel - {1 - MMR_LAMBDA} * MAX(p.sim) AS mmr
+        FROM cand c
+        JOIN s1 ON s1.query_id = c.query_id AND c.neighbor_id <> s1.neighbor_id
+        JOIN s2 ON s2.query_id = c.query_id AND c.neighbor_id <> s2.neighbor_id
+        JOIN pairs p ON p.query_id = c.query_id AND p.a_id = c.neighbor_id
+                     AND p.b_id IN (s1.neighbor_id, s2.neighbor_id)
+        GROUP BY c.query_id, c.neighbor_id, c.rel
+    ),
+    s3 AS (
+        SELECT query_id, neighbor_id, rel, mmr FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY mmr DESC, neighbor_id) AS rn
+            FROM r3
+        ) WHERE rn = 1
+    )
+    SELECT query_id, neighbor_id AS selected_id, CAST(1 AS INT) AS select_rank,
+           rel, mmr FROM s1
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(2 AS INT), rel, mmr FROM s2
+    UNION ALL
+    SELECT query_id, neighbor_id, CAST(3 AS INT), rel, mmr FROM s3
+    """,
+    tags=("similarity", "rerank", "diversity"),
+)
+def q50c_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance diversified rerank (Carbonell &
+    Goldstein 1998): greedily select {MMR_K} results per query maximizing
+    λ·rel(q,d) − (1−λ)·max_sim(d, already-selected) — the de-dup-at-
+    retrieval step RAG stacks run after ANN, and the retrieval-side twin
+    of q55b's corpus-side SemDeDup.
+
+    Fully DATA-PARALLEL across queries: each greedy step is a window
+    argmax, not a driver loop — selection state lives in the dataframe
+    (s1/s2 joined back per step), so 10^6 concurrent queries rerank in
+    the same 3 fixed steps. Cost is bounded per query by the candidate
+    count: top-{TOP_K} relevance cut first (exact here; the ANN triad's
+    output at scale), then a k²-bounded pairwise cosine matrix WITHIN
+    each query's candidates — never corpus×corpus. Float determinism:
+    identical sequential-fold dot products and identical λ-arithmetic
+    operand order in both engines (the q50 recipe), so doubles hash-match
+    bit-for-bit with no quantization."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), as_double(F.col("embedding")).alias("qe")
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"), as_double(F.col("embedding")).alias("ee")
+    )
+    w_rel = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("neighbor_id"))
+    cand = (
+        F.broadcast(q)
+        .join(e, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id", "ee",
+            cosine(F.col("qe"), F.col("ee")).alias("rel"),
+        )
+        .withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") <= TOP_K)
+        .drop("rn")
+    )
+    a = cand.select("query_id", F.col("neighbor_id").alias("a_id"), F.col("ee").alias("ae"))
+    b = cand.select("query_id", F.col("neighbor_id").alias("b_id"), F.col("ee").alias("be"))
+    pairs = (
+        a.join(b, ["query_id"])
+        .filter(F.col("a_id") != F.col("b_id"))
+        .select("query_id", "a_id", "b_id", cosine(F.col("ae"), F.col("be")).alias("sim"))
+    )
+    lam, dlam = F.lit(MMR_LAMBDA), F.lit(1 - MMR_LAMBDA)
+    w_mmr = Window.partitionBy("query_id").orderBy(F.desc("mmr"), F.asc("neighbor_id"))
+
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select("query_id", "neighbor_id", "rel", (lam * F.col("rel")).alias("mmr"))
+    )
+
+    def mmr_step(selected: DataFrame) -> DataFrame:
+        """Score remaining candidates against the selected set (bounded,
+        broadcastable) and take the per-query argmax."""
+        sel = F.broadcast(
+            selected.select("query_id", F.col("neighbor_id").alias("sel_id"))
+        )
+        rem = cand.join(
+            sel.withColumnRenamed("sel_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+        pen = (
+            rem.join(sel, "query_id")
+            .join(
+                pairs,
+                (F.col("a_id") == F.col("neighbor_id"))
+                & (F.col("b_id") == F.col("sel_id"))
+                & (pairs.query_id == rem.query_id),
+            )
+            .groupBy(rem.query_id, "neighbor_id", "rel")
+            .agg(F.max("sim").alias("pen"))
+        )
+        return (
+            pen.select(
+                "query_id", "neighbor_id", "rel",
+                (lam * F.col("rel") - dlam * F.col("pen")).alias("mmr"),
+            )
+            .withColumn("rn", F.row_number().over(w_mmr))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    s2 = mmr_step(s1)
+    s3 = mmr_step(s1.unionByName(s2))
+    out = (
+        s1.select("query_id", "neighbor_id", F.lit(1).cast("int").alias("select_rank"), "rel", "mmr")
+        .unionByName(s2.select("query_id", "neighbor_id", F.lit(2).cast("int").alias("select_rank"), "rel", "mmr"))
+        .unionByName(s3.select("query_id", "neighbor_id", F.lit(3).cast("int").alias("select_rank"), "rel", "mmr"))
+    )
+    return out.withColumnRenamed("neighbor_id", "selected_id")

@@ -1375,3 +1375,49 @@ def test_bpe_merge_train_matches_python_reference(spark):
         for r in q42c_bpe_merge_train(spark, SF).orderBy("merge_rank").collect()
     ]
     assert got == expect
+
+
+def test_mmr_rerank_matches_python_greedy_reference(spark):
+    """q50c's window-argmax formulation must reproduce the classic greedy
+    MMR loop (numpy reference over the same vectors): identical selections
+    in identical order for every query."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        MMR_K,
+        MMR_LAMBDA,
+        N_QUERIES,
+        TOP_K,
+        q50c_mmr_rerank,
+    )
+
+    tbl = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = tbl["vec_id"].to_pylist()
+    vecs = {i: np.array(v, dtype=np.float64) for i, v in zip(ids, tbl["embedding"].to_pylist())}
+
+    def cos(a, b):
+        return float(np.dot(a, b) / (np.sqrt(np.dot(a, a)) * np.sqrt(np.dot(b, b))))
+
+    expect = {}
+    for qid in range(N_QUERIES):
+        rel = {i: cos(vecs[qid], v) for i, v in vecs.items() if i != qid}
+        cand = sorted(rel, key=lambda i: (-rel[i], i))[:TOP_K]
+        sel = []
+        while len(sel) < MMR_K:
+            if not sel:
+                scores = {i: MMR_LAMBDA * rel[i] for i in cand}
+            else:
+                scores = {
+                    i: MMR_LAMBDA * rel[i]
+                    - (1 - MMR_LAMBDA) * max(cos(vecs[i], vecs[s]) for s in sel)
+                    for i in cand
+                    if i not in sel
+                }
+            sel.append(min(scores, key=lambda i: (-scores[i], i)))
+        expect[qid] = sel
+
+    got = {}
+    for r in q50c_mmr_rerank(spark, SF).orderBy("query_id", "select_rank").collect():
+        got.setdefault(r.query_id, []).append(r.selected_id)
+    assert got == expect
