@@ -1200,3 +1200,143 @@ def q61b_contamination_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("shingle").alias("n_shared_shingles"),
         )
     )
+
+
+# -- triangle counting ------------------------------------------------------
+
+TRIANGLE_QTY_MIN = 45  # bulk-line threshold defining the co-supplier graph
+
+
+@register(
+    "q57c_triangle_count",
+    oracle=f"""
+    WITH lo AS (
+        SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+        WHERE l_quantity >= {TRIANGLE_QTY_MIN}
+    ), e AS (
+        SELECT DISTINCT x.l_suppkey AS u, y.l_suppkey AS v
+        FROM lo x JOIN lo y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+    ), deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT u AS node FROM e UNION ALL SELECT v FROM e
+        ) GROUP BY node
+    ), tri AS (
+        SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e e1
+        JOIN e e2 ON e2.u = e1.v
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), tn AS (
+        SELECT node, COUNT(*) AS n_tri FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri
+        ) GROUP BY node
+    )
+    SELECT d.node AS supp_key,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(COALESCE(tn.n_tri, 0) AS BIGINT) AS n_triangles,
+           CASE WHEN d.degree >= 2
+                THEN CAST(2 * COALESCE(tn.n_tri, 0) AS DOUBLE)
+                     / (d.degree * (d.degree - 1))
+                ELSE 0.0 END AS clustering_coeff
+    FROM deg d LEFT JOIN tn ON tn.node = d.node
+    """,
+    tags=("graph", "triangles"),
+)
+def q57c_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    bulk-shipment co-supplier graph (suppliers sharing an order's >=45-qty
+    lines) — the graph-analytics primitive behind community detection and
+    near-dup cluster QA (a near-dup relation with few triangles relative
+    to paths signals weak transitivity; q57's components + q57b's
+    PageRank + this close out the graph toolbox).
+
+    The ENGINE counts via degree-ordered edge orientation (Suri &
+    Vassilvitskii 2011): every edge points from its lower-(degree, id)
+    endpoint to the higher, making the orientation acyclic; each triangle
+    then has exactly ONE node with two out-edges, so wedges built from
+    co-oriented out-edge pairs close against a single oriented edge
+    lookup. On a skewed graph this caps per-node wedge work at
+    d_out² where d_out is bounded by ~sqrt(edges) for the hubs — the
+    hub's quadratic blowup lands on its (many) low-degree neighbors
+    instead — while the naive id-ordered join pays deg(hub)² on one
+    node. The ORACLE deliberately uses the naive id-ordered 3-way join:
+    same triangle set counted a provably different way, so the
+    hash-match doubles as an algorithm-equivalence proof. Clustering
+    coefficient stays exact: integer 2·tri and deg·(deg−1), one double
+    division identical in both engines."""
+    prep(spark)
+    lo = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= TRIANGLE_QTY_MIN)
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    x, y = lo.alias("x"), lo.alias("y")
+    e = (
+        x.join(
+            y,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+        )
+        .select(F.col("x.l_suppkey").alias("u"), F.col("y.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    # Degree-ordered orientation: src = endpoint with smaller (degree, id).
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oe = (
+        e.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
+        )
+    ).localCheckpoint(eager=True)  # reused 3x (two wedge legs + closing edge)
+    a, b = oe.alias("a"), oe.alias("b")
+    wedge_order = (F.col("a.ddeg") < F.col("b.ddeg")) | (
+        (F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst"))
+    )
+    wedges = a.join(
+        b, (F.col("a.src") == F.col("b.src")) & wedge_order
+    ).select(
+        F.col("a.src").alias("apex"),
+        F.col("a.dst").alias("p"),
+        F.col("b.dst").alias("q"),
+    )
+    closing = oe.select(F.col("src").alias("p"), F.col("dst").alias("q"))
+    tri = wedges.join(closing, ["p", "q"])
+    tn = (
+        tri.select(F.col("apex").alias("node"))
+        .unionAll(tri.select(F.col("p").alias("node")))
+        .unionAll(tri.select(F.col("q").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    n_tri = F.coalesce(F.col("n_tri"), F.lit(0))
+    return (
+        deg.join(tn, "node", "left")
+        .select(
+            F.col("node").alias("supp_key"),
+            F.col("degree").cast("bigint").alias("degree"),
+            n_tri.cast("bigint").alias("n_triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                (n_tri * 2).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("clustering_coeff"),
+        )
+    )
