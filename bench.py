@@ -100,6 +100,12 @@ EXTENDED = [
     "q117_source_cap_sample",
     "q76c_temperature_mix",
     "q118_token_budget_sample",
+    "q41b_dup_ngram_chars",
+    "q42c_bpe_merge_train",
+    "q43e_quality_classifier",
+    "q50c_mmr_rerank",
+    "q57c_triangle_count",
+    "q91c_media_header_census",
 ]
 
 
