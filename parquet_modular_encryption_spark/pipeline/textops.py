@@ -16,7 +16,9 @@ from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.numeric import davg, sql_davg
 from parquet_modular_encryption_spark.functions.text import (
+    hash60,
     normalized,
+    sql_hash60,
     sql_normalized,
     sql_tokens,
     tokens,
@@ -1542,4 +1544,129 @@ def q42c_bpe_merge_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).localCheckpoint(eager=True)
     return spark.createDataFrame(
         merges, "merge_rank bigint, pair string, merged string, pair_count bigint"
+    )
+
+
+# Count-min sketch shape: depth x width counter grid. 4 x 512 keeps the
+# whole sketch at 2048 cells (~16 KiB of BIGINTs) regardless of corpus
+# size — the point of the structure at 100 TB.
+CMS_DEPTH = 4
+CMS_WIDTH = 512
+CMS_TOPK = 20
+
+_SQL_CMS_BUCKET_TC = sql_hash60("CAST(t.d AS VARCHAR) || ':' || tc.tok") + f" % {CMS_WIDTH}"
+_SQL_CMS_BUCKET_P = sql_hash60("CAST(t.d AS VARCHAR) || ':' || p.tok") + f" % {CMS_WIDTH}"
+
+
+@register(
+    "q88c_heavy_hitters_cms",
+    oracle=f"""
+    WITH toks AS (
+        SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok
+        FROM documents
+    ), tc AS (
+        SELECT tok, COUNT(*) AS cnt FROM toks WHERE tok <> '' GROUP BY tok
+    ), cells AS (
+        SELECT t.d AS d, {_SQL_CMS_BUCKET_TC} AS bucket, SUM(tc.cnt) AS cell_cnt
+        FROM tc CROSS JOIN range({CMS_DEPTH}) t(d)
+        GROUP BY 1, 2
+    ), probe AS (
+        SELECT tok, cnt FROM tc ORDER BY cnt DESC, tok LIMIT {CMS_TOPK}
+    )
+    SELECT p.tok,
+           CAST(p.cnt AS BIGINT) AS exact_cnt,
+           CAST(MIN(c.cell_cnt) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cell_cnt) - p.cnt AS BIGINT) AS overcount
+    FROM probe p
+    CROSS JOIN range({CMS_DEPTH}) t(d)
+    JOIN cells c ON c.d = t.d AND c.bucket = {_SQL_CMS_BUCKET_P}
+    GROUP BY p.tok, p.cnt
+    ORDER BY exact_cnt DESC, tok
+    """,
+    tags=("text", "sketch", "cms", "heavy-hitters"),
+)
+def q88c_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch heavy hitters over the corpus token stream
+    (Cormode & Muthukrishnan 2005): the bounded-memory frequency structure
+    a 100 TB vocabulary census uses when the exact token->count map no
+    longer fits anywhere.
+
+    Unlike the engine-specific HLL (q28) and GK (q87) sketches, CMS is
+    DETERMINISTIC given its hash family — built here on the portable
+    md5-based ``hash60`` both engines compute bit-identically — so the
+    whole sketch, not just its shape, is hash-checked against the DuckDB
+    oracle. Output: the top-{CMS_TOPK} exact heavy hitters with their CMS
+    estimates and the (always >= 0) overcount.
+
+    Scale shape: one token-count pass (map-side combinable hash agg) feeds
+    both branches; the sketch build folds per-token partial counts into
+    {CMS_DEPTH} x {CMS_WIDTH} cells — the explode is over DISTINCT tokens
+    (vocabulary-sized), never the raw token stream, exactly how a combiner
+    -based CMS build distributes. The 2048-cell sketch is broadcast to the
+    {CMS_TOPK}-row probe join; nothing after the first shuffle depends on
+    corpus size. The exact top-k branch (TakeOrderedAndProject) exists to
+    price the sketch's error in the output; a production pipeline ships
+    only the cells."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # Both the sketch build and the probe branch consume tc; without
+        # materialization each would re-tokenize the whole corpus (the
+        # planner does not reuse the exchange across the differing branch
+        # subtrees). Vocabulary is corpus-sublinear — checkpointing it is
+        # the one-pass shape the sketch exists for.
+        .localCheckpoint(eager=False)
+    )
+    probe = tc.orderBy(F.col("cnt").desc(), F.col("tok")).limit(CMS_TOPK)
+    est = cms_estimate(probe, cms_sketch(tc))
+    return (
+        est.select(
+            "tok",
+            F.col("cnt").alias("exact_cnt"),
+            "cms_est",
+            (F.col("cms_est") - F.col("cnt")).alias("overcount"),
+        ).orderBy(F.col("exact_cnt").desc(), F.col("tok"))
+    )
+
+
+def _cms_depths(depth: int) -> Column:
+    return F.explode(F.array(*[F.lit(d) for d in range(depth)])).alias("d")
+
+
+def _cms_bucket(width: int) -> Column:
+    return (
+        hash60(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("tok"))) % width
+    ).alias("bucket")
+
+
+def cms_sketch(tc: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH) -> DataFrame:
+    """Fold (tok, cnt) partial counts into a depth x width count-min grid.
+
+    The explode is over distinct tokens (vocabulary-sized), not the raw
+    stream — the combiner-based build. Output is at most depth*width rows
+    regardless of input size."""
+    return (
+        tc.select("tok", "cnt", _cms_depths(depth))
+        .select("cnt", "d", _cms_bucket(width))
+        .groupBy("d", "bucket")
+        .agg(F.sum("cnt").alias("cell_cnt"))
+    )
+
+
+def cms_estimate(
+    probe: DataFrame, cells: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """Point-query the sketch: min over the depth cells each probed token
+    hashes to. ``cells`` is tiny by construction — broadcast it."""
+    probed = probe.select("tok", "cnt", _cms_depths(depth)).select(
+        "tok", "cnt", "d", _cms_bucket(width)
+    )
+    return (
+        probed.join(F.broadcast(cells), ["d", "bucket"])
+        .groupBy("tok", "cnt")
+        .agg(F.min("cell_cnt").alias("cms_est"))
     )

@@ -1421,3 +1421,41 @@ def test_mmr_rerank_matches_python_greedy_reference(spark):
     for r in q50c_mmr_rerank(spark, SF).orderBy("query_id", "select_rank").collect():
         got.setdefault(r.query_id, []).append(r.selected_id)
     assert got == expect
+
+
+def test_cms_guarantees_under_collisions(spark):
+    """Count-min sketch invariants on a forced-collision sketch (width 4
+    << vocabulary): estimate never undercounts, equals the exact count
+    when the grid is collision-free, and the min over more depth rows is
+    never looser than over fewer."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        cms_estimate,
+        cms_sketch,
+    )
+
+    rows = [(f"tok{i}", (i % 7) + 1) for i in range(64)]
+    tc = spark.createDataFrame(rows, "tok string, cnt bigint")
+
+    tight = {
+        r.tok: r.cms_est
+        for r in cms_estimate(tc, cms_sketch(tc, 4, 4), 4, 4).collect()
+    }
+    exact = dict(rows)
+    assert set(tight) == set(exact)
+    assert all(tight[t] >= exact[t] for t in exact)
+    # width-4 over 64 tokens must actually collide somewhere
+    assert any(tight[t] > exact[t] for t in exact)
+
+    # depth-1 estimate (single hash row) is an upper bound on the depth-4 min
+    loose = {
+        r.tok: r.cms_est
+        for r in cms_estimate(tc, cms_sketch(tc, 1, 4), 1, 4).collect()
+    }
+    assert all(loose[t] >= tight[t] for t in exact)
+
+    # a wide collision-free grid recovers exact counts
+    wide = {
+        r.tok: r.cms_est
+        for r in cms_estimate(tc, cms_sketch(tc, 4, 65536), 4, 65536).collect()
+    }
+    assert wide == exact
