@@ -1567,3 +1567,83 @@ def q50c_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(s3.select("query_id", "neighbor_id", F.lit(3).cast("int").alias("select_rank"), "rel", "mmr"))
     )
     return out.withColumnRenamed("neighbor_id", "selected_id")
+
+
+# Johnson-Lindenstrauss sign projection: output dimensionality. The sign
+# matrix entry for (input dim i, output dim j) is the parity of the
+# portable 60-bit md5 hash of "i:j" — a formula, not stored state, so the
+# Spark side can bake it into a broadcast literal while the oracle
+# re-derives it in SQL and still hash-matches.
+PROJ_K = 16
+PROJ_FIXED = 1_000_000  # fixed-point scale: floor(x * 1e6) keeps sums exact
+
+
+def proj_sign(i: int, j: int) -> int:
+    """+1/-1 from md5 parity — the same hash60(i || ':' || j) % 2 both
+    engines compute (functions/text.py)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{i}:{j}".encode()).hexdigest()[:15], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+@register(
+    "q90b_random_projection",
+    oracle=f"""
+    WITH proj AS (
+        SELECT vec_id,
+               list_transform(range(0, {PROJ_K}), j ->
+                   list_sum(list_transform(range(1, len(embedding) + 1), i ->
+                       CAST(floor(CAST(embedding[i] AS DOUBLE) * {PROJ_FIXED}) AS BIGINT)
+                       * (CASE WHEN CAST(concat('0x',
+                               substr(md5(CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)), 1, 15))
+                             AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END)))) AS y
+        FROM embeddings
+    )
+    SELECT vec_id, CAST(t.j AS INT) AS proj_dim, CAST(proj.y[t.j + 1] AS BIGINT) AS y_fixed
+    FROM proj, range(0, {PROJ_K}) t(j)
+    """,
+    tags=("similarity", "projection", "jl"),
+)
+def q90b_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse-sign random projection (Achlioptas 2003 / JL lemma): reduce
+    64-dim embeddings to {PROJ_K} dims with a +-1 matrix derived from the
+    portable md5 hash — the cheap-first stage of every 100 TB similarity
+    stack (project once, then bucket/scan in the small space).
+
+    Scale shape: the D x K sign matrix is built DRIVER-SIDE from the hash
+    formula and embedded as a literal (a broadcast in spirit — ~1 KiB),
+    so the per-row work is a pure higher-order fold with zero hashing and
+    zero Python; the plan has no shuffle at all before the output. Inputs
+    enter fixed-point (floor(x * 1e6) BIGINT) so the fold is exact integer
+    arithmetic — engine-order-independent, hash-checked to the last bit.
+    tests/test_pipeline.py pins the JL guarantee itself (pairwise squared
+    distances concentrate around K/D of the original, against a numpy
+    reference using the same matrix)."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    dim = emb.select(F.size("embedding").alias("d")).first().d
+    smat = F.array(
+        *[
+            F.array(*[F.lit(proj_sign(i, j)) for i in range(1, dim + 1)])
+            for j in range(PROJ_K)
+        ]
+    )
+    q = F.transform(
+        as_double(F.col("embedding")),
+        lambda x: F.floor(x * PROJ_FIXED).cast("bigint"),
+    )
+    base = emb.select("vec_id", q.alias("q"), smat.alias("s"))
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(PROJ_K - 1)),
+        lambda j: F.aggregate(
+            F.sequence(F.lit(1), F.size(F.col("q"))),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.element_at(F.col("q"), i)
+            * F.element_at(F.element_at(F.col("s"), j + 1), i).cast("bigint"),
+        ),
+    )
+    return base.select("vec_id", F.posexplode(proj).alias("proj_dim", "y_fixed")).select(
+        "vec_id", F.col("proj_dim").cast("int").alias("proj_dim"), "y_fixed"
+    )

@@ -1459,3 +1459,48 @@ def test_cms_guarantees_under_collisions(spark):
         for r in cms_estimate(tc, cms_sketch(tc, 4, 65536), 4, 65536).collect()
     }
     assert wide == exact
+
+
+def test_random_projection_jl_distortion(spark):
+    """JL guarantee for the q90b sign matrix: E[||P(a)-P(b)||^2] =
+    K * ||a-b||^2 for +-1 sign projections, so over sampled pairs the
+    normalized ratio concentrates near 1 (rel. std ~ sqrt(2/K) ~ 0.35)."""
+    import numpy as np
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        PROJ_K,
+        proj_sign,
+        q90b_random_projection,
+    )
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in spark.read.parquet(f"{SF}/embeddings.parquet").limit(40).collect()
+    }
+    d = len(next(iter(emb.values())))
+    S = np.array(
+        [[proj_sign(i, j) for i in range(1, d + 1)] for j in range(PROJ_K)]
+    )  # K x D
+
+    proj = {}
+    for r in q90b_random_projection(spark, SF).collect():
+        proj.setdefault(r.vec_id, {})[r.proj_dim] = r.y_fixed
+    ids = sorted(set(emb) & set(proj))[:30]
+
+    # engine output matches the numpy reference using the same matrix
+    for v in ids[:10]:
+        q = np.floor(emb[v] * 1e6)
+        np.testing.assert_array_equal(
+            S @ q, np.array([proj[v][j] for j in range(PROJ_K)], dtype=np.float64)
+        )
+
+    ratios = []
+    for a, b in zip(ids, ids[1:]):
+        orig = float(np.sum((emb[a] - emb[b]) ** 2)) * 1e12
+        ya = np.array([proj[a][j] for j in range(PROJ_K)], dtype=np.float64)
+        yb = np.array([proj[b][j] for j in range(PROJ_K)], dtype=np.float64)
+        if orig > 0:
+            ratios.append(float(np.sum((ya - yb) ** 2)) / (PROJ_K * orig))
+    assert ratios, "no distinct pairs sampled"
+    assert all(0.05 < r < 5.0 for r in ratios)
+    assert 0.6 < sum(ratios) / len(ratios) < 1.6
