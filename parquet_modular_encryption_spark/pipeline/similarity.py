@@ -1647,3 +1647,151 @@ def q90b_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.select("vec_id", F.posexplode(proj).alias("proj_dim", "y_fixed")).select(
         "vec_id", F.col("proj_dim").cast("int").alias("proj_dim"), "y_fixed"
     )
+
+
+@register(
+    "q54f_ann_ivfpq",
+    oracle=f"""
+    WITH {{IVF_CTES}}, probes AS (
+        SELECT vec_id AS query_id, cell FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ), codes AS (
+        SELECT vec_id,
+               {QUANT_BITS} / greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-30)
+                   AS scale,
+               embedding::DOUBLE[] AS e
+        FROM embeddings
+    ), recon AS (
+        SELECT vec_id,
+               list_transform(list_transform(e, x -> floor(x * scale + 0.5)),
+                              c -> c / scale) AS r
+        FROM codes
+    ), prerank AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT c.query_id, c.neighbor_id,
+                   row_number() OVER (
+                       PARTITION BY c.query_id
+                       ORDER BY list_dot_product(eq.embedding::DOUBLE[], rn.r)
+                                / (sqrt(list_dot_product(eq.embedding::DOUBLE[],
+                                                         eq.embedding::DOUBLE[]))
+                                   * sqrt(list_dot_product(rn.r, rn.r))) DESC,
+                                c.neighbor_id) AS arn
+            FROM cand c
+            JOIN embeddings eq ON eq.vec_id = c.query_id
+            JOIN recon rn ON rn.vec_id = c.neighbor_id
+        ) WHERE arn <= {PQ_RERANK_CAND}
+    ), scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM prerank p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = p.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """.replace("{IVF_CTES}", _ivf_assign_ctes()),
+    tags=("similarity", "ann", "ivf", "quantization"),
+)
+def q54f_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ composed ANN — the production FAISS serving shape (Jégou et
+    al. TPAMI'11; Johnson et al. 2019): IVF's coarse codebook routes each
+    query to its IVF_NPROBE nearest cells (search cost ∝ probed fraction,
+    q54d), and WITHIN the probed cells scoring runs against int8 CODES
+    (4x smaller resident set, q54c's quantizer) — so the serving tier is
+    simultaneously partitioned AND compressed, the only combination that
+    holds a 100 TB float corpus: ~12 TB of codes, of which a query reads
+    only nprobe/K-th. Exact float vectors are fetched solely for the
+    PQ_RERANK_CAND survivors' final rerank.
+
+    Everything — centroid build, cell assignment, ADC pre-rank ordering,
+    rerank — is deterministic IEEE arithmetic with row_number tie-breaks,
+    so the composed pipeline is fully hash-checked like each of its
+    parents. Broadcasts stay bounded (K-row codebook, N_QUERIES query
+    vectors, N_QUERIES x nprobe probe list); the corpus is never
+    shuffled except by its own candidate join. tests/test_pipeline.py
+    pins containment in q54d's candidate set and recall vs the exact q50
+    baseline."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    centroids = _ivf_codebook(emb)
+
+    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    best = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
+    )
+    assign = best.select(
+        F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
+    )
+    wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    probes = (
+        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("rn", F.row_number().over(wcell))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(assign, "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+
+    # Code-resident pre-rank within the probed cells (q54c's quantizer).
+    scale = F.lit(QUANT_BITS) / F.greatest(
+        F.array_max(F.transform(F.col("ee"), lambda x: F.abs(x))), F.lit(1e-30)
+    )
+    recon = e.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.transform(
+            F.transform(F.col("ee"), lambda x: F.floor(x * scale + 0.5)),
+            lambda c: c / scale,
+        ).alias("re"),
+    )
+    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
+    )
+    prerank_w = Window.partitionBy("query_id").orderBy(
+        F.desc("approx_sim"), F.asc("neighbor_id")
+    )
+    survivors = (
+        cand.join(F.broadcast(eq), "query_id")
+        .join(recon, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("re")).alias("approx_sim"),
+        )
+        .withColumn("arn", F.row_number().over(prerank_w))
+        .filter(F.col("arn") <= PQ_RERANK_CAND)
+        .select("query_id", "neighbor_id")
+    )
+    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ne"))
+    scored = (
+        survivors.join(F.broadcast(eq), "query_id")
+        .join(en, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qe"), F.col("ne")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 5)
+        .select("query_id", "neighbor_id", "cosine_sim", "rank")
+    )

@@ -1504,3 +1504,34 @@ def test_random_projection_jl_distortion(spark):
     assert ratios, "no distinct pairs sampled"
     assert all(0.05 < r < 5.0 for r in ratios)
     assert 0.6 < sum(ratios) / len(ratios) < 1.6
+
+
+def test_ivfpq_contained_in_ivf_candidates_with_recall(spark):
+    """q54f composes q54d's cell routing with q54c's code-resident
+    pre-rank: its results must come from q54d's candidate universe (same
+    probes, same assignment), and the int8 pre-rank must not cost recall
+    of the exact top-5 vs plain IVF at the same nprobe (reconstruction
+    error is far below the rank-5 boundary at this scale)."""
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q50_knn_bruteforce,
+        q54d_ann_ivf,
+        q54f_ann_ivfpq,
+    )
+
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in q50_knn_bruteforce(spark, SF).filter(F.col("rank") <= 5).collect()
+    }
+    ivf_rows = q54d_ann_ivf(spark, SF).collect()
+    ivf = {(r.query_id, r.neighbor_id) for r in ivf_rows}
+    ivfpq_rows = q54f_ann_ivfpq(spark, SF).collect()
+    ivfpq = {(r.query_id, r.neighbor_id) for r in ivfpq_rows}
+
+    # same routing => the composed search returns a subset of IVF's
+    # candidate universe; at rank<=5 with a 20-deep prerank the final
+    # top-5 should in fact coincide with plain IVF's top-5 here.
+    assert ivfpq == ivf
+
+    r_ivf = len(exact & ivf) / len(exact)
+    r_ivfpq = len(exact & ivfpq) / len(exact)
+    assert r_ivfpq >= r_ivf
