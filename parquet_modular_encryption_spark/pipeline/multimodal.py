@@ -645,3 +645,156 @@ def q91c_media_header_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("modality")
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: REAL 16-bit PCM WAV encode/decode — the one media modality whose
+# full body decode needs no codec library (PCM samples are just bytes), so
+# unlike image pixels (Pillow) or video frames (ffmpeg) the audio path is
+# real end-to-end: spec-valid RIFF/WAVE containers round-trip through a
+# parquet binary column, a chunk-walking parser + numpy frombuffer decodes
+# the samples executor-side, and integer signal features are hash-checked
+# against the oracle's closed form of the generator waveform.
+
+WAV_RATE = 8000
+WAV_N_MEDIA = 48
+
+
+def _wav_params(media_id: int) -> tuple[int, int, int]:
+    """(n_samples, a, b) of the deterministic chirp-ish test waveform
+    s(t) = ((a*t + b*t^2) mod 65536) - 32768 — replicable in SQL."""
+    return 600 + (media_id % 7) * 180, 3 + (media_id * 13) % 50, 1 + media_id % 9
+
+
+def encode_wav(media_id: int) -> bytes:
+    """Spec-valid mono 16-bit PCM RIFF/WAVE bytes (any audio player opens
+    these), samples from the deterministic waveform."""
+    n, a, b = _wav_params(media_id)
+    samples = np.array(
+        [((a * t + b * t * t) % 65536) - 32768 for t in range(n)], dtype="<i2"
+    )
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Chunk-walking PCM WAV decoder: finds fmt/data chunks wherever they
+    sit (never assumes the canonical 44-byte layout), then decodes the
+    sample body with numpy and derives integer signal features."""
+    b = bytes(payload)
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    pos, rate, bits, channels, data = 12, None, None, None, None
+    while pos + 8 <= len(b):
+        tag = b[pos : pos + 4]
+        size = struct.unpack("<I", b[pos + 4 : pos + 8])[0]
+        chunk = b[pos + 8 : pos + 8 + size]
+        if tag == b"fmt ":
+            _codec, channels, rate, _bps, _align, bits = struct.unpack(
+                "<HHIIHH", chunk[:16]
+            )
+        elif tag == b"data":
+            data = chunk
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if rate is None or data is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    if bits != 16 or channels != 1:
+        raise ValueError(f"only mono 16-bit PCM supported, got {bits}b x{channels}")
+    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+    n = len(s)
+    return {
+        "sample_rate": int(rate),
+        "n_samples": n,
+        "duration_ms": n * 1000 // rate,
+        "peak": int(np.max(np.abs(s))) if n else 0,
+        "sum_sq": int(np.sum(s * s)),
+        "sum_abs": int(np.sum(np.abs(s))),
+        "zero_crossings": int(np.sum((s[:-1] * s[1:]) < 0)) if n > 1 else 0,
+    }
+
+
+def synthetic_wav(spark: SparkSession, n: int = WAV_N_MEDIA) -> DataFrame:
+    """Real WAV blobs as a binary-column table (partitions sized to data,
+    per the q91 fixture lesson)."""
+    rows = [(i, bytearray(encode_wav(i))) for i in range(n)]
+    return spark.createDataFrame(rows, "media_id bigint, payload binary").coalesce(2)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id bigint, sample_rate int, n_samples bigint, duration_ms bigint, "
+    "peak bigint, sum_sq bigint, sum_abs bigint, zero_crossings bigint"
+)
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + signal features (same mapInPandas
+    template as extract_features; swap in a codec for compressed audio)."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decode_wav(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "media_id", pdf["media_id"].values)
+            yield out
+
+    return media.mapInPandas(per_batch, AUDIO_FEATURE_SCHEMA)
+
+
+@register(
+    "q91d_audio_pcm_features",
+    oracle=f"""
+    WITH gen AS (
+        SELECT CAST(i AS BIGINT) AS media_id,
+               600 + (i % 7) * 180 AS n,
+               3 + (i * 13) % 50 AS a,
+               1 + i % 9 AS b
+        FROM range({WAV_N_MEDIA}) t(i)
+    ), sm AS (
+        SELECT media_id, n,
+               list_transform(range(0, n),
+                              t -> ((a * t + b * t * t) % 65536) - 32768) AS s
+        FROM gen
+    )
+    SELECT media_id,
+           CAST({WAV_RATE} AS INT) AS sample_rate,
+           CAST(n AS BIGINT) AS n_samples,
+           CAST(n * 1000 // {WAV_RATE} AS BIGINT) AS duration_ms,
+           CAST(list_max(list_transform(s, x -> abs(x))) AS BIGINT) AS peak,
+           CAST(list_sum(list_transform(s, x -> x * x)) AS BIGINT) AS sum_sq,
+           CAST(list_sum(list_transform(s, x -> abs(x))) AS BIGINT) AS sum_abs,
+           CAST(len(list_filter(range(1, n), t -> s[t] * s[t + 1] < 0)) AS BIGINT)
+               AS zero_crossings
+    FROM sm
+    """,
+    tags=("multimodal", "audio", "real-decode", "mapInPandas"),
+)
+def q91d_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode, hash-checked end-to-end: spec-valid mono 16-bit
+    PCM WAV containers round-trip through a parquet binary column, a
+    chunk-walking parser (:func:`decode_wav` — fmt/data discovered by
+    walking RIFF chunks, never fixed offsets) decodes the PCM body with
+    numpy inside Arrow-batched mapInPandas, and integer signal features
+    (peak, energy, zero-crossing rate — the standard VAD/quality inputs
+    for audio curation) come back as ordinary columns.
+
+    The oracle recomputes every feature from the closed form of the
+    generator waveform (q91c's proof pattern), so a hash match pins
+    writer -> parquet -> chunk walk -> sample decode -> feature math
+    end-to-end; tests additionally decode the SAME blobs with the stdlib
+    ``wave`` module — an independent reference decoder — and require
+    byte-exact sample agreement. This closes audio's slot in the
+    image/audio/video triad with a genuinely real body decode (images:
+    real header parse + real PNG pixels; video: real container walk,
+    codec-gated body)."""
+    prep(spark)
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+
+    path = scratch_dir("pme_q91d_")
+    synthetic_wav(spark).write.mode("overwrite").parquet(path)
+    return audio_features(spark.read.parquet(path)).orderBy("media_id")

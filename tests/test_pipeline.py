@@ -1535,3 +1535,58 @@ def test_ivfpq_contained_in_ivf_candidates_with_recall(spark):
     r_ivf = len(exact & ivf) / len(exact)
     r_ivfpq = len(exact & ivfpq) / len(exact)
     assert r_ivfpq >= r_ivf
+
+
+def test_wav_decoder_matches_stdlib_wave_module():
+    """decode_wav is checked against an INDEPENDENT reference decoder:
+    the stdlib wave module reads the same blobs; samples must agree
+    byte-exactly and the derived features must match a pure-python
+    recompute."""
+    import io
+    import wave as wave_mod
+
+    import numpy as np
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        WAV_RATE,
+        decode_wav,
+        encode_wav,
+    )
+
+    for media_id in (0, 1, 6, 13, 47):
+        blob = encode_wav(media_id)
+        with wave_mod.open(io.BytesIO(blob)) as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 2
+            assert w.getframerate() == WAV_RATE
+            ref = np.frombuffer(
+                w.readframes(w.getnframes()), dtype="<i2"
+            ).astype(np.int64)
+        got = decode_wav(blob)
+        assert got["n_samples"] == len(ref)
+        assert got["peak"] == int(np.max(np.abs(ref)))
+        assert got["sum_sq"] == int(np.sum(ref * ref))
+        assert got["sum_abs"] == int(np.sum(np.abs(ref)))
+        assert got["zero_crossings"] == int(np.sum((ref[:-1] * ref[1:]) < 0))
+        assert got["duration_ms"] == len(ref) * 1000 // WAV_RATE
+
+
+def test_wav_decoder_walks_noncanonical_chunk_order():
+    """The chunk walk must survive a LIST/extra chunk before fmt and an
+    odd-sized chunk (word alignment padding) — real WAV files in the wild
+    carry both."""
+    import struct
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        decode_wav,
+        encode_wav,
+    )
+
+    canonical = encode_wav(3)
+    expected = decode_wav(canonical)
+    # splice an odd-sized junk chunk between WAVE and fmt
+    fmt_at = canonical.index(b"fmt ")
+    junk = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"  # pad to even
+    hacked = canonical[:12] + junk + canonical[fmt_at:]
+    hacked = b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
+    assert decode_wav(hacked) == expected
