@@ -1670,3 +1670,108 @@ def cms_estimate(
         .groupBy("tok", "cnt")
         .agg(F.min("cell_cnt").alias("cms_est"))
     )
+
+
+# PMI collocation mining: minimum pair frequency (kills hapax noise) and
+# the fixed-point scale for the rational PMI core.
+PMI_MIN_PAIR = 5
+PMI_SCALE = 1_000_000_000_000  # 1e12
+PMI_TOPK = 50
+
+
+@register(
+    "q42d_word_cooccurrence_pmi",
+    oracle=f"""
+    WITH docs_t AS (
+        SELECT list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '') AS t
+        FROM documents
+    ), uni AS (
+        SELECT w, COUNT(*) AS cnt FROM (SELECT unnest(t) AS w FROM docs_t) GROUP BY w
+    ), bi AS (
+        SELECT p['w1'] AS w1, p['w2'] AS w2, COUNT(*) AS pair_cnt FROM (
+            SELECT unnest(list_transform(range(1, len(t)),
+                                         i -> {{'w1': t[i], 'w2': t[i + 1]}})) AS p
+            FROM docs_t WHERE len(t) >= 2
+        ) GROUP BY 1, 2
+    )
+    SELECT b.w1, b.w2,
+           CAST(b.pair_cnt AS BIGINT) AS pair_cnt,
+           CAST(u1.cnt AS BIGINT) AS cnt_w1,
+           CAST(u2.cnt AS BIGINT) AS cnt_w2,
+           CAST((b.pair_cnt * {PMI_SCALE}) // (u1.cnt * u2.cnt) AS BIGINT) AS pmi_fixed
+    FROM bi b
+    JOIN uni u1 ON u1.w = b.w1
+    JOIN uni u2 ON u2.w = b.w2
+    WHERE b.pair_cnt >= {PMI_MIN_PAIR}
+    ORDER BY pmi_fixed DESC, w1, w2
+    LIMIT {PMI_TOPK}
+    """,
+    tags=("text", "collocations", "pmi"),
+)
+def q42d_word_cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the top-{PMI_TOPK}
+    adjacent word pairs whose co-occurrence most exceeds independence —
+    the standard phrase/multiword-expression detector a tokenizer- or
+    glossary-building pass runs over a corpus.
+
+    Determinism engineering: for a fixed corpus size N, PMI ordering is
+    the ordering of the RATIONAL p(ab)/(p(a)p(b)) = N*c_ab/(c_a*c_b), so
+    the log never needs to be computed — the score is the exact integer
+    (c_ab * 1e12) div (c_a * c_b), identical in both engines (production
+    swaps in log-space doubles when c_ab*scale could overflow BIGINT; at
+    that point ranking no longer needs cross-engine exactness).
+
+    Scale shape: one bigram hash-agg + one unigram hash-agg (both
+    map-side combinable, vocabulary-sized outputs), two equi-joins on the
+    word key (AQE picks broadcast when the unigram side is small; at web
+    scale they are plain shuffle hash joins on a well-distributed key),
+    then TakeOrderedAndProject for the top-k — nothing downstream of the
+    aggregations depends on corpus size."""
+    prep(spark)
+    return pmi_collocations(load(spark, sf_dir, "documents"))
+
+
+def pmi_collocations(docs: DataFrame) -> DataFrame:
+    """The q42d core over any frame with a ``text`` column (factored out
+    so tests can drive engineered corpora through the same plan)."""
+    toked = docs.select(
+        F.filter(tokens("text"), lambda x: x != "").alias("t")
+    )
+    uni = (
+        toked.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    t = F.col("t")
+    pairs = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.struct(
+            F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+        ),
+    )
+    bi = (
+        toked.filter(F.size(t) >= 2)
+        .select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_cnt"))
+        .filter(F.col("pair_cnt") >= PMI_MIN_PAIR)
+    )
+    u1 = uni.select(F.col("w").alias("w1"), F.col("cnt").alias("cnt_w1"))
+    u2 = uni.select(F.col("w").alias("w2"), F.col("cnt").alias("cnt_w2"))
+    return (
+        bi.join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            "pair_cnt",
+            "cnt_w1",
+            "cnt_w2",
+            F.expr(
+                f"pair_cnt * CAST({PMI_SCALE} AS BIGINT) div (cnt_w1 * cnt_w2)"
+            ).alias("pmi_fixed"),
+        )
+        .orderBy(F.col("pmi_fixed").desc(), "w1", "w2")
+        .limit(PMI_TOPK)
+    )

@@ -1590,3 +1590,31 @@ def test_wav_decoder_walks_noncanonical_chunk_order():
     hacked = canonical[:12] + junk + canonical[fmt_at:]
     hacked = b"RIFF" + struct.pack("<I", len(hacked) - 8) + hacked[8:]
     assert decode_wav(hacked) == expected
+
+
+def test_pmi_ranks_true_collocation_above_frequent_independents(spark):
+    """An engineered corpus where 'new york' only ever co-occur vs filler
+    words that are frequent but independently distributed: the true
+    collocation must take rank 1, and every reported pair must satisfy
+    the exact integer PMI formula."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        PMI_SCALE,
+        pmi_collocations,
+    )
+
+    filler = ["the", "of", "data", "with", "runs"]
+    rows = []
+    for i in range(40):
+        # 'new york' always adjacent; filler words shuffled deterministically
+        f = [filler[(i + k) % 5] for k in range(5)]
+        rows.append((i, " ".join(f[:2] + ["new", "york"] + f[2:] + f)))
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    out = pmi_collocations(docs).collect()
+    assert out, "no collocations found"
+    assert (out[0].w1, out[0].w2) == ("new", "york")
+    for r in out:
+        assert r.pmi_fixed == r.pair_cnt * PMI_SCALE // (r.cnt_w1 * r.cnt_w2)
+    # the collocation's PMI strictly dominates any filler-filler pair
+    filler_scores = [r.pmi_fixed for r in out[1:] if r.w1 in filler and r.w2 in filler]
+    assert filler_scores and out[0].pmi_fixed > max(filler_scores)
