@@ -548,3 +548,49 @@ def q99_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("purchase_ts").isNotNull().alias("reached_purchase"),
         )
     )
+
+
+@register(
+    "q99b_retention_cohorts",
+    oracle="""
+    WITH act AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), cohort AS (
+        SELECT user_id, MIN(wk) AS cw FROM act GROUP BY user_id
+    )
+    SELECT CAST(c.cw AS DATE) AS cohort_week,
+           CAST(date_diff('day', c.cw, a.wk) // 7 AS INT) AS offset_week,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM act a JOIN cohort c USING (user_id)
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("events", "cohort", "retention"),
+)
+def q99b_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix — the classic product-analytics triangle:
+    users cohorted by first-activity ISO week, counted at each later week
+    offset they return. Both engines truncate to Monday-start weeks, so
+    the day difference is an exact multiple of 7 and the offset is exact
+    integer division.
+
+    Scale shape: activity distinct-ing collapses events to (user, week)
+    BEFORE anything else (map-side combinable; output is bounded by
+    users x weeks, not event volume); the cohort frame is one more
+    user-keyed agg reusing the same shuffle key, and the final join is
+    user-keyed co-partitioned. No window over the event stream."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    act = ev.select("user_id", F.date_trunc("week", F.col("ts")).alias("wk")).distinct()
+    cohort = act.groupBy("user_id").agg(F.min("wk").alias("cw"))
+    return (
+        act.join(cohort, "user_id")
+        .select(
+            F.to_date("cw").alias("cohort_week"),
+            F.expr("CAST(datediff(wk, cw) div 7 AS INT)").alias("offset_week"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "offset_week")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+        .orderBy("cohort_week", "offset_week")
+    )

@@ -11,7 +11,7 @@ bounded by parquet scan throughput."""
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.numeric import davg, sql_davg
@@ -1774,4 +1774,74 @@ def pmi_collocations(docs: DataFrame) -> DataFrame:
         )
         .orderBy(F.col("pmi_fixed").desc(), "w1", "w2")
         .limit(PMI_TOPK)
+    )
+
+
+@register(
+    "q43f_pareto_frontier",
+    oracle="""
+    WITH feat AS (
+        SELECT doc_id, lang, n_chars AS x,
+               CAST(len(list_distinct(list_filter(
+                   string_split_regex(trim(text), '\\s+'), w -> w <> '')))
+                 AS BIGINT) AS y
+        FROM documents
+    )
+    SELECT f.lang, f.doc_id, CAST(f.x AS BIGINT) AS x, f.y
+    FROM feat f
+    WHERE NOT EXISTS (
+        SELECT 1 FROM feat g
+        WHERE g.lang = f.lang AND g.x >= f.x AND g.y >= f.y
+          AND (g.x > f.x OR g.y > f.y)
+    )
+    ORDER BY lang, doc_id
+    """,
+    tags=("curation", "skyline", "window"),
+)
+def q43f_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language Pareto frontier (skyline) of documents on
+    (length, lexical richness): the multi-criteria curation primitive —
+    "keep documents no other document beats on every axis" — used when
+    quality signals should not be collapsed into one weighted score.
+
+    The ORACLE is the quadratic spec (NOT EXISTS a dominating row); the
+    ENGINE is the O(n log n) sort-based skyline: order each language by
+    x descending, then a document is on the frontier iff (a) its y
+    strictly exceeds the running max of y over all STRICTLY longer
+    documents (a value-based range frame, so equal-x rows never see each
+    other) and (b) no same-x document has strictly higher y. The hash
+    match proves the linear-pass window algorithm equivalent to the
+    quadratic definition — the same shape as q57c's oriented triangle
+    count vs its naive oracle.
+
+    Scale shape: one sort per language (Spark range-partitions the sort;
+    no self-join, no explode); the frontier of web-corpus features is
+    tiny relative to n, but the plan cost is the sort either way —
+    against the oracle's O(n^2) semantics that is the difference between
+    feasible and not at 100 TB."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    feat = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("bigint").alias("x"),
+        F.size(
+            F.array_distinct(F.filter(tokens("text"), lambda w: w != ""))
+        ).cast("bigint").alias("y"),
+    )
+    w_longer = (
+        Window.partitionBy("lang")
+        .orderBy(F.desc("x"))
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_same_x = Window.partitionBy("lang", "x")
+    return (
+        feat.withColumn("best_y_longer", F.max("y").over(w_longer))
+        .withColumn("best_y_same_x", F.max("y").over(w_same_x))
+        .filter(
+            (F.col("best_y_longer").isNull() | (F.col("best_y_longer") < F.col("y")))
+            & (F.col("best_y_same_x") <= F.col("y"))
+        )
+        .select("lang", "doc_id", "x", "y")
+        .orderBy("lang", "doc_id")
     )

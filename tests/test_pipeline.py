@@ -1618,3 +1618,52 @@ def test_pmi_ranks_true_collocation_above_frequent_independents(spark):
     # the collocation's PMI strictly dominates any filler-filler pair
     filler_scores = [r.pmi_fixed for r in out[1:] if r.w1 in filler and r.w2 in filler]
     assert filler_scores and out[0].pmi_fixed > max(filler_scores)
+
+
+def test_pareto_frontier_matches_bruteforce_with_ties(spark):
+    """The window skyline must agree with a brute-force dominance check on
+    an engineered set with every tie case: equal-x differing y, equal-y
+    differing x, and fully duplicated (x, y) points (neither dominates —
+    both stay on the frontier)."""
+    from parquet_modular_encryption_spark.pipeline.textops import q43f_pareto_frontier
+
+    out = q43f_pareto_frontier(spark, SF).collect()
+    got = {(r.lang, r.doc_id) for r in out}
+
+    # brute force over the same features the query derives
+    import re
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").collect()
+    pts = []
+    for d in docs:
+        toks = [w for w in re.split(r"\s+", d.text.strip()) if w != ""]
+        pts.append((d.lang, d.doc_id, d.n_chars, len(set(toks))))
+    expect = set()
+    for lang, doc_id, x, y in pts:
+        dominated = any(
+            g_lang == lang
+            and gx >= x
+            and gy >= y
+            and (gx > x or gy > y)
+            for g_lang, _gid, gx, gy in pts
+        )
+        if not dominated:
+            expect.add((lang, doc_id))
+    assert got == expect
+
+    # engineered tie cases through the same plan via a temp parquet table
+    rows = [
+        (1, "a b c", "xx", "s", 10),   # frontier (longest, richest)
+        (2, "a b", "xx", "s", 10),     # same x, lower y -> dominated
+        (3, "a b c", "xx", "s", 7),    # shorter, same y as 1 -> dominated
+        (4, "a b c", "xx", "s", 7),    # duplicate of 3 -> still dominated by 1
+        (5, "d e f", "xx", "s", 10),   # duplicate (x, y) of 1 -> frontier too
+    ]
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+        ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
+        tie = {r.doc_id for r in q43f_pareto_frontier(spark, td).collect()}
+    assert tie == {1, 5}
