@@ -106,6 +106,13 @@ EXTENDED = [
     "q50c_mmr_rerank",
     "q57c_triangle_count",
     "q91c_media_header_census",
+    "q42d_word_cooccurrence_pmi",
+    "q43f_pareto_frontier",
+    "q54f_ann_ivfpq",
+    "q88c_heavy_hitters_cms",
+    "q90b_random_projection",
+    "q91d_audio_pcm_features",
+    "q99b_retention_cohorts",
 ]
 
 
