@@ -411,7 +411,12 @@ def test_encrypted_streaming_sink_roundtrip_and_gating(spark, tmp_path):
         ],
         "event_id bigint, ts timestamp, user_id bigint, "
         "event_type string, value double, props string",
-    ).withColumn("ts", F.unix_micros("ts") * 1000).write.parquet(src)
+    ).withColumn("ts", F.unix_micros("ts") * 1000).repartition(3).write.parquet(src)
+    # exactly 3 non-empty source files: with max_files_per_trigger=1 every
+    # batch id 0..2 then writes a directory. Without the repartition,
+    # createDataFrame parallelizes over all cores and parquet emits EMPTY
+    # part files, whose batches the sink's isEmpty guard skips — which
+    # batch ids materialize then depends on file listing order (flaky).
 
     policy = EncryptionPolicy(
         column_levels={"value": Privilege.CONFIDENTIAL, "user_id": Privilege.INTERNAL}
@@ -428,9 +433,10 @@ def test_encrypted_streaming_sink_roundtrip_and_gating(spark, tmp_path):
         data = {(r.event_id, r.user_id, r.value) for r in got.collect()}
         assert data == {(i, 100 + i, float(i)) for i in range(3)}
 
-        # on-disk ciphertext: a plain parquet read must not see the value
-        plain = spark.read.parquet(f"{out}/batch_id=0")
-        assert "value" not in plain.columns or _pytest.raises(Exception)
+        # on-disk ciphertext: a plain (keyless) parquet read of any batch
+        # dir must fail to materialize the encrypted column
+        with _pytest.raises(Exception):
+            spark.read.parquet(f"{out}/batch_id=0").select("value").collect()
 
         pub = read_encrypted_stream_output(spark, out, "PUBLIC", url)
         with _pytest.raises(Exception):
