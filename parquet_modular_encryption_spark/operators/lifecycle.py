@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from parquet_modular_encryption_spark.functions.numeric import dsum, sql_dsum
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -256,4 +257,83 @@ def q115_epoch_shard_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
+    )
+
+
+@register(
+    "q110b_scd2_point_in_time",
+    oracle=f"""
+    WITH changes AS (
+        SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.1 AS o_totalprice, 1 AS version
+        FROM orders WHERE o_orderkey % 7 = 0
+        UNION ALL
+        SELECT o_orderkey, o_totalprice * 1.2 AS o_totalprice, 2 AS version
+        FROM orders WHERE o_orderkey % 21 = 0
+    ), fact AS (
+        SELECT l_orderkey, l_linenumber, CAST(l_linenumber % 3 AS INT) AS v
+        FROM lineitem
+    ), matched AS (
+        SELECT f.l_orderkey, f.l_linenumber, f.v,
+               MAX(h.version) AS matched_version,
+               arg_max(h.o_totalprice, h.version) AS price
+        FROM fact f
+        JOIN changes h ON h.o_orderkey = f.l_orderkey AND h.version <= f.v
+        GROUP BY f.l_orderkey, f.l_linenumber, f.v
+    )
+    SELECT CAST(v AS INT) AS version_queried,
+           CAST(matched_version AS INT) AS matched_version,
+           CAST(COUNT(*) AS BIGINT) AS n_facts,
+           {sql_dsum("price")} AS sum_price
+    FROM matched
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    tags=("cdc", "scd2", "temporal-join"),
+)
+def q110b_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (PIT) join against the q110 SCD2 history — the
+    correctness pattern every feature store / warehouse needs: each fact
+    row (lineitem, tagged with an as-of version) must see the dimension
+    row that was CURRENT at its time, never a later one (no lookahead
+    leakage) and never an earlier one once superseded.
+
+    Engine shape: equi-join on the dimension key with the validity
+    predicate as a post-join filter, then ONE aggregation picking the
+    max version <= as-of per fact row via a struct-max (map-side
+    combinable argmax — no window over the joined stream). The fan-out of
+    the equi-join is bounded by versions-per-key (<= 3 here; bounded by
+    retention policy in production), so the PIT join costs one bounded
+    join + one agg regardless of fact volume — the shape that survives a
+    100 TB fact table, vs the naive BETWEEN range join whose planner
+    fallback is a broadcast-nested-loop. Reuses q110's builder verbatim
+    for the history side; the oracle replays the same change log with
+    arg_max picking per-fact matches."""
+    prep(spark)
+    hist = q110_scd2_history(spark, sf_dir).select(
+        "o_orderkey", "version", "o_totalprice"
+    )
+    li = load(spark, sf_dir, "lineitem")
+    fact = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_linenumber") % 3).cast("int").alias("v"),
+    )
+    joined = fact.join(hist, fact.l_orderkey == hist.o_orderkey).filter(
+        F.col("version") <= F.col("v")
+    )
+    picked = joined.groupBy("l_orderkey", "l_linenumber", "v").agg(
+        F.max(F.struct(F.col("version"), F.col("o_totalprice"))).alias("b")
+    )
+    return (
+        picked.groupBy(
+            F.col("v").alias("version_queried"),
+            F.col("b.version").cast("int").alias("matched_version"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_facts"),
+            dsum(F.col("b.o_totalprice")).alias("sum_price"),
+        )
+        .orderBy("version_queried", "matched_version")
     )

@@ -1667,3 +1667,19 @@ def test_pareto_frontier_matches_bruteforce_with_ties(spark):
         ).write.mode("overwrite").parquet(f"{td}/documents.parquet")
         tie = {r.doc_id for r in q43f_pareto_frontier(spark, td).collect()}
     assert tie == {1, 5}
+
+
+def test_scd2_pit_join_never_looks_ahead(spark):
+    """PIT join leakage check: a fact row must never match a dimension
+    version newer than its as-of version, and as-of 0 facts must see
+    exactly version 0."""
+    from parquet_modular_encryption_spark.operators.lifecycle import (
+        q110b_scd2_point_in_time,
+    )
+
+    rows = q110b_scd2_point_in_time(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.matched_version <= r.version_queried
+    v0 = [r for r in rows if r.version_queried == 0]
+    assert {r.matched_version for r in v0} == {0}
