@@ -447,3 +447,55 @@ def test_encrypted_streaming_sink_roundtrip_and_gating(spark, tmp_path):
             spark, out, "PUBLIC", url, columns=["event_id"]
         )
         assert pub_cols.count() == 3
+
+
+def test_streaming_cms_sketch_equals_batch(spark, tmp_path):
+    """Count-min sketches merge associatively, so a sketch built by
+    incremental micro-batches (one source file per trigger) must equal
+    the batch-built sketch cell-for-cell — the property that lets a
+    streaming ingest maintain the same heavy-hitter structure a batch
+    job would compute."""
+    from parquet_modular_encryption_spark.functions.text import hash60, tokens
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_sketch,
+    )
+
+    src = str(tmp_path / "docs_src")
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    docs.repartition(4).write.parquet(src)  # 4 non-empty files -> 4 triggers
+
+    def cells_from_stream(df):
+        tok = df.select(F.explode(tokens("text")).alias("tok")).filter(
+            F.col("tok") != ""
+        )
+        d = F.explode(F.array(*[F.lit(i) for i in range(CMS_DEPTH)])).alias("d")
+        bucket = (
+            hash60(F.concat(F.col("d").cast("string"), F.lit(":"), F.col("tok")))
+            % CMS_WIDTH
+        ).alias("bucket")
+        return (
+            tok.select("tok", d)
+            .select("d", bucket)
+            .groupBy("d", "bucket")
+            .count()
+        )
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    got = run_to_memory(cells_from_stream(stream), "t_cms", output_mode="complete")
+
+    tc = (
+        docs.select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    batch = cms_sketch(tc)
+    got_cells = {(r.d, r.bucket): r["count"] for r in got.collect()}
+    batch_cells = {(r.d, r.bucket): r.cell_cnt for r in batch.collect()}
+    assert got_cells == batch_cells
