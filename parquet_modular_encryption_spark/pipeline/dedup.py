@@ -561,6 +561,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
     )
     iterations = 0
+    converged = False
     for _ in range(20):  # diameter bound; near-dup clusters converge fast
         iterations += 1
         neighbor_min = (
@@ -585,15 +586,31 @@ def connected_components(
         )
         labels = updated.select("node", "component")
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # Min-label propagation needs O(diameter) rounds; silently
+        # returning the capped labels would be WRONG on high-diameter
+        # graphs (a 41-node path under a 20-round cap mislabels half the
+        # nodes — caught by the q57d equivalence test). Fail loudly and
+        # point at the O(log n) algorithm instead.
+        raise RuntimeError(
+            "connected_components did not converge within 20 rounds — "
+            "graph diameter exceeds the label-propagation budget; use "
+            "two_phase_connected_components (large-star/small-star, "
+            "O(log n) rounds) for high-diameter graphs"
+        )
     if stats is not None:
         stats["iterations"] = iterations
     return labels
 
 
-@register(
-    "q57_neardup_clusters",
-    oracle=f"""
+def _cc_oracle() -> str:
+    """Recursive-CTE transitive-closure components over the MinHash pair
+    graph — shared VERBATIM by q57 (label propagation) and q57d
+    (alternating large-star/small-star): two different distributed CC
+    algorithms must produce the identical component census."""
+    return f"""
     WITH RECURSIVE {_minhash_ctes()},
     edges AS (
         SELECT doc_a AS src, doc_b AS dst FROM verified
@@ -615,7 +632,12 @@ def connected_components(
            MAX(node) AS max_doc_id
     FROM comp
     GROUP BY component
-    """,
+    """
+
+
+@register(
+    "q57_neardup_clusters",
+    oracle=_cc_oracle(),
     tags=("dedup", "clusters", "iterative"),
 )
 def q57_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1339,4 +1361,131 @@ def q57c_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("clustering_coeff"),
         )
+    )
+
+
+def _canon_undirected(df: DataFrame, a: str = "src", b: str = "dst") -> DataFrame:
+    """Canonical undirected edge set: (a < b) ordering, self-loops dropped,
+    distinct."""
+    return (
+        df.select(
+            F.least(F.col(a), F.col(b)).alias("a"),
+            F.greatest(F.col(a), F.col(b)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def two_phase_connected_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Connected components by ALTERNATING large-star / small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — the O(log n)-round algorithm for 100 TB graphs,
+    vs :func:`connected_components`' O(diameter) label propagation (fine
+    for shallow near-dup clusters, unbounded for path-shaped graphs).
+
+    Per round, with m(v) = min of v's closed neighborhood:
+
+    - large-star: every center v re-attaches its STRICTLY LARGER
+      neighbors to m(v) — emit (u, m(v)) for u in N(v), u > v. Each
+      undirected edge {x<y} is represented from center x, so
+      connectivity is preserved while long chains halve.
+    - small-star: every center v re-attaches its smaller-or-equal
+      closed neighborhood to m(v) — emit (u, m(v)) for
+      u in N(v) ∪ {v}, u <= v. The u = v case keeps every node attached
+      to its current minimum (no orphaning).
+
+    Both phases are one groupBy (min over neighborhood, map-side
+    combinable) + one join + a projection — no windows, no driver-side
+    graph state; the edge set is localCheckpointed per round to truncate
+    lineage. Convergence = the canonical edge set reaches a fixpoint
+    (then it IS a star forest rooted at each component's minimum), so
+    labels fall out of one final neighborhood-min. Returns
+    (node, component) exactly like :func:`connected_components`;
+    q57d shares q57's recursive-CTE oracle, so the two algorithms'
+    equivalence is hash-checked by the driver."""
+    edges = _canon_undirected(
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    ).localCheckpoint(eager=True)
+    rounds = 0
+    for _ in range(25):  # paper: O(log n) rounds; near-dup graphs need ~2-3
+        rounds += 1
+        sym = edges.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+            edges.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        m = (
+            sym.groupBy("v")
+            .agg(F.min("u").alias("mn"))
+            .select("v", F.least(F.col("v"), F.col("mn")).alias("m"))
+        )
+        # large-star
+        ls = (
+            sym.join(m, "v")
+            .filter(F.col("u") > F.col("v"))
+            .select(F.col("u").alias("src"), F.col("m").alias("dst"))
+        )
+        mid = _canon_undirected(ls).localCheckpoint(eager=True)
+        # small-star over the large-star result
+        sym2 = mid.select(F.col("a").alias("v"), F.col("b").alias("u")).union(
+            mid.select(F.col("b").alias("v"), F.col("a").alias("u"))
+        )
+        m2 = (
+            sym2.groupBy("v")
+            .agg(F.min("u").alias("mn"))
+            .select("v", F.least(F.col("v"), F.col("mn")).alias("m"))
+        )
+        ss = (
+            sym2.join(m2, "v")
+            .filter(F.col("u") <= F.col("v"))
+            .select(F.col("u").alias("src"), F.col("m").alias("dst"))
+            .union(m2.select(F.col("v").alias("src"), F.col("m").alias("dst")))
+        )
+        new_edges = _canon_undirected(ss).localCheckpoint(eager=True)
+        changed = (
+            new_edges.exceptAll(edges).limit(1).count()
+            + edges.exceptAll(new_edges).limit(1).count()
+        )
+        edges = new_edges
+        if changed == 0:
+            break
+    if stats is not None:
+        stats["rounds"] = rounds
+    # fixpoint edge set is a star forest: component = min of closed
+    # neighborhood for every node
+    sym = edges.select(F.col("a").alias("node"), F.col("b").alias("u")).union(
+        edges.select(F.col("b").alias("node"), F.col("a").alias("u"))
+    )
+    return (
+        sym.groupBy("node")
+        .agg(F.min("u").alias("mn"))
+        .select("node", F.least(F.col("node"), F.col("mn")).alias("component"))
+    )
+
+
+@register(
+    "q57d_cc_two_phase",
+    oracle=_cc_oracle(),
+    tags=("dedup", "clusters", "iterative", "two-phase"),
+)
+def q57d_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q57's component census computed by the alternating large-star /
+    small-star algorithm (:func:`two_phase_connected_components`) instead
+    of label propagation: O(log n) rounds regardless of graph diameter —
+    the difference between 3 and 60 driver-coordinated rounds on a
+    path-shaped 100 TB graph. Shares q57's recursive-CTE oracle verbatim,
+    so the driver hash-checks that both distributed algorithms produce
+    the identical census; tests additionally pin equivalence on random
+    graphs including long paths (where diameter >> log n)."""
+    prep(spark)
+    pairs = q47_minhash_neardup(spark, sf_dir).select("doc_a", "doc_b")
+    comp = two_phase_connected_components(pairs)
+    return comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.min("node").alias("canonical_doc_id"),
+        F.max("node").alias("max_doc_id"),
     )

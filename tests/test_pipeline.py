@@ -1683,3 +1683,70 @@ def test_scd2_pit_join_never_looks_ahead(spark):
         assert r.matched_version <= r.version_queried
     v0 = [r for r in rows if r.version_queried == 0]
     assert {r.matched_version for r in v0} == {0}
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_two_phase_cc_matches_union_find_on_adversarial_graphs(spark):
+    """large-star/small-star vs a driver-side union-find ground truth on:
+    a long path (diameter >> log n — the case the algorithm exists for),
+    disjoint cliques, a star, and a seeded random graph. Must converge in
+    far fewer rounds than the path's diameter. Label propagation, whose
+    round budget is O(diameter), must refuse the path graph loudly
+    instead of returning capped (wrong) labels."""
+    import random
+
+    import pytest as _pytest
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        connected_components,
+        two_phase_connected_components,
+    )
+
+    def labels_of(edges, stats=None):
+        df = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        return {
+            (r.node, r.component)
+            for r in two_phase_connected_components(df, stats=stats).collect()
+        }
+
+    # long path 0-1-2-...-40 plus two cliques and a star
+    path = [(i, i + 1) for i in range(40)]
+    cliques = [(100 + i, 100 + j) for i in range(5) for j in range(i + 1, 5)] + [
+        (200 + i, 200 + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    star = [(300, 300 + k) for k in range(1, 8)]
+    rng = random.Random(7)
+    rand = [(rng.randrange(400, 450), rng.randrange(400, 450)) for _ in range(60)]
+    rand = [(a, b) for a, b in rand if a != b]
+
+    for edges in (path, cliques, star, rand, path + cliques + star + rand):
+        stats = {}
+        got = labels_of(edges, stats)
+        assert got == set(_union_find_components(edges).items())
+    # the combined graph contains the 41-node path: diameter 40, but
+    # two-phase must stay logarithmic
+    assert stats["rounds"] <= 8
+
+    # label propagation on the bare path exceeds its 20-round budget —
+    # it must raise (silently-wrong capped labels were a real bug this
+    # test caught), steering callers to the two-phase algorithm
+    with _pytest.raises(RuntimeError, match="two_phase"):
+        connected_components(
+            spark.createDataFrame(path, "doc_a bigint, doc_b bigint")
+        ).collect()
