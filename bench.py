@@ -113,7 +113,8 @@ EXTENDED = [
     "q90b_random_projection",
     "q91d_audio_pcm_features",
     "q99b_retention_cohorts",
-    "q110b_scd2_point_in_time",
+    "q95c_scd2_point_in_time",
+    "q57d_cc_two_phase",
 ]
 
 

@@ -261,7 +261,7 @@ def q115_epoch_shard_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q110b_scd2_point_in_time",
+    "q95c_scd2_point_in_time",
     oracle=f"""
     WITH changes AS (
         SELECT o_orderkey, o_totalprice, 0 AS version FROM orders
@@ -292,7 +292,7 @@ def q115_epoch_shard_reshuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("cdc", "scd2", "temporal-join"),
 )
-def q110b_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q95c_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point-in-time (PIT) join against the q110 SCD2 history — the
     correctness pattern every feature store / warehouse needs: each fact
     row (lineitem, tagged with an as-of version) must see the dimension

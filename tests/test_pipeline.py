@@ -1674,10 +1674,10 @@ def test_scd2_pit_join_never_looks_ahead(spark):
     version newer than its as-of version, and as-of 0 facts must see
     exactly version 0."""
     from parquet_modular_encryption_spark.operators.lifecycle import (
-        q110b_scd2_point_in_time,
+        q95c_scd2_point_in_time,
     )
 
-    rows = q110b_scd2_point_in_time(spark, SF).collect()
+    rows = q95c_scd2_point_in_time(spark, SF).collect()
     assert rows
     for r in rows:
         assert r.matched_version <= r.version_queried
