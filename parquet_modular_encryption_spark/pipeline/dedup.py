@@ -1489,3 +1489,150 @@ def q57d_cc_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("node").alias("canonical_doc_id"),
         F.max("node").alias("max_doc_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (batch-vs-corpus) dedup — the shape a DAILY ingest actually runs
+# ---------------------------------------------------------------------------
+#
+# q63c dedups a whole corpus in one pass; production pipelines almost never
+# do that twice. Day N takes a small NEW batch and asks "which of these are
+# already in the corpus (exactly or nearly)?" — the corpus side is a
+# PRECOMPUTED index (fingerprints + MinHash band keys stored at ingest
+# time), so daily cost is O(batch) work plus index lookups, never a fresh
+# O(corpus) shingle pass. Here both sides derive from the same `documents`
+# table via a deterministic md5 split so the oracle can replay the logic;
+# the engine still computes the join the incremental way (batch bands
+# probing corpus bands), which is the part whose shape matters at 100 TB.
+
+_INCR_SPLIT_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'"
+
+
+def _incremental_dedup_oracle() -> str:
+    return f"""
+    WITH {_minhash_ctes()},
+    splitd AS (
+        SELECT doc_id, lang, {_INCR_SPLIT_SQL} AS is_corpus FROM documents
+    ), fps AS (
+        SELECT doc_id, md5({sql_normalized('text')}) AS fp FROM documents
+    ), exact_dropped AS (
+        SELECT DISTINCT f.doc_id
+        FROM fps f JOIN splitd s ON f.doc_id = s.doc_id
+        WHERE NOT s.is_corpus AND EXISTS (
+            SELECT 1 FROM fps f2 JOIN splitd s2 ON f2.doc_id = s2.doc_id
+            WHERE s2.is_corpus AND f2.fp = f.fp
+        )
+    ), near_dropped AS (
+        SELECT DISTINCT CASE WHEN sa.is_corpus THEN v.doc_b ELSE v.doc_a END AS doc_id
+        FROM verified v
+        JOIN splitd sa ON sa.doc_id = v.doc_a
+        JOIN splitd sb ON sb.doc_id = v.doc_b
+        WHERE sa.is_corpus <> sb.is_corpus
+          AND CASE WHEN sa.is_corpus THEN v.doc_b ELSE v.doc_a END
+              NOT IN (SELECT doc_id FROM exact_dropped)
+    )
+    SELECT s.lang,
+           COUNT(*) AS n_batch,
+           COUNT(e.doc_id) AS n_dropped_exact,
+           COUNT(n.doc_id) AS n_dropped_near,
+           COUNT(*) FILTER (WHERE e.doc_id IS NULL AND n.doc_id IS NULL) AS n_ingested
+    FROM splitd s
+    LEFT JOIN exact_dropped e ON e.doc_id = s.doc_id
+    LEFT JOIN near_dropped n ON n.doc_id = s.doc_id
+    WHERE NOT s.is_corpus
+    GROUP BY s.lang
+    """
+
+
+@register(
+    "q63d_incremental_dedup",
+    oracle=_incremental_dedup_oracle(),
+    tags=("dedup", "incremental", "minhash", "pipeline"),
+)
+def q63d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: a new BATCH of documents is screened
+    against the existing CORPUS — dropped if its normalized fingerprint
+    already exists in the corpus (exact), else dropped if it MinHash-band
+    collides with a corpus document and exact Jaccard verifies >= the q47
+    threshold (near). Census per language: batch size, exact drops, near
+    drops (among exact survivors), ingested.
+
+    Incremental shape: candidate generation is batch-bands PROBING
+    corpus-bands — a one-sided join whose cost is O(batch x bucket hit
+    rate), not the q47 corpus self-join. At 100 TB the corpus fingerprint
+    set and band index are materialized once at ingest time (they are
+    exactly the frames named `corpus_fps` / `corpus_bands` here) and the
+    daily job computes signatures only for the new batch; the md5 split
+    below stands in for that storage boundary so DuckDB can replay both
+    sides from one table. Exact-drop precedence (near-dedup only screens
+    exact survivors) is pinned by the oracle's NOT IN.
+
+    Oracle note: `verified` restricted to cross-split pairs equals the
+    one-sided band probe — band co-occurrence and Jaccard are symmetric,
+    so the all-pairs CTE loses nothing and the shared q47 CTE body stays
+    the single source of truth.
+    """
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    is_corpus = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
+    docs = docs.withColumn("is_corpus", is_corpus)
+
+    shingled = (
+        docs.select("doc_id", "is_corpus", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "is_corpus",
+            shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    sh = shingled.select("doc_id", "is_corpus", F.explode("shingles").alias("shingle"))
+    hv = hash60(F.col("shingle")) % P
+    sig = sh.groupBy("doc_id", "is_corpus").agg(
+        *[
+            F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
+            for j, (a, b) in enumerate(MINHASH_PERMS)
+        ]
+    )
+    bands = band_keys(sig.drop("is_corpus"), "doc_id").join(
+        sig.select("doc_id", "is_corpus"), "doc_id"
+    )
+    corpus_bands = bands.filter(F.col("is_corpus")).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_key"
+    )
+    batch_bands = bands.filter(~F.col("is_corpus")).select(
+        F.col("doc_id").alias("batch_id"), "band_id", "band_key"
+    )
+    # One-sided probe: batch bands against the corpus band index.
+    cand = (
+        batch_bands.join(corpus_bands, ["band_id", "band_key"])
+        .select(F.col("batch_id").alias("doc_a"), F.col("corpus_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = _jaccard_verify(shingled.drop("is_corpus"), cand)
+    near_ids = verified.select(F.col("doc_a").alias("doc_id")).distinct()
+
+    fps = docs.select(
+        "doc_id", "is_corpus", F.md5(normalized("text")).alias("fp")
+    )
+    corpus_fps = fps.filter(F.col("is_corpus")).select("fp").distinct()
+    batch = docs.filter(~F.col("is_corpus")).select("doc_id", "lang")
+    exact_ids = (
+        fps.filter(~F.col("is_corpus"))
+        .join(corpus_fps, "fp", "left_semi")
+        .select("doc_id")
+    )
+    near_dropped = near_ids.join(exact_ids, "doc_id", "left_anti")
+
+    flagged = (
+        batch.join(exact_ids.withColumn("e", F.lit(1)), "doc_id", "left")
+        .join(near_dropped.withColumn("n", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_batch"),
+        F.count("e").alias("n_dropped_exact"),
+        F.count("n").alias("n_dropped_near"),
+        F.sum(
+            F.when(F.col("e").isNull() & F.col("n").isNull(), 1).otherwise(0)
+        ).cast("bigint").alias("n_ingested"),
+    )

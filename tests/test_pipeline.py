@@ -1750,3 +1750,29 @@ def test_two_phase_cc_matches_union_find_on_adversarial_graphs(spark):
         connected_components(
             spark.createDataFrame(path, "doc_a bigint, doc_b bigint")
         ).collect()
+
+
+def test_incremental_dedup_census_invariants(spark, sf_dir):
+    """q63d's census must tile the batch exactly (every batch doc counted
+    in exactly one of exact/near/ingested) and the md5 split must cover
+    the whole corpus — precedence and partition bugs both break these."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q63d_incremental_dedup,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    census = q63d_incremental_dedup(spark, sf_dir).collect()
+    assert census, "empty census"
+    for r in census:
+        assert r.n_batch == r.n_dropped_exact + r.n_dropped_near + r.n_ingested
+
+    docs = load(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    n_batch = sum(r.n_batch for r in census)
+    n_corpus = docs.filter(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
+    ).count()
+    assert n_batch + n_corpus == n_docs
+    assert 0 < n_batch < n_docs  # split actually produces both sides
