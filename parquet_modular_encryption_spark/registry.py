@@ -34,6 +34,7 @@ _QUERY_MODULES = (
     "parquet_modular_encryption_spark.operators.storage",
     "parquet_modular_encryption_spark.operators.sampling",
     "parquet_modular_encryption_spark.operators.encrypted",
+    "parquet_modular_encryption_spark.sources.python_datasource",
     "parquet_modular_encryption_spark.pipeline.pandas_ops",
     "parquet_modular_encryption_spark.pipeline.textops",
     "parquet_modular_encryption_spark.pipeline.dedup",

@@ -87,3 +87,71 @@ def test_real_testdata_events_loads(spark, sf_dir):
     assert isinstance(df.schema["ts"].dataType, T.TimestampType)
     n = df.select(F.unix_micros("ts")).filter(F.col("unix_micros(ts)").isNotNull()).count()
     assert n > 0
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 Python Data Source (sources/python_datasource.py)
+# ---------------------------------------------------------------------------
+
+
+def test_python_datasource_partition_parallelism(spark, sf_dir):
+    """One shard file = one InputPartition = one task: the custom source
+    must fan out across shards, not funnel through a single reader."""
+    import glob
+
+    from parquet_modular_encryption_spark.sources.python_datasource import (
+        JsonlDataSource,
+        jsonl_fixture,
+    )
+
+    path = jsonl_fixture(spark, sf_dir)
+    n_shards = len(glob.glob(f"{path}/*.json"))
+    assert n_shards > 1
+    spark.dataSource.register(JsonlDataSource)
+    df = spark.read.format("pme_jsonl").option("path", path).load()
+    assert df.rdd.getNumPartitions() == n_shards
+
+
+def test_python_datasource_nulls_unicode_missing_fields(spark, tmp_path):
+    """Hand-written JSONL with unicode, an explicit null, a missing field,
+    and a blank line: cells must round-trip exactly like Spark's own JSON
+    reader semantics (missing key -> NULL)."""
+    import json
+
+    from parquet_modular_encryption_spark.sources.python_datasource import (
+        JsonlDataSource,
+    )
+
+    shard = tmp_path / "part-0.json"
+    rows = [
+        {"doc_id": 1, "text": "héllo wörld é中文", "lang": "de", "source": "web", "n_chars": 12},
+        {"doc_id": 2, "text": None, "lang": "en", "source": "web", "n_chars": 0},
+        {"doc_id": 3, "text": "plain", "lang": "en", "n_chars": 5},  # source missing
+    ]
+    shard.write_text(
+        "\n".join(json.dumps(r) for r in rows) + "\n\n", encoding="utf-8"
+    )
+    spark.dataSource.register(JsonlDataSource)
+    got = {
+        r.doc_id: r
+        for r in spark.read.format("pme_jsonl")
+        .option("path", str(tmp_path))
+        .load()
+        .collect()
+    }
+    assert len(got) == 3
+    assert got[1].text == "héllo wörld é中文"
+    assert got[2].text is None
+    assert got[3].source is None and got[3].n_chars == 5
+
+
+def test_python_datasource_reregister_and_rerun(spark, sf_dir):
+    """bench runs every query 3x in one session: registering the source
+    again and re-running the builder must work and agree with itself."""
+    from parquet_modular_encryption_spark.sources.python_datasource import (
+        q39b_python_datasource,
+    )
+
+    a = sorted(map(tuple, q39b_python_datasource(spark, sf_dir).collect()))
+    b = sorted(map(tuple, q39b_python_datasource(spark, sf_dir).collect()))
+    assert a == b and len(a) > 0
