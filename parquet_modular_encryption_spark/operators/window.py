@@ -421,3 +421,80 @@ def q93b_resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         filled.alias("value_filled"),
         F.col("v").isNull().alias("was_gap"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Global ordinals without a global window
+# ---------------------------------------------------------------------------
+
+#: range-partition fan-out for the two-phase ordinal assignment. At 100 TB
+#: this is the cluster's reducer count; the driver-side offset table stays
+#: one tiny row per partition regardless of data size.
+_ORDINAL_PARTS = 16
+
+
+def global_ordinals(df: DataFrame, sort_cols: list[str]) -> DataFrame:
+    """Assign 1-based global ordinals by ``sort_cols`` (must be a unique
+    composite key) WITHOUT a single-reducer global window.
+
+    ``ROW_NUMBER() OVER (ORDER BY ...)`` — the oracle formulation — sorts
+    the whole table on ONE reducer; it is the canonical operation that
+    works at sf0.1 and dies at 100 TB. The scalable shape is two phases:
+
+    1. ``repartitionByRange`` on the sort key: partition i holds keys
+       strictly below partition i+1 (Spark's RangePartitioner contract),
+       each sorted locally in parallel.
+    2. Per-partition row counts (one tiny aggregate, collected — bounded
+       by the partition count, not the data) become cumulative offsets;
+       ordinal = offset[pid] + local rank, where the local rank is a
+       window partitioned BY pid — embarrassingly parallel.
+
+    The frame is localCheckpointed after range partitioning so the count
+    pass and the rank pass see the SAME partition boundaries (the range
+    partitioner samples its input; recomputing it twice on a
+    nondeterministic upstream could disagree)."""
+    ranged = (
+        df.repartitionByRange(_ORDINAL_PARTS, *sort_cols)
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    off_expr = F.create_map(
+        *[F.lit(x) for pid, off in offsets.items() for x in (pid, off)]
+    )
+    local = Window.partitionBy("__pid").orderBy(*sort_cols)
+    return ranged.withColumn(
+        "ordinal",
+        (off_expr[F.col("__pid")] + F.row_number().over(local)).cast("bigint"),
+    ).drop("__pid")
+
+
+@register(
+    "q70b_global_ordinals",
+    oracle="""
+    SELECT o_orderkey,
+           ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) AS ordinal
+    FROM orders
+    """,
+    tags=("window", "ordinal", "two-phase", "scale"),
+)
+def q70b_global_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable global row numbering of orders by (o_orderdate, o_orderkey)
+    via the two-phase range-partitioned scheme (:func:`global_ordinals`) —
+    the building block for stable shard addressing, resumable exports,
+    and deterministic train-data ordering. The oracle is the single-
+    reducer ROW_NUMBER the two-phase plan must reproduce EXACTLY: any
+    boundary or offset bug shifts some ordinal and hash-mismatches."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    return global_ordinals(orders, ["o_orderdate", "o_orderkey"]).select(
+        "o_orderkey", "ordinal"
+    )

@@ -1845,3 +1845,134 @@ def q43f_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("lang", "doc_id", "x", "y")
         .orderBy("lang", "doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashed bigram-LM familiarity scoring (CCNet-style quality signal)
+# ---------------------------------------------------------------------------
+
+#: hashed LM vocabulary: bigram/unigram identities are hashed into a FIXED
+#: bucket space (CCNet's trick), so the model table is bounded by 2^18 rows
+#: at ANY corpus size — which is what makes the scoring join broadcastable
+#: at 100 TB. Collisions are deterministic and identical cross-engine.
+LM_BUCKETS = 1 << 18
+LM_SCALE = 1_000_000
+
+#: model/eval split: same md5-on-doc_id device as the contamination check
+#: ('0'..'b' = 12/16 of docs train the LM; the rest are scored). Stands in
+#: for CCNet's external reference corpus (they train on Wikipedia).
+_LM_TRAIN_SQL = "substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) <= 'b'"
+
+
+def _bigram_lm_oracle() -> str:
+    bigram_expr = "toks[i] || ' ' || toks[i+1]"
+    b1 = f"({sql_hash60('toks[i]')} % {LM_BUCKETS})"
+    b2 = f"({sql_hash60(bigram_expr)} % {LM_BUCKETS})"
+    return f"""
+    WITH tokd AS (
+        SELECT doc_id, lang, {_LM_TRAIN_SQL} AS is_train,
+               {sql_tokens(sql_normalized('text'))} AS toks
+        FROM documents
+    ), idx AS (
+        SELECT doc_id, lang, is_train, toks,
+               unnest(range(1, len(toks))) AS i
+        FROM tokd
+    ), big AS (
+        SELECT doc_id, lang, is_train, {b1} AS b1, {b2} AS b2 FROM idx
+    ), c2 AS (
+        SELECT b1, b2, COUNT(*) AS n2 FROM big WHERE is_train GROUP BY 1, 2
+    ), c1 AS (
+        SELECT b1, CAST(SUM(n2) AS BIGINT) AS n1 FROM c2 GROUP BY 1
+    ), model AS (
+        SELECT c2.b1, c2.b2, c2.n2, c1.n1 FROM c2 JOIN c1 ON c1.b1 = c2.b1
+    ), scored AS (
+        SELECT g.doc_id, g.lang,
+               COUNT(*) AS n_bigrams,
+               CAST(SUM(COALESCE(({LM_SCALE} * m.n2) // m.n1, 0)) AS BIGINT) AS sum_fp
+        FROM big g
+        LEFT JOIN model m ON g.b1 = m.b1 AND g.b2 = m.b2
+        WHERE NOT g.is_train
+        GROUP BY 1, 2
+    )
+    SELECT doc_id, lang, n_bigrams, sum_fp // n_bigrams AS score_fp
+    FROM scored
+    ORDER BY score_fp DESC, doc_id
+    LIMIT 50
+    """
+
+
+@register(
+    "q46b_bigram_lm_score",
+    oracle=_bigram_lm_oracle(),
+    tags=("text", "quality", "lm", "ccnet"),
+)
+def q46b_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM familiarity scoring: a hashed bigram language model
+    is trained on the md5-split TRAIN slice (standing in for CCNet's
+    Wikipedia reference corpus), then every EVAL document is scored by
+    its average next-token likelihood — top 50 most-familiar documents.
+
+    Determinism engineering: no logs and no floats anywhere. The per-
+    bigram likelihood is the exact fixed-point rational
+    ``(LM_SCALE * count(w1,w2)) DIV count(w1-as-left)`` with unseen
+    bigrams backing off to 0, summed and averaged in BIGINT — identical
+    in both engines (Spark ``DIV`` == DuckDB ``//`` on nonnegative
+    ints). Dropping the log keeps this an arithmetic rather than
+    geometric mean — a familiarity score, not perplexity proper; the
+    ranking signal (formulaic text up, noise down) is the same and the
+    ordering is reproducible bit-for-bit, which a libm `ln` is not.
+
+    Scale shape: tokenize+hash is pure map work; the model is TWO tiny
+    aggregates over the hashed bucket space — AT MOST ``LM_BUCKETS``
+    (2^18) rows no matter how big the corpus — so the scoring join
+    BROADCASTS the model and the per-doc aggregate is the only shuffle
+    that scales with data. Zipf-hot bigrams are a non-issue under a
+    broadcast join (no shuffle key to skew). Top-50 is
+    TakeOrderedAndProject with a doc_id tiebreak."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    is_train = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
+    tokd = docs.select(
+        "doc_id", "lang", is_train.alias("is_train"),
+        tokens(normalized("text")).alias("toks"),
+    )
+    k = F.size("toks")
+    idx = tokd.select(
+        "doc_id", "lang", "is_train", "toks",
+        F.explode(
+            F.when(k >= 2, F.sequence(F.lit(1), k - 1)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("i"),
+    )
+    w1 = F.element_at("toks", F.col("i"))
+    w2 = F.element_at("toks", F.col("i") + 1)
+    big = idx.select(
+        "doc_id", "lang", "is_train",
+        (hash60(w1) % LM_BUCKETS).alias("b1"),
+        (hash60(F.concat_ws(" ", w1, w2)) % LM_BUCKETS).alias("b2"),
+    )
+    c2 = big.filter("is_train").groupBy("b1", "b2").agg(
+        F.count(F.lit(1)).alias("n2")
+    )
+    c1 = c2.groupBy("b1").agg(F.sum("n2").cast("bigint").alias("n1"))
+    model = F.broadcast(c2.join(c1, "b1"))
+    scored = (
+        big.filter(~F.col("is_train"))
+        .join(model, ["b1", "b2"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.coalesce(F.expr(f"({LM_SCALE} * n2) DIV n1"), F.lit(0))
+            ).cast("bigint").alias("sum_fp"),
+        )
+    )
+    return (
+        scored.select(
+            "doc_id", "lang", "n_bigrams",
+            F.expr("sum_fp DIV n_bigrams").alias("score_fp"),
+        )
+        .orderBy(F.desc("score_fp"), "doc_id")
+        .limit(50)
+    )

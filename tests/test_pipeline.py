@@ -1776,3 +1776,39 @@ def test_incremental_dedup_census_invariants(spark, sf_dir):
     ).count()
     assert n_batch + n_corpus == n_docs
     assert 0 < n_batch < n_docs  # split actually produces both sides
+
+
+def test_bigram_lm_scores_familiar_above_gibberish(spark, tmp_path):
+    """q46b on an engineered corpus: an eval doc repeating the training
+    distribution must out-score a gibberish doc (which backs off to ~0) —
+    the CCNet-style ranking signal the fixed-point scheme must preserve."""
+    import hashlib
+
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        q46b_bigram_lm_score,
+    )
+
+    def side(doc_id):
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] <= "b"
+
+    train_ids = [i for i in range(200) if side(i)][:40]
+    eval_ids = [i for i in range(200) if not side(i)][:2]
+    familiar_id, gibberish_id = eval_ids
+    sentence = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, sentence, "en", "web", len(sentence)) for i in train_ids]
+    rows.append((familiar_id, sentence, "en", "web", len(sentence)))
+    gib = "zqx wvu jkl pqr mno abc def ghi stu vwx"
+    rows.append((gibberish_id, gib, "en", "web", len(gib)))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    scores = {
+        r.doc_id: r.score_fp
+        for r in q46b_bigram_lm_score(spark, str(tmp_path)).collect()
+    }
+    assert scores[familiar_id] > scores[gibberish_id]
+    assert scores[gibberish_id] == 0  # no gibberish bigram appears in train
+    # perfectly-reproduced training text scores the full fixed-point scale
+    # except where bigram hashing merges left-contexts; allow headroom
+    assert scores[familiar_id] > 500_000

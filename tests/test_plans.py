@@ -436,3 +436,28 @@ def test_q43b_chunking_zero_shuffle(spark):
     plan = executed_plan(q43b_doc_chunks(spark, SF))
     assert "Exchange" not in plan, "q43b reintroduced a shuffle"
     assert "BatchEvalPython" not in plan
+
+
+def test_global_ordinals_permutation_and_no_single_partition(spark):
+    """q70b's two-phase ordinal assignment must (a) reproduce the global
+    ROW_NUMBER exactly on a shuffled, skew-keyed frame and (b) keep the
+    single-reducer shape OUT of the plan: no empty-partition Window, so
+    no `Exchange SinglePartition` feeding a sort of the whole frame."""
+    import random
+
+    from parquet_modular_encryption_spark.operators.window import global_ordinals
+    from parquet_modular_encryption_spark.plans.explain import executed_plan
+
+    rng = random.Random(11)
+    rows = [(rng.randrange(10**9), i) for i in range(5000)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k bigint, uniq bigint")
+
+    out = global_ordinals(df, ["k", "uniq"])
+    got = {(r.k, r.uniq): r.ordinal for r in out.collect()}
+    expect = {
+        (k, u): i + 1 for i, (k, u) in enumerate(sorted((k, u) for k, u in rows))
+    }
+    assert got == expect
+
+    assert "SinglePartition" not in executed_plan(out)
