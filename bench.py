@@ -115,6 +115,11 @@ EXTENDED = [
     "q99b_retention_cohorts",
     "q95c_scd2_point_in_time",
     "q57d_cc_two_phase",
+    "q63d_incremental_dedup",
+    "q39b_python_datasource",
+    "q70b_global_ordinals",
+    "q46b_bigram_lm_score",
+    "q55c_allpairs_sparse",
 ]
 
 

@@ -92,3 +92,27 @@ def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
         f"list_transform(range(1, len({toks_expr}) - {n} + 2), i -> {parts}) "
         f"ELSE [array_to_string({toks_expr}, ' ')] END)"
     )
+
+
+def raw_shingles_from(toks: Column, n: int = 3) -> Column:
+    """Word n-grams WITH multiplicity (no ``array_distinct``) — the input
+    for term-frequency-weighted sparse vectors (all-pairs cosine), where
+    a repeated shingle must count twice. Same short-document convention as
+    :func:`shingles_from` (documents under n words yield one whole-text
+    gram)."""
+    k = F.size(toks)
+    grams = F.transform(
+        F.sequence(F.lit(1), k - n + 1),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(n)]),
+    )
+    return F.when(k >= n, grams).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def sql_raw_word_shingles(toks_expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`raw_shingles_from` (multiplicity-preserving)."""
+    parts = " || ' ' || ".join(f"{toks_expr}[i+{j}]" for j in range(n))
+    return (
+        f"CASE WHEN len({toks_expr}) >= {n} THEN "
+        f"list_transform(range(1, len({toks_expr}) - {n} + 2), i -> {parts}) "
+        f"ELSE [array_to_string({toks_expr}, ' ')] END"
+    )

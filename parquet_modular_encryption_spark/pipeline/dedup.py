@@ -26,9 +26,11 @@ from parquet_modular_encryption_spark.functions.text import (
 from parquet_modular_encryption_spark.functions.text import (
     hash60,
     normalized,
+    raw_shingles_from,
     shingles_from,
     sql_hash60,
     sql_normalized,
+    sql_raw_word_shingles,
     sql_tokens,
     sql_word_shingles,
     tokens,
@@ -1636,3 +1638,184 @@ def q63d_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("e").isNull() & F.col("n").isNull(), 1).otherwise(0)
         ).cast("bigint").alias("n_ingested"),
     )
+
+
+# ---------------------------------------------------------------------------
+# All-pairs sparse cosine similarity with prefix filtering
+# ---------------------------------------------------------------------------
+# Threshold t as an exact rational so the accept test is pure integer
+# arithmetic: cos >= num/den  <=>  den^2 * dot^2 >= num^2 * |a|^2 * |b|^2
+# (dot >= 0 since tf weights are non-negative).
+ALLPAIRS_T_NUM = 1
+ALLPAIRS_T_DEN = 2
+# Engine-side slack absorbing float error in the (double) prefix bound.
+# Only ever ENLARGES the candidate set — output exactness is unaffected.
+ALLPAIRS_PREFIX_EPS = 1e-9
+# ONE expression string evaluated by F.expr and inlined in the oracle:
+# identical parse tree => identical IEEE rounding on both engines (the
+# inputs are exact BIGINTs, sqrt/mul/div are correctly rounded).
+_ALLPAIRS_COSINE = "dot_ab / sqrt(CAST(norm2_a AS DOUBLE) * norm2_b)"
+
+
+def _allpairs_oracle() -> str:
+    grams = sql_raw_word_shingles("ts", SHINGLE_N)
+    n2, d2 = ALLPAIRS_T_NUM**2, ALLPAIRS_T_DEN**2
+    return f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens("text")} AS ts FROM documents
+    ), grams AS (
+        SELECT doc_id, unnest({grams}) AS g FROM tok
+    ), tf AS (
+        SELECT doc_id, g, COUNT(*) AS w FROM grams GROUP BY doc_id, g
+    ), nrm AS (
+        SELECT doc_id, SUM(w * w) AS n2 FROM tf GROUP BY doc_id
+    ), dots AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, SUM(a.w * b.w) AS dot
+        FROM tf a JOIN tf b ON a.g = b.g AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, dot_ab, norm2_a, norm2_b,
+           {_ALLPAIRS_COSINE} AS cosine_sim
+    FROM (
+        SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot_ab,
+               CAST(na.n2 AS BIGINT) AS norm2_a, CAST(nb.n2 AS BIGINT) AS norm2_b
+        FROM dots
+        JOIN nrm na ON na.doc_id = doc_a
+        JOIN nrm nb ON nb.doc_id = doc_b
+        WHERE {d2} * dot * dot >= {n2} * na.n2 * nb.n2
+    )
+    """
+
+
+def shingle_tf(docs: DataFrame) -> DataFrame:
+    """(doc_id, g, w): term-frequency sparse vectors over word
+    {SHINGLE_N}-gram shingles WITH multiplicity (contrast minhash_signature,
+    which wants the distinct shingle *set*)."""
+    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    return (
+        toks.select(
+            "doc_id", F.explode(raw_shingles_from(F.col("toks"), SHINGLE_N)).alias("g")
+        )
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
+    """Prefix-filtered candidate pairs (doc_a < doc_b): a SUPERSET of all
+    pairs with cosine >= t, generated without ever joining on a hot
+    feature (steps 1-3 of :func:`allpairs_cosine`'s docstring)."""
+    from pyspark.sql import Window
+
+    t = ALLPAIRS_T_NUM / ALLPAIRS_T_DEN
+    tfn = tf.join(nrm, "doc_id").withColumn(
+        "wn", F.col("w") / F.sqrt(F.col("n2").cast("double"))
+    )
+    stats = tfn.groupBy("g").agg(
+        F.count(F.lit(1)).alias("df"), F.max("wn").alias("maxw")
+    )
+    w_ord = (
+        Window.partitionBy("doc_id")
+        .orderBy(F.desc("df"), F.asc("g"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefix = (
+        tfn.join(F.broadcast(stats), "g")
+        .withColumn("cum", F.sum(F.col("wn") * F.col("maxw")).over(w_ord))
+        .filter(F.col("cum") >= t - ALLPAIRS_PREFIX_EPS)
+        .select(F.col("doc_id").alias("doc_a"), "g")
+    )
+    return (
+        prefix.join(tf.select(F.col("doc_id").alias("doc_b"), "g"), "g")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+
+
+def allpairs_cosine(docs: DataFrame) -> DataFrame:
+    """Exact all-pairs sparse cosine >= t via prefix filtering (Bayardo,
+    Ma & Srikant, WWW'07 "Scaling Up All Pairs Similarity Search").
+
+    The naive form joins full posting lists on the shingle key: a
+    boilerplate shingle shared by k documents contributes k^2 join hits —
+    quadratic on one reducer at web-corpus scale, the same failure class
+    q45b's DF cap kills. Prefix filtering is the LOSSLESS fix:
+
+    1. order features globally by (document frequency DESC, shingle) —
+       common features first;
+    2. per document, walk its features in that order accumulating the
+       bound sum(x_hat_j * maxw_j) where x_hat is the L2-normalized weight
+       and maxw_j the corpus-wide max normalized weight of feature j. The
+       initial run with cumulative bound < t - eps is the SUFFIX: a
+       document sharing only suffix features can never reach cosine t
+       (its dot is bounded by that sum). Only the remaining rare tail
+       (the PREFIX) enters the candidate index.
+    3. candidates = prefix(a) JOIN full-tf(b) on the shingle, a < b: any
+       qualifying pair must share a prefix feature of a, so the candidate
+       set is a SUPERSET of the answer — hot/boilerplate shingles sit in
+       suffixes and never become join keys, which is exactly the skew
+       kill;
+    4. exact verification in pure BIGINT arithmetic (dot, squared norms,
+       cross-multiplied threshold test) — associativity-safe, so the
+       whole operator is hash-checked against the brute-force oracle.
+
+    The float prefix bound only chooses HOW MUCH to index (any error is
+    absorbed by eps and merely enlarges the candidate set); every emitted
+    number is integer-derived. Fixed-point range: the integer accept test
+    needs norm2_a * norm2_b < 2^63, i.e. sum(w^2) < ~3e9 per doc — any
+    real document qualifies; a production guard would clamp or fall back
+    to DOUBLE compare for larger vectors.
+
+    Scale notes (100 TB): tf and the norm are one hash-agg each; the
+    feature-stats frame is vocabulary-sized (broadcast here; a shuffle
+    join at true corpus scale, same note as q53's df frame); the rank
+    walk is a per-document window (bounded partitions); candidate
+    generation joins a rare-feature index against postings; verification
+    touches candidate pairs only."""
+    tf = shingle_tf(docs)
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    cand = allpairs_candidates(tf, nrm)
+    ta = tf.select(F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa"))
+    tb = tf.select(F.col("doc_id").alias("doc_b"), "g", F.col("w").alias("wb"))
+    dots = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "g"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_ab"))
+    )
+    na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm2_a"))
+    nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm2_b"))
+    n2c, d2c = ALLPAIRS_T_NUM**2, ALLPAIRS_T_DEN**2
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(
+            F.lit(d2c) * F.col("dot_ab") * F.col("dot_ab")
+            >= F.lit(n2c) * F.col("norm2_a") * F.col("norm2_b")
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "dot_ab",
+            "norm2_a",
+            "norm2_b",
+            F.expr(_ALLPAIRS_COSINE).alias("cosine_sim"),
+        )
+    )
+
+
+@register(
+    "q55c_allpairs_sparse",
+    oracle=_allpairs_oracle(),
+    tags=("dedup", "similarity", "allpairs", "prefix-filter"),
+)
+def q55c_allpairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All document pairs with shingle-tf cosine >= 1/2, found by exact
+    prefix-filtered all-pairs search (see :func:`allpairs_cosine`) and
+    verified in integer arithmetic — the sparse-vector complement of the
+    dense-embedding near-dup family (q55/q55b) and the similarity-join
+    complement of the threshold-free ANN top-k family (q54*)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return allpairs_cosine(docs)

@@ -1812,3 +1812,82 @@ def test_bigram_lm_scores_familiar_above_gibberish(spark, tmp_path):
     # perfectly-reproduced training text scores the full fixed-point scale
     # except where bigram hashing merges left-contexts; allow headroom
     assert scores[familiar_id] > 500_000
+
+
+def test_allpairs_prefix_filter_boilerplate(spark):
+    """Prefix-filter skew kill (Bayardo WWW'07): a boilerplate tail shared
+    by 300 documents makes its shingles df=300 hot keys. A naive inverted-
+    index join would emit ~300^2/2 hits through those keys; the prefix
+    filter puts high-df features in the (unindexed) suffix, so candidate
+    count stays linear while the output remains EXACT — verified against
+    a driver-side brute-force cosine over the same integer tf vectors."""
+    import itertools
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        ALLPAIRS_T_DEN,
+        ALLPAIRS_T_NUM,
+        allpairs_candidates,
+        allpairs_cosine,
+        shingle_tf,
+    )
+
+    import hashlib
+
+    boiler = "released under the acme public license version two"
+    n_docs = 300
+    # large unique bodies (md5 words) + small shared boilerplate tail:
+    # boilerplate-pair cosine stays well under t, so the TRUE answer is
+    # linear and any quadratic candidate blowup is pure prefix failure
+    rows = [
+        (
+            i,
+            " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest() for j in range(30)
+            )
+            + " "
+            + boiler,
+        )
+        for i in range(n_docs)
+    ]
+    # one genuine near-dup pair (mostly shared text => cosine > t)
+    passage = " ".join(f"shared{k} word{k}" for k in range(40))
+    rows += [
+        (1000, f"alpha beta {passage}"),
+        (1001, f"gamma delta {passage}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    tf = shingle_tf(docs)
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    n_cand = allpairs_candidates(tf, nrm).count()
+    assert n_cand < 8 * n_docs, f"candidate blowup: {n_cand} (quadratic)"
+
+    got = {
+        (r.doc_a, r.doc_b): (r.dot_ab, r.norm2_a, r.norm2_b)
+        for r in allpairs_cosine(docs).collect()
+    }
+    assert (1000, 1001) in got, "genuine near-dup pair lost"
+
+    # exact agreement with driver-side brute force on integer tf vectors
+    vecs: dict[int, dict[str, int]] = {}
+    for doc_id, text in rows:
+        toks = text.split()
+        grams = (
+            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else [" ".join(toks)]
+        )
+        v: dict[str, int] = {}
+        for g in grams:
+            v[g] = v.get(g, 0) + 1
+        vecs[doc_id] = v
+    want = {}
+    for a, b in itertools.combinations(sorted(vecs), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(w * vb[g] for g, w in va.items() if g in vb)
+        na = sum(w * w for w in va.values())
+        nb = sum(w * w for w in vb.values())
+        if ALLPAIRS_T_DEN**2 * dot * dot >= ALLPAIRS_T_NUM**2 * na * nb and dot > 0:
+            want[(a, b)] = (dot, na, nb)
+    assert got == want
