@@ -120,6 +120,7 @@ EXTENDED = [
     "q70b_global_ordinals",
     "q46b_bigram_lm_score",
     "q55c_allpairs_sparse",
+    "q98b_phrase_search",
 ]
 
 

@@ -1976,3 +1976,104 @@ def q46b_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score_fp"), "doc_id")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# Phrase search over the positional index
+# ---------------------------------------------------------------------------
+# Fixed query workload: exact 3-word phrases, chosen to occur at every
+# shipped scale factor so the result is non-trivial wherever the driver
+# checks it.
+PHRASE_QUERIES: tuple[str, ...] = (
+    "row column sort",
+    "customer part join",
+    "part filter scan",
+)
+
+
+def _phrase_oracle() -> str:
+    values = ", ".join(
+        "('{0}', '{1}', '{2}', '{3}')".format(p, *p.split()) for p in PHRASE_QUERIES
+    )
+    return f"""
+    WITH tokenized AS (
+        SELECT doc_id, {sql_tokens("text")} AS toks FROM documents
+    ), postings AS (
+        SELECT doc_id, i - 1 AS pos, toks[i] AS term
+        FROM tokenized, unnest(range(1, len(toks) + 1)) AS t(i)
+    ), phrases AS (
+        SELECT * FROM (VALUES {values}) v(phrase, w1, w2, w3)
+    ), hits AS (
+        SELECT ph.phrase, p1.doc_id, p1.pos
+        FROM phrases ph
+        JOIN postings p1 ON p1.term = ph.w1
+        JOIN postings p2 ON p2.doc_id = p1.doc_id
+                        AND p2.pos = p1.pos + 1 AND p2.term = ph.w2
+        JOIN postings p3 ON p3.doc_id = p1.doc_id
+                        AND p3.pos = p1.pos + 2 AND p3.term = ph.w3
+    )
+    SELECT phrase, doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_matches,
+           CAST(MIN(pos) AS BIGINT) AS first_pos
+    FROM hits GROUP BY phrase, doc_id
+    """
+
+
+@register(
+    "q98b_phrase_search",
+    oracle=_phrase_oracle(),
+    tags=("text", "index", "phrase-search"),
+)
+def q98b_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search over the positional inverted index (the query
+    side of q98's index build): for each query phrase, postings of its
+    words are joined on (doc_id, adjacent positions) — the classic
+    positional-index intersection (Manning et al., IR book §2.4) — and
+    matches are aggregated per document.
+
+    Scale notes (100 TB): the posting scan is filtered to the query's
+    terms FIRST (posting-list fetch — the index serves exactly this), so
+    join input is proportional to the queried terms' document frequency,
+    not the corpus; the adjacency joins share one (doc_id) shuffle after
+    the term cut, and the tiny phrase table is a broadcast. Rare-term-
+    first intersection order (the IR-classic optimization) falls out of
+    joining the LEADING word's postings down the chain."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    words = sorted({w for p in PHRASE_QUERIES for w in p.split()})
+    postings = (
+        docs.select("doc_id", F.posexplode(tokens("text")).alias("pos", "term"))
+        .filter(F.col("term").isin(words))
+    )
+    phrases = spark.createDataFrame(
+        [(p, *p.split()) for p in PHRASE_QUERIES],
+        "phrase string, w1 string, w2 string, w3 string",
+    )
+    p1 = postings.join(
+        F.broadcast(phrases), F.col("term") == F.col("w1")
+    ).select("phrase", "doc_id", "pos", "w2", "w3")
+    p2 = postings.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("pos2"), F.col("term").alias("t2")
+    )
+    p3 = postings.select(
+        F.col("doc_id").alias("d3"), F.col("pos").alias("pos3"), F.col("term").alias("t3")
+    )
+    hits = (
+        p1.join(
+            p2,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("pos2") == F.col("pos") + 1)
+            & (F.col("t2") == F.col("w2")),
+        )
+        .join(
+            p3,
+            (F.col("d3") == F.col("doc_id"))
+            & (F.col("pos3") == F.col("pos") + 2)
+            & (F.col("t3") == F.col("w3")),
+        )
+        .select("phrase", "doc_id", "pos")
+    )
+    return hits.groupBy("phrase", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matches"),
+        F.min("pos").cast("bigint").alias("first_pos"),
+    )

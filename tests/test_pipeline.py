@@ -1891,3 +1891,35 @@ def test_allpairs_prefix_filter_boilerplate(spark):
         if ALLPAIRS_T_DEN**2 * dot * dot >= ALLPAIRS_T_NUM**2 * na * nb and dot > 0:
             want[(a, b)] = (dot, na, nb)
     assert got == want
+
+
+def test_phrase_search_positions(spark):
+    """Positional-index phrase intersection on engineered documents:
+    counts and first positions must match hand-computed values, including
+    back-to-back (overlap-free) repeats and a decoy doc containing all
+    three words non-adjacently."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        q98b_phrase_search,
+    )
+    from parquet_modular_encryption_spark.pipeline import textops
+
+    rows = [
+        # two matches at pos 2 and 7
+        (1, "xx yy row column sort zz qq row column sort"),
+        # all words present but never adjacent in order => no match
+        (2, "row xx column yy sort part zz filter qq scan"),
+        # match at pos 0
+        (3, "customer part join tail words here"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    import unittest.mock as mock
+
+    with mock.patch.object(textops, "load", lambda s, d, t: docs):
+        got = {
+            (r.phrase, r.doc_id): (r.n_matches, r.first_pos)
+            for r in q98b_phrase_search(spark, "unused").collect()
+        }
+    assert got == {
+        ("row column sort", 1): (2, 2),
+        ("customer part join", 3): (1, 0),
+    }
