@@ -121,6 +121,7 @@ EXTENDED = [
     "q46b_bigram_lm_score",
     "q55c_allpairs_sparse",
     "q98b_phrase_search",
+    "q91e_phash_neardup",
 ]
 
 

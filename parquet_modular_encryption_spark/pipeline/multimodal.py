@@ -155,17 +155,42 @@ def sniff_dimensions(b: bytes) -> tuple[str, int, int, int]:
     raise ValueError(f"unrecognized image container (magic {b[:8]!r})")
 
 
-def encode_png(width: int, height: int, seed: int = 0) -> bytes:
-    """Emit a REAL, spec-valid 8-bit grayscale PNG (deterministic LCG
-    pixels) using only stdlib zlib — the test/fixture generator for the
-    ``decode=real`` path. Any PNG viewer opens these."""
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG spec §9.4)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_from_pixels(
+    width: int, height: int, px: bytes, filter_type: int = 0
+) -> bytes:
+    """Package a grayscale pixel array as a REAL, spec-valid 8-bit PNG
+    (stdlib zlib only), filtering every scanline with ``filter_type``
+    (0=None 1=Sub 2=Up 3=Average 4=Paeth, PNG spec §9) — any viewer opens
+    these, and non-zero filters exercise the full unfilter path of
+    :func:`decode_png_pixels`."""
     import zlib
 
     raw = bytearray()
-    px = _lcg_bytes(seed * 1315423911 + width * 31 + height, width * height)
     for y in range(height):
-        raw.append(0)  # filter type None per scanline
-        raw.extend(px[y * width : (y + 1) * width])
+        raw.append(filter_type)
+        for x in range(width):
+            v = px[y * width + x]
+            a = px[y * width + x - 1] if x > 0 else 0
+            b = px[(y - 1) * width + x] if y > 0 else 0
+            c = px[(y - 1) * width + x - 1] if x > 0 and y > 0 else 0
+            if filter_type == 1:
+                v -= a
+            elif filter_type == 2:
+                v -= b
+            elif filter_type == 3:
+                v -= (a + b) // 2
+            elif filter_type == 4:
+                v -= _paeth(a, b, c)
+            raw.append(v & 0xFF)
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (
@@ -182,6 +207,72 @@ def encode_png(width: int, height: int, seed: int = 0) -> bytes:
         + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
         + chunk(b"IEND", b"")
     )
+
+
+def lcg_pixels(width: int, height: int, seed: int = 0) -> bytes:
+    """The deterministic pixel content of :func:`encode_png` fixtures."""
+    return _lcg_bytes(seed * 1315423911 + width * 31 + height, width * height)
+
+
+def encode_png(width: int, height: int, seed: int = 0) -> bytes:
+    """Emit a REAL, spec-valid 8-bit grayscale PNG (deterministic LCG
+    pixels) using only stdlib zlib — the test/fixture generator for the
+    ``decode=real`` path. Any PNG viewer opens these."""
+    return png_from_pixels(width, height, lcg_pixels(width, height, seed))
+
+
+def decode_png_pixels(b: bytes) -> tuple[int, int, bytes]:
+    """REAL grayscale PNG pixel decode with zero codec libraries: walk the
+    chunk stream, inflate the concatenated IDAT payload (stdlib zlib), and
+    reverse all five scanline filters (None/Sub/Up/Average/Paeth, PNG spec
+    §9 — unfiltering is sequential per scanline, each byte depending on
+    left/above/upper-left reconstructed neighbors). Returns
+    (width, height, pixels row-major). Supports the fixture profile:
+    8-bit, color type 0, no interlace."""
+    import zlib
+
+    if b[:8] != PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, width, height, idat = 8, 0, 0, bytearray()
+    while pos < len(b):
+        (length,) = struct.unpack(">I", b[pos : pos + 4])
+        tag = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + length]
+        if tag == b"IHDR":
+            width, height, bit_depth, color_type, _, _, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or color_type != 0 or interlace != 0:
+                raise ValueError("unsupported PNG profile")
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    raw = zlib.decompress(bytes(idat))
+    stride = width + 1
+    px = bytearray(width * height)
+    for y in range(height):
+        ftype = raw[y * stride]
+        line = raw[y * stride + 1 : (y + 1) * stride]
+        for x in range(width):
+            a = px[y * width + x - 1] if x > 0 else 0
+            up = px[(y - 1) * width + x] if y > 0 else 0
+            c = px[(y - 1) * width + x - 1] if x > 0 and y > 0 else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = up
+            elif ftype == 3:
+                pred = (a + up) // 2
+            elif ftype == 4:
+                pred = _paeth(a, up, c)
+            else:
+                raise ValueError(f"bad filter type {ftype}")
+            px[y * width + x] = (line[x] + pred) & 0xFF
+    return width, height, bytes(px)
 
 
 def decode_payload(payload: bytes, decode: str = "fake") -> dict:
@@ -817,3 +908,174 @@ def q91d_audio_pcm_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     path = _memoized_fixture(spark, "q91d", lambda: synthetic_wav(spark))
     return audio_features(spark.read.parquet(path)).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image dedup (q91e)
+# ---------------------------------------------------------------------------
+# Planted topology: every 37th document id is a BASE image; +DUP_OFFSET is
+# a byte-identical re-encode (exact perceptual dup), +TWIN_OFFSET the same
+# pixels with PHASH_N_FLIPS midpoint-flipped samples (near dup). With
+# fixed-midpoint thresholding each flip changes EXACTLY one hash bit, so
+# base↔twin Hamming distance is exactly PHASH_N_FLIPS — and because
+# PHASH_N_FLIPS < PHASH_BANDS, the pigeonhole principle guarantees at
+# least one untouched band: banded candidate generation provably recalls
+# every planted pair.
+PHASH_DUP_OFFSET = 20_000_000
+PHASH_TWIN_OFFSET = 40_000_000
+PHASH_N_FLIPS = 3
+PHASH_BANDS = 4
+PHASH_MAX_HAMMING = 6
+# flipped sample positions in the 8x8 grid (row-major indices)
+_PHASH_FLIP_CELLS = (0, 27, 63)
+
+
+def ahash64(width: int, height: int, px: bytes) -> int:
+    """64-bit average-hash variant over an 8x8 nearest-neighbor sample
+    grid, thresholded at the byte MIDPOINT (127) rather than the image
+    mean. The classic mean threshold couples every bit to every pixel
+    (one perturbed pixel shifts the mean and can flip unrelated
+    borderline bits); the fixed midpoint decouples them, giving the
+    provable flip bound the banding guarantee above relies on. Returns a
+    SIGNED 64-bit value (Spark/parquet BIGINT convention)."""
+    val = 0
+    for r in range(8):
+        y = (r * height) // 8
+        for c in range(8):
+            x = (c * width) // 8
+            bit = 1 if px[y * width + x] > 127 else 0
+            val = (val << 1) | bit
+    return val - (1 << 64) if val >= 1 << 63 else val
+
+
+def _phash_media_ids(base_id: int) -> tuple[int, int, int]:
+    return (
+        base_id,
+        base_id + PHASH_DUP_OFFSET,
+        base_id + PHASH_TWIN_OFFSET,
+    )
+
+
+def _phash_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Write the planted base/dup/twin PNG set as loose files (memoized
+    per session+sf, like the media fixtures): at 100 TB this directory is
+    the object store and the write disappears."""
+    import os
+
+    key = (spark.sparkContext.applicationId, f"q91e:{sf_dir}")
+    cached = _MEDIA_FIXTURE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    path = scratch_dir("pme_q91e_")
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 37 == 0)
+        .select("doc_id")
+        .collect()  # fixture write only; the hashing read is distributed
+    ]
+    for base in ids:
+        w, h = 16 + (base % 9) * 4, 16 + (base % 7) * 4
+        px = bytearray(lcg_pixels(w, h, seed=base))
+        twin = bytearray(px)
+        for cell in _PHASH_FLIP_CELLS:
+            y, x = ((cell // 8) * h) // 8, ((cell % 8) * w) // 8
+            twin[y * w + x] = (twin[y * w + x] + 128) % 256
+        base_id, dup_id, twin_id = _phash_media_ids(base)
+        for media_id, pixels in ((base_id, px), (dup_id, px), (twin_id, twin)):
+            with open(f"{path}/{media_id}.png", "wb") as fh:
+                fh.write(png_from_pixels(w, h, bytes(pixels)))
+    _MEDIA_FIXTURE_CACHE[key] = path
+    return path
+
+
+def phash_frame(media: DataFrame) -> DataFrame:
+    """(media_id, ahash): real PNG pixel decode + perceptual hash inside
+    one Arrow-batched mapInPandas pass."""
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                ahash64(*decode_png_pixels(bytes(p))) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ahash": pd.array(hashes, dtype="int64")}
+            )
+
+    return media.mapInPandas(per_batch, "media_id bigint, ahash bigint")
+
+
+def phash_neardup_pairs(hashes: DataFrame) -> DataFrame:
+    """Banded Hamming join over 64-bit perceptual hashes: explode into
+    PHASH_BANDS 16-bit bands, self-join on (band, key), verify candidates
+    with bit_count(XOR) <= PHASH_MAX_HAMMING — MinHash-LSH's exact shape,
+    transplanted to Hamming space (one uniform shuffle on the band key,
+    candidate-only verification, no quadratic term)."""
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.shiftrightunsigned(F.col("ahash"), 16 * b)
+            .bitwiseAND(F.lit(0xFFFF))
+            .alias("band_key"),
+        )
+        for b in range(PHASH_BANDS)
+    ]
+    bands = hashes.select(
+        "media_id", "ahash", F.explode(F.array(*band_structs)).alias("bk")
+    ).select("media_id", "ahash", "bk.band_id", "bk.band_key")
+    a = bands.select(
+        F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"),
+        "band_id", "band_key",
+    )
+    b = bands.select(
+        F.col("media_id").alias("media_b"), F.col("ahash").alias("hb"),
+        "band_id", "band_key",
+    )
+    cand = (
+        a.join(b, ["band_id", "band_key"])
+        .filter(F.col("media_a") < F.col("media_b"))
+        .select("media_a", "media_b", "ha", "hb")
+        .distinct()
+    )
+    ham = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb")))
+    return cand.filter(ham <= PHASH_MAX_HAMMING).select("media_a", "media_b")
+
+
+@register(
+    "q91e_phash_neardup",
+    oracle=f"""
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0)
+    SELECT doc_id AS media_a, doc_id + {PHASH_DUP_OFFSET} AS media_b FROM base
+    UNION ALL
+    SELECT doc_id, doc_id + {PHASH_TWIN_OFFSET} FROM base
+    UNION ALL
+    SELECT doc_id + {PHASH_DUP_OFFSET}, doc_id + {PHASH_TWIN_OFFSET} FROM base
+    """,
+    tags=("multimodal", "dedup", "phash", "pandas-udf"),
+)
+def q91e_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup end-to-end — the image analogue of
+    MinHash document dedup: REAL PNG pixel decode (chunk walk + inflate +
+    full None/Sub/Up/Average/Paeth unfilter, :func:`decode_png_pixels`),
+    64-bit aHash (:func:`ahash64`), 16-bit Hamming banding, and exact
+    bit_count verification.
+
+    The oracle is the PLANTED duplicate topology in closed form (q91b's
+    proof pattern): a hash match proves real bytes → real pixels → hash →
+    banding → verified pairs reproduces exactly the base/dup/twin triads
+    and nothing else — unrelated LCG images sit ~32 bits apart, 5 sigma
+    beyond PHASH_MAX_HAMMING, and the planted twins sit at exactly
+    {PHASH_N_FLIPS} bits by construction."""
+    prep(spark)
+    path = _phash_fixture_dir(spark, sf_dir)
+    blobs = spark.read.format("binaryFile").load(f"{path}/*.png")
+    media = blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    return phash_neardup_pairs(phash_frame(media))

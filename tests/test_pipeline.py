@@ -1923,3 +1923,51 @@ def test_phrase_search_positions(spark):
         ("row column sort", 1): (2, 2),
         ("customer part join", 3): (1, 0),
     }
+
+
+def test_png_unfilter_all_types_roundtrip():
+    """decode_png_pixels must reverse every PNG scanline filter: the same
+    pixel array encoded under None/Sub/Up/Average/Paeth decodes to
+    identical bytes (the non-zero filters produce different COMPRESSED
+    streams, so this genuinely exercises each unfilter branch)."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        decode_png_pixels,
+        lcg_pixels,
+        png_from_pixels,
+    )
+
+    w, h = 21, 13  # deliberately not multiples of 8
+    px = lcg_pixels(w, h, seed=99)
+    encodings = {ft: png_from_pixels(w, h, px, filter_type=ft) for ft in range(5)}
+    # sanity: filters actually change the byte stream
+    assert len({e for e in encodings.values()}) == 5
+    for ft, blob in encodings.items():
+        got_w, got_h, got_px = decode_png_pixels(blob)
+        assert (got_w, got_h) == (w, h), f"filter {ft}"
+        assert got_px == px, f"filter {ft} roundtrip mismatch"
+
+
+def test_ahash_flip_bound_exact():
+    """Midpoint-threshold aHash decoupling: flipping a sampled pixel by
+    +128 mod 256 changes EXACTLY that hash bit, so the planted twin sits
+    at exactly PHASH_N_FLIPS Hamming distance — the bound the banding
+    pigeonhole guarantee (PHASH_N_FLIPS < PHASH_BANDS) rests on."""
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        _PHASH_FLIP_CELLS,
+        PHASH_BANDS,
+        PHASH_N_FLIPS,
+        ahash64,
+        lcg_pixels,
+    )
+
+    assert PHASH_N_FLIPS < PHASH_BANDS  # pigeonhole precondition
+    for seed in range(20):
+        w, h = 16 + (seed % 9) * 4, 16 + (seed % 7) * 4
+        px = bytearray(lcg_pixels(w, h, seed=seed))
+        twin = bytearray(px)
+        for cell in _PHASH_FLIP_CELLS:
+            y, x = ((cell // 8) * h) // 8, ((cell % 8) * w) // 8
+            twin[y * w + x] = (twin[y * w + x] + 128) % 256
+        ha = ahash64(w, h, bytes(px))
+        hb = ahash64(w, h, bytes(twin))
+        assert bin((ha ^ hb) & (1 << 64) - 1).count("1") == PHASH_N_FLIPS
