@@ -122,6 +122,7 @@ EXTENDED = [
     "q55c_allpairs_sparse",
     "q98b_phrase_search",
     "q91e_phash_neardup",
+    "q43g_chunk_dedup",
 ]
 
 

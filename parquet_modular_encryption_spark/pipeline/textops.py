@@ -2077,3 +2077,100 @@ def q98b_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_matches"),
         F.min("pos").cast("bigint").alias("first_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-corpus chunk-level exact dedup (q43g)
+# ---------------------------------------------------------------------------
+DEDUP_CHUNK_TOKENS = 16  # disjoint windows: removal is unambiguous
+# (doc_id, chunk_index) packed into one BIGINT so "first occurrence" is a
+# plain integer MIN — associative and map-side combinable. Bits: 20 for
+# the chunk index (docs up to ~1M chunks), the rest for doc_id (safe to
+# 2^43 docs).
+_CHUNK_PACK = 1 << 20
+
+
+@register(
+    "q43g_chunk_dedup",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens("text")} AS toks FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1, {DEDUP_CHUNK_TOKENS}),
+                      s -> struct_pack(
+                          idx := CAST((s - 1) // {DEDUP_CHUNK_TOKENS} AS BIGINT),
+                          chunk := toks[s : s + {DEDUP_CHUNK_TOKENS} - 1]))) AS c
+        FROM tok
+    ), hashed AS (
+        SELECT doc_id,
+               CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(c.chunk, ' ')) AS h,
+               doc_id * {_CHUNK_PACK} + c.idx AS packed
+        FROM ch
+    ), firsts AS (
+        SELECT h, MIN(packed) AS first_packed FROM hashed GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN packed = first_packed THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN packed = first_packed THEN n_tokens ELSE 0 END) AS BIGINT)
+               AS tokens_kept,
+           CAST(SUM(CASE WHEN packed = first_packed THEN 0 ELSE n_tokens END) AS BIGINT)
+               AS tokens_dropped
+    FROM hashed JOIN firsts USING (h)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "chunking"),
+)
+def q43g_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus chunk-level exact dedup — the REMOVE action of
+    segment-granular deduplication (CCNet dedups shared paragraphs across
+    the crawl; Lee et al. ACL'22 remove duplicated spans, not documents):
+    documents are cut into disjoint {DEDUP_CHUNK_TOKENS}-token chunks,
+    each chunk keeps only its globally FIRST occurrence (lexicographic
+    (doc_id, chunk_index)), and the per-document report (kept/dropped
+    chunk and token counts) is what the pipeline uses to rewrite or
+    discard documents downstream. Complements q45 (whole-doc exact dedup),
+    q45c (duplicated-span detection) and q63c (document-level pass).
+
+    Scale design: "first occurrence" is deliberately NOT a window over
+    the chunk hash — a boilerplate chunk shared by 10^6 documents would
+    put 10^6 rows in one window partition. Packing (doc_id, chunk_index)
+    into one BIGINT turns it into MIN(packed) GROUP BY hash: associative,
+    map-side-combined before the shuffle, so a hot hash costs one partial
+    row per task, and the join back fans out linearly (occurrence count),
+    never quadratically."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    k = DEDUP_CHUNK_TOKENS
+    chunks = F.expr(
+        f"transform(sequence(1, size(toks), {k}), s -> slice(toks, s, {k}))"
+    )
+    hashed = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk"))
+        .select(
+            "doc_id",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("h"),
+            (F.col("doc_id") * _CHUNK_PACK + F.col("chunk_index")).alias("packed"),
+        )
+    )
+    firsts = hashed.groupBy("h").agg(F.min("packed").alias("first_packed"))
+    kept = F.col("packed") == F.col("first_packed")
+    return (
+        hashed.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+            F.sum(F.when(kept, 0).otherwise(F.col("n_tokens")))
+            .cast("bigint")
+            .alias("tokens_dropped"),
+        )
+    )

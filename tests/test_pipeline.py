@@ -1971,3 +1971,36 @@ def test_ahash_flip_bound_exact():
         ha = ahash64(w, h, bytes(px))
         hb = ahash64(w, h, bytes(twin))
         assert bin((ha ^ hb) & (1 << 64) - 1).count("1") == PHASH_N_FLIPS
+
+
+def test_chunk_dedup_first_occurrence(spark):
+    """Chunk-level dedup precedence: the lexicographically first
+    (doc_id, chunk_index) occurrence of a chunk survives; exact-copy
+    documents lose every chunk, partial copies lose only the copied
+    prefix chunks."""
+    from parquet_modular_encryption_spark.pipeline import textops
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        DEDUP_CHUNK_TOKENS,
+        q43g_chunk_dedup,
+    )
+    import unittest.mock as mock
+
+    k = DEDUP_CHUNK_TOKENS
+    body = " ".join(f"w{i}" for i in range(2 * k))  # exactly 2 full chunks
+    uniq = " ".join(f"u{i}" for i in range(k))
+    rows = [
+        (1, body),                                   # both chunks original
+        (2, body),                                   # exact copy: all dropped
+        (3, " ".join(f"w{i}" for i in range(k)) + " " + uniq),  # chunk0 copied
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with mock.patch.object(textops, "load", lambda s, d, t: docs):
+        got = {
+            r.doc_id: (r.n_chunks, r.n_kept, r.tokens_kept, r.tokens_dropped)
+            for r in q43g_chunk_dedup(spark, "unused").collect()
+        }
+    assert got == {
+        1: (2, 2, 2 * k, 0),
+        2: (2, 0, 0, 2 * k),
+        3: (2, 1, k, k),
+    }
