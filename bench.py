@@ -123,6 +123,8 @@ EXTENDED = [
     "q98b_phrase_search",
     "q91e_phash_neardup",
     "q43g_chunk_dedup",
+    "q86b_skew_profile",
+    "q88d_join_cardinality",
 ]
 
 

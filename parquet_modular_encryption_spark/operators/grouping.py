@@ -265,3 +265,162 @@ def q88_misc_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("months_mask"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shuffle-key skew profiler (q86b)
+# ---------------------------------------------------------------------------
+SKEW_TOP_K = 10
+SKEW_PPM = 1_000_000  # shares reported in exact parts-per-million
+
+
+def _skew_profile_sql(column: str, table: str) -> str:
+    return f"""
+        SELECT '{column}' AS key_column,
+               CAST({column} AS BIGINT) AS key_value,
+               cnt,
+               (cnt * {SKEW_PPM}) // total AS share_ppm,
+               (cnt * n_keys * {SKEW_PPM}) // total AS skew_x_ppm,
+               CAST(rn AS INT) AS rank
+        FROM (
+            SELECT {column}, cnt,
+                   SUM(cnt) OVER () AS total,
+                   COUNT(*) OVER () AS n_keys,
+                   row_number() OVER (ORDER BY cnt DESC, {column}) AS rn
+            FROM (SELECT {column}, COUNT(*) AS cnt FROM {table} GROUP BY {column})
+        ) WHERE rn <= {SKEW_TOP_K}
+    """
+
+
+@register(
+    "q86b_skew_profile",
+    oracle=" UNION ALL ".join(
+        _skew_profile_sql(c, t)
+        for c, t in (
+            ("l_suppkey", "lineitem"),
+            ("l_partkey", "lineitem"),
+            ("o_custkey", "orders"),
+        )
+    ),
+    tags=("agg", "skew", "diagnostics"),
+)
+def q86b_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew profiler — the diagnostic run BEFORE choosing a
+    mitigation (q86's salting, AQE skew-join, broadcast): for each
+    prospective join/aggregation key, the top-{SKEW_TOP_K} hottest values
+    with their corpus share and skew multiplier
+    (cnt x n_distinct_keys / total, = 1e6 ppm for a perfectly uniform
+    key). A skew_x of ~1e6 means hash partitioning balances; 50e6 means
+    the hottest key's reducer gets 50x the average and needs salting.
+
+    All-integer fixed-point output (counts, ppm via integer division), so
+    the profile is hash-checked. Scale: one hash-agg per profiled column
+    (map-side combined); total/n_keys is a SCALAR aggregate broadcast
+    back (never a global window over the key-count frame — with 10^9
+    distinct keys that would be a SinglePartition sort); top-{SKEW_TOP_K}
+    goes through orderBy().limit() = TakeOrderedAndProject (per-partition
+    heaps, no full sort), and the rank window runs on the {SKEW_TOP_K}
+    surviving rows only."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    parts = []
+    for column, table in (
+        ("l_suppkey", "lineitem"),
+        ("l_partkey", "lineitem"),
+        ("o_custkey", "orders"),
+    ):
+        counts = (
+            load(spark, sf_dir, table)
+            .groupBy(column)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        totals = counts.agg(
+            F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("n_keys")
+        )
+        top = counts.orderBy(F.desc("cnt"), F.asc(column)).limit(SKEW_TOP_K)
+        w = Window.orderBy(F.desc("cnt"), F.asc(column))
+        parts.append(
+            top.crossJoin(F.broadcast(totals))
+            .withColumn("rn", F.row_number().over(w))
+            .select(
+                F.lit(column).alias("key_column"),
+                F.col(column).cast("bigint").alias("key_value"),
+                "cnt",
+                F.expr(f"(cnt * {SKEW_PPM}) DIV total").alias("share_ppm"),
+                F.expr(f"(cnt * n_keys * {SKEW_PPM}) DIV total").alias("skew_x_ppm"),
+                F.col("rn").cast("int").alias("rank"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@register(
+    "q88d_join_cardinality",
+    oracle=f"""
+    WITH lc AS (SELECT l_orderkey AS k, COUNT(*) AS cnt_l FROM lineitem GROUP BY 1),
+    oc AS (SELECT o_orderkey AS k, COUNT(*) AS cnt_o FROM orders GROUP BY 1),
+    prod AS (
+        SELECT lc.k, lc.cnt_l, oc.cnt_o, lc.cnt_l * oc.cnt_o AS out_rows
+        FROM lc JOIN oc USING (k)
+    ), tot AS (
+        SELECT CAST(SUM(out_rows) AS BIGINT) AS join_rows,
+               CAST(COUNT(*) AS BIGINT) AS matched_keys,
+               CAST(MAX(out_rows) AS BIGINT) AS max_key_rows
+        FROM prod
+    )
+    SELECT t.join_rows, t.matched_keys, t.max_key_rows,
+           CAST(p.k AS BIGINT) AS hottest_key,
+           (t.max_key_rows * {SKEW_PPM}) // t.join_rows AS hottest_share_ppm
+    FROM tot t
+    JOIN prod p ON p.out_rows = t.max_key_rows
+    QUALIFY row_number() OVER (ORDER BY p.k) = 1
+    """,
+    tags=("agg", "join", "diagnostics"),
+)
+def q88d_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact join-cardinality probe — the pre-flight check before a big
+    join: |A join B on k| = sum over matched keys of cnt_A(k)*cnt_B(k),
+    computed from the two KEY-COUNT frames (each a map-side-combined
+    hash-agg, output |distinct keys| rows) instead of materializing the
+    join itself. Reports total output rows, matched key count, and the
+    hottest key's output share — the numbers that decide broadcast vs
+    shuffle vs salted (q86) vs skew-hint strategy. At 100 TB this costs
+    two aggregations over the join columns ONLY (column pruning keeps the
+    scan narrow) while the join it sizes could be orders of magnitude
+    larger."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    orders = load(spark, sf_dir, "orders")
+    lc = li.groupBy(F.col("l_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_l")
+    )
+    oc = orders.groupBy(F.col("o_orderkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("cnt_o")
+    )
+    prod = lc.join(oc, "k").select(
+        "k", (F.col("cnt_l") * F.col("cnt_o")).alias("out_rows")
+    )
+    tot = prod.agg(
+        F.sum("out_rows").alias("join_rows"),
+        F.count(F.lit(1)).alias("matched_keys"),
+        F.max("out_rows").alias("max_key_rows"),
+    )
+    hottest = (
+        prod.crossJoin(F.broadcast(tot))
+        .filter(F.col("out_rows") == F.col("max_key_rows"))
+        .orderBy("k")
+        .limit(1)
+    )
+    return hottest.select(
+        "join_rows",
+        "matched_keys",
+        "max_key_rows",
+        F.col("k").cast("bigint").alias("hottest_key"),
+        F.expr(f"(max_key_rows * {SKEW_PPM}) DIV join_rows").alias(
+            "hottest_share_ppm"
+        ),
+    )

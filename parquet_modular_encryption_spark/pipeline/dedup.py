@@ -1776,6 +1776,13 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
     tf = shingle_tf(docs)
     nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     cand = allpairs_candidates(tf, nrm)
+    # Per-pair verification re-joins candidates against the posting rows:
+    # the first join fans out |candidates| x |doc_a grams|, the second
+    # keeps only shared grams, and the pair-keyed agg folds the dot. A
+    # map-typed-vector variant (map_zip_with + aggregate over broadcast
+    # per-doc maps) was measured equal-or-slower at sf0.1 — the HOF fold
+    # per pair costs what the row explosion costs, without the benefit of
+    # whole-stage-codegen hash aggregation — so the row form stays.
     ta = tf.select(F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa"))
     tb = tf.select(F.col("doc_id").alias("doc_b"), "g", F.col("w").alias("wb"))
     dots = (

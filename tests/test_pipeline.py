@@ -2004,3 +2004,38 @@ def test_chunk_dedup_first_occurrence(spark):
         2: (2, 0, 0, 2 * k),
         3: (2, 1, k, k),
     }
+
+
+def test_skew_profile_uniform_vs_hot(spark):
+    """q86b's skew multiplier calibration: a perfectly uniform key
+    profiles at exactly 1e6 ppm (cnt * n_keys == total), while a key
+    holding half the rows profiles at n_keys/2 x 1e6."""
+    from parquet_modular_encryption_spark.operators import grouping
+    from parquet_modular_encryption_spark.operators.grouping import (
+        SKEW_PPM,
+        q86b_skew_profile,
+    )
+    import unittest.mock as mock
+
+    # uniform: 10 supplier keys x 5 rows; hot: part key 1 takes 50 of 100
+    # rows, the rest spread over keys 2..51
+    li_rows = []
+    for i in range(50):
+        li_rows.append((i % 10 + 1, 1 if i < 25 else (i - 23)))
+    for i in range(50):
+        li_rows.append(((i + 5) % 10 + 1, 1 if i < 25 else (i + 25)))
+    li = spark.createDataFrame(li_rows, "l_suppkey bigint, l_partkey bigint")
+    orders = spark.createDataFrame([(k,) for k in range(4)], "o_custkey bigint")
+
+    tables = {"lineitem": li, "orders": orders}
+    with mock.patch.object(grouping, "load", lambda s, d, t: tables[t]):
+        rows = q86b_skew_profile(spark, "unused").collect()
+
+    supp = [r for r in rows if r.key_column == "l_suppkey"]
+    assert all(r.skew_x_ppm == SKEW_PPM for r in supp), supp
+    part_top = next(
+        r for r in rows if r.key_column == "l_partkey" and r.rank == 1
+    )
+    assert part_top.key_value == 1 and part_top.cnt == 50
+    n_part_keys = li.select("l_partkey").distinct().count()
+    assert part_top.skew_x_ppm == (50 * n_part_keys * SKEW_PPM) // 100
