@@ -125,6 +125,9 @@ EXTENDED = [
     "q43g_chunk_dedup",
     "q86b_skew_profile",
     "q88d_join_cardinality",
+    "q50d_hard_negatives",
+    "q46c_oov_rate",
+    "q66b_weighted_median",
 ]
 
 

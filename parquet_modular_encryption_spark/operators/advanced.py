@@ -373,3 +373,74 @@ def q114_binary_file_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length(F.decode(F.col("content"), "UTF-8")).cast("bigint").alias("n_chars"),
         F.md5(F.col("content")).alias("text_md5"),
     )
+
+
+@register(
+    "q66b_weighted_median",
+    oracle="""
+    WITH scaled AS (
+        SELECT l_returnflag,
+               l_extendedprice::DOUBLE AS price,
+               CAST(l_quantity * 100 AS BIGINT) AS w
+        FROM lineitem
+    ), cum AS (
+        SELECT l_returnflag, price, w,
+               SUM(w) OVER (PARTITION BY l_returnflag ORDER BY price
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cw,
+               SUM(w) OVER (PARTITION BY l_returnflag) AS tw,
+               COUNT(*) OVER (PARTITION BY l_returnflag) AS n_rows
+        FROM scaled
+    )
+    SELECT l_returnflag,
+           MIN(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median,
+           CAST(MIN(tw) AS BIGINT) AS total_weight_x100,
+           CAST(MIN(n_rows) AS BIGINT) AS n_rows
+    FROM cum GROUP BY l_returnflag
+    """,
+    tags=("agg", "window", "median"),
+)
+def q66b_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted median (lower median: first value whose cumulative
+    weight reaches half the total) of extended price weighted by quantity,
+    per return flag — the exact twin of q87's Greenwald-Khanna sketch, and
+    the honest statement of what exactness costs at scale: a full
+    per-group sort (the window below), where the sketch needs one
+    mergeable-summary pass. Run THIS when groups fit a sort; q87 when
+    they don't.
+
+    Determinism: weights are decimal quantities scaled to integer
+    hundredths, so the half-total threshold test (2*cum >= total) is pure
+    BIGINT; equal prices form contiguous runs in the sort, so the emitted
+    crossing price is order-stable no matter how ties shuffle. The median
+    itself is one decimal→double cast (correctly rounded in both engines
+    below 2^53 unscaled)."""
+    prep(spark)
+    from pyspark.sql import Window
+
+    li = load(spark, sf_dir, "lineitem")
+    scaled = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        (F.col("l_quantity") * 100).cast("bigint").alias("w"),
+    )
+    cum_w = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    grp = Window.partitionBy("l_returnflag")
+    cum = scaled.select(
+        "l_returnflag",
+        "price",
+        F.sum("w").over(cum_w).alias("cw"),
+        F.sum("w").over(grp).alias("tw"),
+        F.count(F.lit(1)).over(grp).alias("n_rows"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))).alias(
+            "weighted_median"
+        ),
+        F.min("tw").cast("bigint").alias("total_weight_x100"),
+        F.min("n_rows").cast("bigint").alias("n_rows"),
+    )

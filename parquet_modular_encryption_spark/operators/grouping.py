@@ -279,8 +279,8 @@ def _skew_profile_sql(column: str, table: str) -> str:
         SELECT '{column}' AS key_column,
                CAST({column} AS BIGINT) AS key_value,
                cnt,
-               (cnt * {SKEW_PPM}) // total AS share_ppm,
-               (cnt * n_keys * {SKEW_PPM}) // total AS skew_x_ppm,
+               CAST((cnt * {SKEW_PPM}) // total AS BIGINT) AS share_ppm,
+               CAST((cnt * n_keys * {SKEW_PPM}) // total AS BIGINT) AS skew_x_ppm,
                CAST(rn AS INT) AS rank
         FROM (
             SELECT {column}, cnt,
@@ -374,7 +374,8 @@ def q86b_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.join_rows, t.matched_keys, t.max_key_rows,
            CAST(p.k AS BIGINT) AS hottest_key,
-           (t.max_key_rows * {SKEW_PPM}) // t.join_rows AS hottest_share_ppm
+           CAST((t.max_key_rows * {SKEW_PPM}) // t.join_rows AS BIGINT)
+               AS hottest_share_ppm
     FROM tot t
     JOIN prod p ON p.out_rows = t.max_key_rows
     QUALIFY row_number() OVER (ORDER BY p.k) = 1

@@ -1795,3 +1795,119 @@ def q54f_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 5)
         .select("query_id", "neighbor_id", "cosine_sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining for contrastive training (q50d)
+# ---------------------------------------------------------------------------
+HN_K = 3  # hard negatives kept per query
+
+
+@register(
+    "q50d_hard_negatives",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS qlabel, embedding::DOUBLE[] AS qe
+        FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), e AS (
+        SELECT vec_id, label, embedding::DOUBLE[] AS ee FROM embeddings
+    ), scored AS (
+        SELECT q.query_id, q.qlabel, e.vec_id AS neighbor_id, e.label,
+               list_dot_product(qe, ee)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ee, ee)))
+                   AS cosine_sim
+        FROM q JOIN e ON e.vec_id <> q.query_id
+    ), pos AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored WHERE label = qlabel
+    ), neg AS (
+        SELECT query_id, neighbor_id, cosine_sim,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored WHERE label <> qlabel
+    ), best_pos AS (
+        SELECT query_id, cosine_sim AS pos_sim FROM pos WHERE rn = 1
+    )
+    SELECT p.query_id, 'pos' AS role, CAST(p.rn AS INT) AS rank, p.neighbor_id,
+           p.cosine_sim, p.cosine_sim - b.pos_sim AS margin
+    FROM pos p JOIN best_pos b USING (query_id) WHERE p.rn = 1
+    UNION ALL
+    SELECT n.query_id, 'neg', CAST(n.rn AS INT), n.neighbor_id,
+           n.cosine_sim, n.cosine_sim - b.pos_sim
+    FROM neg n JOIN best_pos b USING (query_id) WHERE n.rn <= {HN_K}
+    """,
+    tags=("similarity", "contrastive", "mining"),
+)
+def q50d_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the contrastive-training data miner
+    (sentence-transformers / DPR recipe): for each query vector, the most
+    similar SAME-label vector is the anchor positive and the {HN_K} most
+    similar DIFFERENT-label vectors are the hard negatives, each reported
+    with its margin (cosine - positive cosine; a margin near 0 is the
+    hardest, most informative negative). Queries whose label has no other
+    member yield no rows (no anchor to contrast against) — the inner join
+    on the best-positive frame enforces that identically in both engines.
+
+    Scale: the same broadcast-queries x corpus scan as q50 (one pass
+    scores positives and negatives; the role split is a filter, not a
+    second scan), per-query top-k windows over bounded partitions. The
+    cosine is q50's sequential fold, so the scores — and the margins
+    derived by one shared subtraction — stay bit-identical cross-engine."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        as_double(F.col("embedding")).alias("qe"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "label",
+        as_double(F.col("embedding")).alias("ee"),
+    )
+    scored = (
+        F.broadcast(q)
+        .join(e, F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "qlabel",
+            "neighbor_id",
+            "label",
+            cosine(F.col("qe"), F.col("ee")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    pos = (
+        scored.filter(F.col("label") == F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    neg = (
+        scored.filter(F.col("label") != F.col("qlabel"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    best_pos = pos.filter(F.col("rn") == 1).select(
+        "query_id", F.col("cosine_sim").alias("pos_sim")
+    )
+    margin = (F.col("cosine_sim") - F.col("pos_sim")).alias("margin")
+    rank = F.col("rn").cast("int").alias("rank")
+    out_pos = (
+        pos.filter(F.col("rn") == 1)
+        .join(F.broadcast(best_pos), "query_id")
+        .select(
+            "query_id", F.lit("pos").alias("role"), rank,
+            "neighbor_id", "cosine_sim", margin,
+        )
+    )
+    out_neg = (
+        neg.filter(F.col("rn") <= HN_K)
+        .join(F.broadcast(best_pos), "query_id")
+        .select(
+            "query_id", F.lit("neg").alias("role"), rank,
+            "neighbor_id", "cosine_sim", margin,
+        )
+    )
+    return out_pos.unionByName(out_neg)

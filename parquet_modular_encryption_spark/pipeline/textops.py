@@ -2174,3 +2174,73 @@ def q43g_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("tokens_dropped"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV-rate report (q46c)
+# ---------------------------------------------------------------------------
+OOV_VOCAB_SIZE = 16  # top-K frequency-ranked vocabulary budget
+OOV_PPM = 1_000_000
+
+
+@register(
+    "q46c_oov_rate",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest({sql_tokens("text")}) AS token FROM documents
+    ), counts AS (
+        SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token
+    ), vocab AS (
+        SELECT token FROM counts
+        QUALIFY row_number() OVER (ORDER BY cnt DESC, token) <= {OOV_VOCAB_SIZE}
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov,
+           CAST((SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * {OOV_PPM})
+                // COUNT(*) AS BIGINT) AS oov_ppm
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "coverage"),
+)
+def q46c_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage report — the tokenizer-budget planning number:
+    fix the vocabulary to the top-{OOV_VOCAB_SIZE} corpus tokens by
+    frequency (ties broken lexicographically, so the vocab is
+    deterministic) and measure each language's out-of-vocabulary token
+    rate in exact ppm. This is the sweep you run per candidate vocab size
+    before training a tokenizer — a language with high OOV under the
+    shared budget is the one whose text will fragment.
+
+    Scale: token counts are one map-side-combined hash-agg; the vocab cut
+    is orderBy().limit() = TakeOrderedAndProject (no global sort); the
+    membership join broadcasts the {OOV_VOCAB_SIZE}-row vocab to the
+    token stream — no shuffle touches the corpus-sized side except the
+    final per-lang agg (a handful of groups)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    tok = docs.select("lang", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    vocab = (
+        counts.orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(OOV_VOCAB_SIZE)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "lang",
+            "n_tokens",
+            "n_oov",
+            F.expr(f"(n_oov * {OOV_PPM}) DIV n_tokens").alias("oov_ppm"),
+        )
+    )
