@@ -1773,7 +1773,11 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
     walk is a per-document window (bounded partitions); candidate
     generation joins a rare-feature index against postings; verification
     touches candidate pairs only."""
-    tf = shingle_tf(docs)
+    # tf feeds six plan branches (norms, feature stats, rank walk, both
+    # candidate sides, both verify sides); one eager localCheckpoint
+    # materializes the tokenize+explode+hash-agg once instead of six
+    # times (ContextCleaner reclaims the blocks on GC, q49b's pattern).
+    tf = shingle_tf(docs).localCheckpoint(eager=True)
     nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     cand = allpairs_candidates(tf, nrm)
     # Per-pair verification re-joins candidates against the posting rows:
