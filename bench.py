@@ -128,6 +128,8 @@ EXTENDED = [
     "q50d_hard_negatives",
     "q46c_oov_rate",
     "q66b_weighted_median",
+    "q47c_minhash_error_audit",
+    "q63e_chunk_dedup_rewrite",
 ]
 
 

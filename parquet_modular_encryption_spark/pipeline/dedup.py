@@ -1830,3 +1830,104 @@ def q55c_allpairs_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     return allpairs_cosine(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash sketch-accuracy audit (q47c)
+# ---------------------------------------------------------------------------
+N_PERMS = len(MINHASH_PERMS)
+AUDIT_PPM = 1_000_000
+
+
+def _minhash_audit_oracle() -> str:
+    agree = " + ".join(
+        f"(CASE WHEN sa.sig_{j} = sb.sig_{j} THEN 1 ELSE 0 END)"
+        for j in range(N_PERMS)
+    )
+    return f"""
+    WITH {_minhash_ctes()}
+    SELECT doc_a, doc_b, n_agree, inter_size, union_size,
+           CAST((abs(n_agree * union_size - {N_PERMS} * inter_size) * {AUDIT_PPM})
+                // ({N_PERMS} * union_size) AS BIGINT) AS est_err_ppm
+    FROM (
+        SELECT p.doc_a, p.doc_b,
+               CAST({agree} AS BIGINT) AS n_agree,
+               CAST(len(list_intersect(ha.shingles, hb.shingles)) AS BIGINT)
+                   AS inter_size,
+               CAST(len(list_distinct(ha.shingles || hb.shingles)) AS BIGINT)
+                   AS union_size
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        JOIN shingled ha ON ha.doc_id = p.doc_a
+        JOIN shingled hb ON hb.doc_id = p.doc_b
+    )
+    """
+
+
+@register(
+    "q47c_minhash_error_audit",
+    oracle=_minhash_audit_oracle(),
+    tags=("dedup", "minhash", "sketch", "evaluation"),
+)
+def q47c_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-quality audit for the MinHash estimator — the evaluation a
+    pipeline runs before trusting {N_PERMS} permutations in production:
+    for every LSH candidate pair, the signature-agreement estimate
+    (n_agree/{N_PERMS} is the unbiased Jaccard estimator) next to the
+    EXACT shingle-set Jaccard (intersection and union sizes as integers),
+    plus their absolute error in exact ppm — the per-pair number whose
+    distribution tells you whether to buy more permutations.
+
+    Everything is integer-derived (agreement count, set sizes, the
+    cross-multiplied error |n_agree*union - {N_PERMS}*inter| /
+    ({N_PERMS}*union) in fixed point), so the audit itself is
+    hash-checked — estimator, banding, and exact verification all mirror
+    the q47 pipeline (same CTE body). Scale: signatures and shingle sets
+    are per-doc aggregates; the audit joins touch candidate pairs only —
+    the audit costs what the dedup it validates costs, nothing more."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
+    )
+    sig = minhash_signature(docs, "doc_id", "text")
+    pairs = banded_pairs(band_keys(sig, "doc_id")).distinct()
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"sig_{j}").alias(f"a{j}") for j in range(N_PERMS)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"sig_{j}").alias(f"b{j}") for j in range(N_PERMS)],
+    )
+    ha = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    hb = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    n_agree = sum(
+        F.when(F.col(f"a{j}") == F.col(f"b{j}"), 1).otherwise(0)
+        for j in range(N_PERMS)
+    ).cast("bigint")
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_agree.alias("n_agree"),
+            F.size(F.array_intersect("sh_a", "sh_b")).cast("bigint").alias("inter_size"),
+            F.size(F.array_union("sh_a", "sh_b")).cast("bigint").alias("union_size"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            "inter_size",
+            "union_size",
+            F.expr(
+                f"(abs(n_agree * union_size - {N_PERMS} * inter_size) * {AUDIT_PPM})"
+                f" DIV ({N_PERMS} * union_size)"
+            ).alias("est_err_ppm"),
+        )
+    )

@@ -2244,3 +2244,93 @@ def q46c_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"(n_oov * {OOV_PPM}) DIV n_tokens").alias("oov_ppm"),
         )
     )
+
+
+@register(
+    "q63e_chunk_dedup_rewrite",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens("text")} AS toks FROM documents
+    ), ch AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(toks) + 1, {DEDUP_CHUNK_TOKENS}),
+                      s -> struct_pack(
+                          idx := CAST((s - 1) // {DEDUP_CHUNK_TOKENS} AS BIGINT),
+                          chunk := toks[s : s + {DEDUP_CHUNK_TOKENS} - 1]))) AS c
+        FROM tok
+    ), hashed AS (
+        SELECT doc_id, c.idx AS chunk_index,
+               array_to_string(c.chunk, ' ') AS ctext,
+               CAST(len(c.chunk) AS BIGINT) AS n_tokens,
+               md5(array_to_string(c.chunk, ' ')) AS h,
+               doc_id * {_CHUNK_PACK} + c.idx AS packed
+        FROM ch
+    ), firsts AS (
+        SELECT h, MIN(packed) AS first_packed FROM hashed GROUP BY h
+    )
+    SELECT doc_id,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens_before,
+           CAST(SUM(CASE WHEN packed = first_packed THEN n_tokens ELSE 0 END)
+                AS BIGINT) AS n_tokens_after,
+           md5(coalesce(string_agg(
+               CASE WHEN packed = first_packed THEN ctext END, ' '
+               ORDER BY chunk_index), '')) AS rewritten_md5
+    FROM hashed JOIN firsts USING (h)
+    GROUP BY doc_id
+    """,
+    tags=("text", "dedup", "chunking", "rewrite"),
+)
+def q63e_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REWRITE action for chunk-level dedup — q43g reports what would
+    drop; this operator actually produces the deduplicated corpus:
+    surviving chunks are reassembled in chunk order into the new document
+    text (fingerprinted with md5 so the rewritten content itself is
+    hash-checked, not just its size). A document whose every chunk is a
+    duplicate rewrites to the empty string — a downstream length filter
+    (q43) discards it, keeping the drop decision composable rather than
+    baked in here.
+
+    Order-correct reassembly without a window: per-doc collect_list of
+    (chunk_index, text) structs, array_sort (struct order = field order,
+    chunk_index first), then join — collect_list order is partition-
+    nondeterministic but the sort canonicalizes it, the q71/q98 rule."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    k = DEDUP_CHUNK_TOKENS
+    chunks = F.expr(
+        f"transform(sequence(1, size(toks), {k}), s -> slice(toks, s, {k}))"
+    )
+    hashed = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", F.posexplode(chunks).alias("chunk_index", "chunk"))
+        .select(
+            "doc_id",
+            "chunk_index",
+            F.concat_ws(" ", F.col("chunk")).alias("ctext"),
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.md5(F.concat_ws(" ", F.col("chunk"))).alias("h"),
+            (F.col("doc_id") * _CHUNK_PACK + F.col("chunk_index")).alias("packed"),
+        )
+    )
+    firsts = hashed.groupBy("h").agg(F.min("packed").alias("first_packed"))
+    kept = F.col("packed") == F.col("first_packed")
+    kept_struct = F.when(kept, F.struct("chunk_index", "ctext"))
+    return (
+        hashed.join(firsts, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_before"),
+            F.sum(F.when(kept, F.col("n_tokens")).otherwise(0))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(kept_struct)),
+                        lambda s: s.ctext,
+                    ),
+                    " ",
+                )
+            ).alias("rewritten_md5"),
+        )
+    )

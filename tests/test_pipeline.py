@@ -2039,3 +2039,39 @@ def test_skew_profile_uniform_vs_hot(spark):
     assert part_top.key_value == 1 and part_top.cnt == 50
     n_part_keys = li.select("l_partkey").distinct().count()
     assert part_top.skew_x_ppm == (50 * n_part_keys * SKEW_PPM) // 100
+
+
+def test_chunk_dedup_rewrite_content(spark):
+    """q63e reassembly correctness on engineered docs: kept chunks
+    concatenate in chunk order; a fully-duplicated document rewrites to
+    the empty string (md5 of '')."""
+    import hashlib
+    import unittest.mock as mock
+
+    from parquet_modular_encryption_spark.pipeline import textops
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        DEDUP_CHUNK_TOKENS,
+        q63e_chunk_dedup_rewrite,
+    )
+
+    k = DEDUP_CHUNK_TOKENS
+    c0 = " ".join(f"a{i}" for i in range(k))
+    c1 = " ".join(f"b{i}" for i in range(k))
+    uniq = " ".join(f"u{i}" for i in range(k))
+    rows = [
+        (1, f"{c0} {c1}"),          # both original
+        (2, f"{c0} {c1}"),          # exact copy -> rewrites to ""
+        (3, f"{c1} {uniq}"),        # chunk c1 dropped, uniq kept
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with mock.patch.object(textops, "load", lambda s, d, t: docs):
+        got = {
+            r.doc_id: (r.n_tokens_before, r.n_tokens_after, r.rewritten_md5)
+            for r in q63e_chunk_dedup_rewrite(spark, "unused").collect()
+        }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert got == {
+        1: (2 * k, 2 * k, md5(f"{c0} {c1}")),
+        2: (2 * k, 0, md5("")),
+        3: (2 * k, k, md5(uniq)),
+    }
