@@ -130,6 +130,7 @@ EXTENDED = [
     "q66b_weighted_median",
     "q47c_minhash_error_audit",
     "q63e_chunk_dedup_rewrite",
+    "q91f_phash_encrypted",
 ]
 
 

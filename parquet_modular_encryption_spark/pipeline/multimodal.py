@@ -1079,3 +1079,76 @@ def q91e_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("content").alias("payload"),
     )
     return phash_neardup_pairs(phash_frame(media))
+
+
+# ---------------------------------------------------------------------------
+# Perceptual dedup over an ENCRYPTED media lake (q91f)
+# ---------------------------------------------------------------------------
+def _media_encryption_policy():
+    from parquet_modular_encryption_spark.crypto.policy import (
+        EncryptionPolicy,
+        Privilege,
+    )
+
+    # payload bytes are the sensitive asset; media_id stays plaintext so
+    # catalog operations (counts, joins on id) need no key — the
+    # reference's `id`-column convention applied to a binary column.
+    return EncryptionPolicy(
+        column_levels={"payload": Privilege.RESTRICTED}, name="media"
+    )
+
+
+@register(
+    "q91f_phash_encrypted",
+    oracle=f"""
+    WITH base AS (SELECT doc_id FROM documents WHERE doc_id % 37 = 0)
+    SELECT doc_id AS media_a, doc_id + {PHASH_DUP_OFFSET} AS media_b FROM base
+    UNION ALL
+    SELECT doc_id, doc_id + {PHASH_TWIN_OFFSET} FROM base
+    UNION ALL
+    SELECT doc_id + {PHASH_DUP_OFFSET}, doc_id + {PHASH_TWIN_OFFSET} FROM base
+    """,
+    tags=("multimodal", "dedup", "phash", "encryption"),
+)
+def q91f_phash_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q91e's perceptual-hash dedup, but over an ENCRYPTED media lake —
+    the composition the reference's encryption model promises for binary
+    columns (PME is type-agnostic, encrypting encoded chunks after
+    compression, reference README.md:44): the PNG payload column is
+    written AES-GCM-encrypted under the RESTRICTED key with the media_id
+    plaintext (catalog ops need no key), then the dedup pipeline runs on
+    the decrypting scan with a RESTRICTED token. Sharing q91e's planted
+    oracle makes the claim checkable: encryption at rest changes NOTHING
+    about the analytics on top — same pixels, same hashes, same pairs.
+
+    The pipeline downstream of the scan is byte-identical to q91e
+    (decode → aHash → banding → verify); tests pin the negative side
+    (no/insufficient token cannot touch payload bytes, id column stays
+    readable keyless). Scale: encrypted write is one file per partition
+    executor-side; the decrypting scan is file-granular parallel — the
+    KMS cost is per-file-per-key wrap/unwrap, amortized over row groups."""
+    prep(spark)
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        read_encrypted,
+        write_encrypted,
+    )
+
+    png_dir = _phash_fixture_dir(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, f"q91f:{sf_dir}")
+    enc_path = _MEDIA_FIXTURE_CACHE.get(key)
+    import os
+
+    if enc_path is None or not os.path.isdir(enc_path):
+        blobs = spark.read.format("binaryFile").load(f"{png_dir}/*.png")
+        media = blobs.select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("bigint")
+            .alias("media_id"),
+            F.col("content").alias("payload"),
+        ).coalesce(4)
+        enc_path = scratch_dir("pme_q91f_")
+        write_encrypted(media, enc_path, _media_encryption_policy())
+        _MEDIA_FIXTURE_CACHE[key] = enc_path
+    media = read_encrypted(spark, enc_path, token="RESTRICTED")
+    return phash_neardup_pairs(phash_frame(media))

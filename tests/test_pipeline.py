@@ -2075,3 +2075,49 @@ def test_chunk_dedup_rewrite_content(spark):
         2: (2 * k, 0, md5("")),
         3: (2 * k, k, md5(uniq)),
     }
+
+
+def test_phash_encrypted_least_privilege(spark):
+    """q91f's encrypted media lake enforces the lattice: payload bytes
+    need a RESTRICTED token (PUBLIC is denied by the KMS), while the
+    plaintext media_id column reads fine with no token at all."""
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        _media_encryption_policy,
+        _phash_fixture_dir,
+        encode_png,
+    )
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        read_encrypted,
+        write_encrypted,
+    )
+    from pyspark.sql import functions as F
+
+    media = spark.createDataFrame(
+        [(i, bytearray(encode_png(16, 16, seed=i))) for i in range(8)],
+        "media_id bigint, payload binary",
+    ).coalesce(1)
+    path = scratch_dir("pme_q91f_test_")
+    write_encrypted(media, path, _media_encryption_policy())
+
+    # keyless catalog read of the plaintext id column
+    ids = read_encrypted(spark, path, token=None, columns=["media_id"])
+    assert sorted(r.media_id for r in ids.collect()) == list(range(8))
+
+    # PUBLIC token must not decrypt the RESTRICTED payload
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception) as ei:
+        read_encrypted(spark, path, token="PUBLIC", columns=["payload"]).collect()
+    assert "403" in str(ei.value) or "Forbidden" in str(ei.value) or "unwrap" in str(
+        ei.value
+    ).lower()
+
+    # RESTRICTED token round-trips the exact bytes
+    got = {
+        r.media_id: bytes(r.payload)
+        for r in read_encrypted(spark, path, token="RESTRICTED").collect()
+    }
+    assert got[3] == encode_png(16, 16, seed=3)
