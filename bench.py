@@ -131,6 +131,7 @@ EXTENDED = [
     "q47c_minhash_error_audit",
     "q63e_chunk_dedup_rewrite",
     "q91f_phash_encrypted",
+    "q54g_ann_recall_report",
 ]
 
 

@@ -1911,3 +1911,98 @@ def q50d_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out_pos.unionByName(out_neg)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation report (q54g)
+# ---------------------------------------------------------------------------
+ANN_EVAL_K = 5  # q54 emits top-5; recall measured against exact top-5
+
+
+@register(
+    "q54g_ann_recall_report",
+    oracle=f"""
+    WITH {_sql_bands_cte()},
+    ex_scored AS (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               list_dot_product(q.embedding::DOUBLE[], e.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM embeddings q JOIN embeddings e ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < {N_QUERIES}
+    ), exact_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM ex_scored
+        ) WHERE rn <= {ANN_EVAL_K}
+    ), cand AS (
+        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
+    ), ann_scored AS (
+        SELECT p.query_id, p.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM cand p
+        JOIN embeddings eq ON eq.vec_id = p.query_id
+        JOIN embeddings en ON en.vec_id = p.neighbor_id
+    ), ann_topk AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine_sim DESC, neighbor_id) AS rn
+            FROM ann_scored
+        ) WHERE rn <= {ANN_EVAL_K}
+    )
+    SELECT x.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hits,
+           CAST((COUNT(a.neighbor_id) * 1000000) // COUNT(*) AS BIGINT)
+               AS recall_ppm
+    FROM exact_topk x
+    LEFT JOIN ann_topk a USING (query_id, neighbor_id)
+    GROUP BY x.query_id
+    """,
+    tags=("similarity", "ann", "evaluation"),
+)
+def q54g_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{ANN_EVAL_K} of the banded-LSH ANN against the exact kNN —
+    the acceptance report an ANN index ships with. The engine side
+    literally composes the two registered operators (q50's exact top-k
+    and q54's LSH search) and joins their result sets, so the number
+    measures the production pipelines, not a reimplementation; the oracle
+    recomputes both sides in SQL. Being integer counts over two
+    deterministic top-k sets, the report is fully hash-checked — unusual
+    for ANN evaluation, which is normally statistical.
+
+    The same pattern extends to q54b/c/d/f by swapping the candidate
+    stage; the pytest recall-monotonicity tests cover those — this
+    registered query pins the headline LSH number. Scale: costs one run
+    of each pipeline plus a {ANN_EVAL_K}*{N_QUERIES}-row join."""
+    prep(spark)
+    exact = (
+        q50_knn_bruteforce(spark, sf_dir)
+        .filter(F.col("rank") <= ANN_EVAL_K)
+        .select("query_id", "neighbor_id")
+    )
+    ann = q54_ann_lsh_search(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("ann_hit")
+    )
+    return (
+        exact.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("ann_hit").alias("n_hits"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hits",
+            F.expr("(n_hits * 1000000) DIV n_exact").alias("recall_ppm"),
+        )
+    )
