@@ -132,6 +132,7 @@ EXTENDED = [
     "q63e_chunk_dedup_rewrite",
     "q91f_phash_encrypted",
     "q54g_ann_recall_report",
+    "q39c_python_datasource_sink",
 ]
 
 

@@ -182,3 +182,136 @@ def q39b_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sum_chars"),
         F.sum(hash60(F.col("text")) % _CK_MOD).cast("bigint").alias("text_checksum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Writer side: Arrow-batched JSONL sink with a two-phase commit protocol
+# ---------------------------------------------------------------------------
+import dataclasses  # noqa: E402
+
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceArrowWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclasses.dataclass
+class JsonlCommit(WriterCommitMessage):
+    tmp_path: str
+    n_rows: int
+
+
+class JsonlShardWriter(DataSourceArrowWriter):
+    """Executor-side JSONL shard writer with driver-side two-phase commit:
+    each task writes ``part-*.json.tmp`` (invisible to the reader, which
+    globs ``*.json``) and returns a commit message; only after EVERY task
+    succeeds does the driver rename the temporaries into place and stamp
+    ``_SUCCESS`` — a failed/speculated task leaves at most an orphaned
+    ``.tmp``, which ``abort()`` removes. This is the same
+    task-attempt/job-commit split Spark's FileOutputCommitter does for
+    file sinks, expressed through the Python Data Source API."""
+
+    def __init__(self, path: str, overwrite: bool) -> None:
+        self.path = path
+        self.overwrite = overwrite
+
+    def write(self, iterator):
+        import json
+        import os
+        import uuid
+
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        pid = tc.partitionId() if tc else 0
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(
+            self.path, f"part-{pid:05d}-{uuid.uuid4().hex[:8]}.json.tmp"
+        )
+        n = 0
+        with open(tmp, "w", encoding="utf-8") as fh:
+            for batch in iterator:
+                for rec in batch.to_pylist():
+                    fh.write(json.dumps(rec, separators=(",", ":")) + "\n")
+                    n += 1
+        return JsonlCommit(tmp_path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".json"):
+                    os.remove(os.path.join(self.path, f))
+        total = 0
+        for m in messages:
+            os.rename(m.tmp_path, m.tmp_path[: -len(".tmp")])
+            total += m.n_rows
+        with open(os.path.join(self.path, "_SUCCESS"), "w", encoding="utf-8") as fh:
+            fh.write(json.dumps({"rows": total, "files": len(messages)}))
+
+    def abort(self, messages):
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_path):
+                os.remove(m.tmp_path)
+
+
+def _jsonl_writer(self, schema, overwrite: bool) -> JsonlShardWriter:
+    return JsonlShardWriter(self.options["path"], overwrite)
+
+
+# attach to the existing source class: one format, both directions
+JsonlDataSource.writer = _jsonl_writer
+
+
+@register(
+    "q39c_python_datasource_sink",
+    oracle=f"""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(doc_id) AS BIGINT) AS sum_doc_id,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(SUM({sql_hash60('text')} % {_CK_MOD}) AS BIGINT) AS text_checksum
+    FROM documents
+    GROUP BY lang, source
+    """,
+    tags=("sources", "python-datasource", "sink", "spark4"),
+)
+def q39c_python_datasource_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write→read round trip through the custom Python Data Source:
+    documents go OUT through the Arrow-batched JSONL sink (executor-
+    parallel shard writes, two-phase commit — see JsonlShardWriter) and
+    come back IN through the q39b reader, then the same fidelity census
+    runs. Sharing q39b's oracle pins that the custom SINK loses or
+    mangles nothing either — the write path is value-checked end-to-end,
+    and the .tmp/rename protocol means a reader never observes a partial
+    job."""
+    prep(spark)
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+
+    spark.dataSource.register(JsonlDataSource)
+    key = (spark.sparkContext.applicationId, f"q39c:{sf_dir}")
+    path = _JSONL_FIXTURE_CACHE.get(key)
+    import os
+
+    if path is None or not os.path.isdir(path):
+        path = scratch_dir("pme_q39c_jsonl_")
+        (
+            load(spark, sf_dir, "documents")
+            .repartition(_N_SHARDS)
+            .write.format("pme_jsonl")
+            .mode("append")
+            .option("path", path)
+            .save()
+        )
+        _JSONL_FIXTURE_CACHE[key] = path
+    docs = spark.read.format("pme_jsonl").option("path", path).load()
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("doc_id").cast("bigint").alias("sum_doc_id"),
+        F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        F.sum(hash60(F.col("text")) % _CK_MOD).cast("bigint").alias("text_checksum"),
+    )

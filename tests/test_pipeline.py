@@ -2121,3 +2121,52 @@ def test_phash_encrypted_least_privilege(spark):
         for r in read_encrypted(spark, path, token="RESTRICTED").collect()
     }
     assert got[3] == encode_png(16, 16, seed=3)
+
+
+def test_jsonl_sink_commit_protocol(spark, tmp_path):
+    """The custom sink's two-phase commit: a committed job leaves only
+    visible *.json shards plus a _SUCCESS manifest with exact row/file
+    counts; mode('overwrite') replaces prior data; abort() removes
+    temporaries so failed jobs leave nothing visible."""
+    import json
+    import os
+
+    from parquet_modular_encryption_spark.sources.python_datasource import (
+        JsonlCommit,
+        JsonlDataSource,
+        JsonlShardWriter,
+    )
+
+    spark.dataSource.register(JsonlDataSource)
+    out = str(tmp_path / "sink")
+    df = spark.createDataFrame(
+        [(i, f"t{i}", "en", "web", 2) for i in range(20)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).repartition(3)
+    df.write.format("pme_jsonl").mode("append").option("path", out).save()
+
+    files = sorted(os.listdir(out))
+    shards = [f for f in files if f.endswith(".json")]
+    assert not [f for f in files if f.endswith(".tmp")]
+    assert "_SUCCESS" in files
+    manifest = json.loads(open(os.path.join(out, "_SUCCESS")).read())
+    assert manifest == {"rows": 20, "files": len(shards)}
+
+    # read-back sees exactly the committed rows
+    back = spark.read.format("pme_jsonl").option("path", out).load()
+    assert back.count() == 20
+
+    # overwrite replaces: half the rows, manifest updated
+    df.limit(10).repartition(2).write.format("pme_jsonl").mode(
+        "overwrite"
+    ).option("path", out).save()
+    back2 = spark.read.format("pme_jsonl").option("path", out).load()
+    assert back2.count() == 10
+
+    # abort cleans temporaries
+    tmp_file = os.path.join(out, "part-99999-dead.json.tmp")
+    open(tmp_file, "w").write("{}\n")
+    JsonlShardWriter(out, overwrite=False).abort(
+        [JsonlCommit(tmp_path=tmp_file, n_rows=1)]
+    )
+    assert not os.path.exists(tmp_file)
