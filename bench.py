@@ -133,6 +133,7 @@ EXTENDED = [
     "q91f_phash_encrypted",
     "q54g_ann_recall_report",
     "q39c_python_datasource_sink",
+    "q101b_drift_report",
 ]
 
 

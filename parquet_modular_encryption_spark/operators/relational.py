@@ -1299,3 +1299,77 @@ def q101_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("null_ship_date", null_ship))
         .unionByName(one("duplicate_order_lines", dup_lines))
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift report (q101b)
+# ---------------------------------------------------------------------------
+DRIFT_SPLIT_DATE = "1998-06-01"  # epoch A = orders before, epoch B = after
+DRIFT_PPM = 1_000_000
+
+
+@register(
+    "q101b_drift_report",
+    oracle=f"""
+    WITH tagged AS (
+        SELECT o_orderpriority AS bucket,
+               CASE WHEN o_orderdate < DATE '{DRIFT_SPLIT_DATE}' THEN 1 ELSE 0 END
+                   AS in_a
+        FROM orders
+    ), per_bucket AS (
+        SELECT bucket,
+               CAST(SUM(in_a) AS BIGINT) AS cnt_a,
+               CAST(SUM(1 - in_a) AS BIGINT) AS cnt_b
+        FROM tagged GROUP BY bucket
+    ), tot AS (
+        SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM per_bucket
+    )
+    SELECT bucket, cnt_a, cnt_b,
+           CAST((cnt_a * {DRIFT_PPM}) // n_a AS BIGINT) AS share_a_ppm,
+           CAST((cnt_b * {DRIFT_PPM}) // n_b AS BIGINT) AS share_b_ppm,
+           CAST((abs(cnt_a * n_b - cnt_b * n_a) * {DRIFT_PPM}) // (n_a * n_b)
+                AS BIGINT) AS shift_ppm
+    FROM per_bucket CROSS JOIN tot
+    """,
+    tags=("audit", "drift", "diagnostics"),
+)
+def q101b_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two data epochs — the check a
+    training-data pipeline runs when a new crawl/dump lands: order
+    priority shares in the epoch before vs after {DRIFT_SPLIT_DATE},
+    with the per-bucket share shift |p_a - p_b| in exact ppm via
+    cross-multiplied integers (|cnt_a*n_b - cnt_b*n_a| / (n_a*n_b) — no
+    float ratios, so the report is hash-checked; summing shift_ppm/2
+    gives total-variation distance). The classic PSI adds a log-ratio
+    weight — rank-equivalent for flagging, but ln() is not portably
+    rounded cross-engine, so the TV form is the exact one.
+
+    Scale: one conditional-count pass over the fact table (map-side
+    combined, epoch tag is a projection, never a join), buckets-sized
+    result, scalar totals broadcast."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    in_a = (F.col("o_orderdate") < F.lit(DRIFT_SPLIT_DATE).cast("timestamp")).cast(
+        "long"
+    )
+    per_bucket = (
+        orders.select(F.col("o_orderpriority").alias("bucket"), in_a.alias("in_a"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("in_a").alias("cnt_a"),
+            F.sum(F.lit(1) - F.col("in_a")).alias("cnt_b"),
+        )
+    )
+    tot = per_bucket.agg(
+        F.sum("cnt_a").alias("n_a"), F.sum("cnt_b").alias("n_b")
+    )
+    return per_bucket.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "cnt_a",
+        "cnt_b",
+        F.expr(f"(cnt_a * {DRIFT_PPM}) DIV n_a").alias("share_a_ppm"),
+        F.expr(f"(cnt_b * {DRIFT_PPM}) DIV n_b").alias("share_b_ppm"),
+        F.expr(
+            f"(abs(cnt_a * n_b - cnt_b * n_a) * {DRIFT_PPM}) DIV (n_a * n_b)"
+        ).alias("shift_ppm"),
+    )
