@@ -1774,10 +1774,15 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
     generation joins a rare-feature index against postings; verification
     touches candidate pairs only."""
     # tf feeds six plan branches (norms, feature stats, rank walk, both
-    # candidate sides, both verify sides); one eager localCheckpoint
-    # materializes the tokenize+explode+hash-agg once instead of six
-    # times (ContextCleaner reclaims the blocks on GC, q49b's pattern).
-    tf = shingle_tf(docs).localCheckpoint(eager=True)
+    # candidate sides, both verify sides). Deliberately NOT checkpointed:
+    # an eager localCheckpoint variant measured 6.1 -> 10.5 s at sf0.1
+    # (min-of-3, clean bench) — the serial materialization costs more
+    # than the recompute, because AQE reuses the identical shuffle query
+    # stages across branches at runtime and the upstream scan is cheap.
+    # On a cluster where the scan is NOT cheap (100 TB of cold object
+    # storage), persist tf to MEMORY_AND_DISK instead — the branch count
+    # is the same; only the recompute price changes.
+    tf = shingle_tf(docs)
     nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     cand = allpairs_candidates(tf, nrm)
     # Per-pair verification re-joins candidates against the posting rows:

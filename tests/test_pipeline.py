@@ -2170,3 +2170,78 @@ def test_jsonl_sink_commit_protocol(spark, tmp_path):
         [JsonlCommit(tmp_path=tmp_file, n_rows=1)]
     )
     assert not os.path.exists(tmp_file)
+
+
+def test_weighted_median_reference(spark):
+    """q66b against a hand-computed weighted median, including the
+    half-total boundary case (cumulative weight exactly half lands ON the
+    crossing value — lower-median convention)."""
+    import unittest.mock as mock
+
+    from decimal import Decimal
+
+    from parquet_modular_encryption_spark.operators import advanced
+    from parquet_modular_encryption_spark.operators.advanced import (
+        q66b_weighted_median,
+    )
+
+    # group X: values 1,2,3 weights 1,1,2 -> total 4, half 2, cum at
+    # price 2 is exactly 2 -> median 2 (lower convention)
+    # group Y: single heavy value dominates
+    rows = [
+        ("X", Decimal("1.00"), Decimal("1")),
+        ("X", Decimal("2.00"), Decimal("1")),
+        ("X", Decimal("3.00"), Decimal("2")),
+        ("Y", Decimal("10.00"), Decimal("1")),
+        ("Y", Decimal("20.00"), Decimal("5")),
+    ]
+    li = spark.createDataFrame(
+        rows,
+        "l_returnflag string, l_extendedprice decimal(12,2), l_quantity decimal(12,2)",
+    )
+    with mock.patch.object(advanced, "load", lambda s, d, t: li):
+        got = {
+            r.l_returnflag: (r.weighted_median, r.total_weight_x100, r.n_rows)
+            for r in q66b_weighted_median(spark, "unused").collect()
+        }
+    assert got == {"X": (2.0, 400, 3), "Y": (20.0, 600, 2)}
+
+
+def test_hard_negative_margins(spark):
+    """q50d structure on engineered embeddings: the anchor positive is
+    the most similar same-label vector (margin exactly 0), negatives are
+    different-label with non-positive margins in rank order, and a query
+    whose label is unique yields no rows."""
+    import unittest.mock as mock
+
+    from parquet_modular_encryption_spark.pipeline import similarity
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        HN_K,
+        q50d_hard_negatives,
+    )
+
+    # queries are vec_id < N_QUERIES (8); keep ids 0..7 as queries and
+    # give label 99 only to query 7 (no positive possible)
+    rows = []
+    import math
+
+    for i in range(16):
+        angle = i * 0.3
+        label = 99 if i == 7 else i % 3
+        rows.append((i, [math.cos(angle), math.sin(angle)], label))
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>, label int")
+    with mock.patch.object(similarity, "load", lambda s, d, t: emb):
+        out = q50d_hard_negatives(spark, "unused").collect()
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert 7 not in by_q, "label-unique query must yield no rows"
+    for qid, rs in by_q.items():
+        pos = [r for r in rs if r.role == "pos"]
+        neg = sorted((r for r in rs if r.role == "neg"), key=lambda r: r.rank)
+        assert len(pos) == 1 and pos[0].rank == 1 and pos[0].margin == 0.0
+        assert 1 <= len(neg) <= HN_K
+        # negatives in descending-similarity rank order
+        sims = [r.cosine_sim for r in neg]
+        assert sims == sorted(sims, reverse=True)
