@@ -134,6 +134,7 @@ EXTENDED = [
     "q54g_ann_recall_report",
     "q39c_python_datasource_sink",
     "q101b_drift_report",
+    "q49c_jaccard_ppjoin",
 ]
 
 

@@ -1936,3 +1936,115 @@ def q47c_minhash_error_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_err_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact global Jaccard join via PPJoin-style prefix filtering (q49c)
+# ---------------------------------------------------------------------------
+# Threshold as an exact rational (7/20 = 0.35) so every pruning bound is
+# integer arithmetic.
+PPJOIN_T_NUM = 7
+PPJOIN_T_DEN = 20
+
+
+@register(
+    "q49c_jaccard_ppjoin",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens("text")} AS toks FROM documents
+    ), sh AS (
+        SELECT doc_id, {sql_word_shingles("toks", SHINGLE_N)} AS shingles FROM tok
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE {PPJOIN_T_DEN} * len(list_intersect(a.shingles, b.shingles))
+          >= {PPJOIN_T_NUM} * len(list_distinct(a.shingles || b.shingles))
+    """,
+    tags=("dedup", "jaccard", "ppjoin", "prefix-filter"),
+)
+def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT corpus-global Jaccard similarity join (no blocks, no
+    probability of a miss) via PPJoin-style prefix filtering (Xiao, Wang,
+    Lin & Yu, WWW'08; the set-overlap sibling of q55c's Bayardo cosine
+    filter) over the same word {SHINGLE_N}-gram shingle sets q47's
+    MinHash uses — so the three similarity-join strategies compare
+    directly: q49 bounds work by BLOCKING (lossy by design, pairs must
+    share a block), q47 by PROBABILITY (LSH banding can miss), q49c by
+    LOSSLESS pruning:
+
+    - length filter: J >= t forces t*|x| <= |y| <= |x|/t — cross-
+      multiplied integers, applied inside the candidate join;
+    - prefix filter: order tokens globally by (document frequency ASC,
+      token) — rarest first — and index only each set's first
+      p = m - ceil(t*m) + 1 tokens. A pair sharing ONLY suffix tokens
+      has intersection <= m - p = ceil(t*m) - 1 < ceil(t*m) <= the
+      minimum intersection J >= t requires (I >= t*U >= t*m), so every
+      qualifying pair shares a prefix token: the candidate set is a
+      superset. Rare-first ordering makes prefix tokens the LOW-df ones,
+      so candidate-join keys are cold by construction.
+
+    Verification is the exact integer-ratio test (den*I >= num*U) and
+    the emitted jaccard is one INT/INT division — cross-engine
+    deterministic, so the global join is fully hash-checked against the
+    brute-force oracle. Scale: candidates ~ sharing-pairs over LOW-df
+    tokens only; a boilerplate shingle in 10^6 docs is high-df, lands in
+    every suffix, and never generates a candidate."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
+    )
+    toks = shingled.select(
+        "doc_id", F.size("shingles").alias("m"), F.explode("shingles").alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+    # p = m - ceil(t*m) + 1, with ceil(num*m/den) = (num*m + den - 1) DIV den
+    prefix_len = F.col("m") - F.expr(f"(({num} * m) + {den} - 1) DIV {den}") + 1
+    prefix = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"), "tok")
+    )
+    full = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), "tok"
+    )
+    cand = (
+        prefix.join(full, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
+            & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
+        )
+        .select("doc_a", "doc_b", "ma", "mb")
+        .distinct()
+    )
+    # Verify by COUNTING shared tokens through the posting rows (only
+    # shared tokens survive the second join) and derive the union from
+    # the set sizes: U = ma + mb - I. Shipping shingle ARRAYS to every
+    # candidate pair and running array_intersect measured ~3x slower at
+    # sf0.1 — the token join stays in whole-stage-codegen hash
+    # aggregation and moves ids, never payloads.
+    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+    tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    inter = (
+        cand.join(ta, "doc_a")
+        .join(tb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b", "ma", "mb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    union = F.col("ma") + F.col("mb") - F.col("i")
+    return (
+        inter.filter(F.lit(den) * F.col("i") >= F.lit(num) * union)
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("i").cast("double") / union).alias("jaccard"),
+        )
+    )

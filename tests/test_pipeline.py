@@ -2245,3 +2245,60 @@ def test_hard_negative_margins(spark):
         # negatives in descending-similarity rank order
         sims = [r.cosine_sim for r in neg]
         assert sims == sorted(sims, reverse=True)
+
+
+def test_ppjoin_prefix_skew_and_exactness(spark):
+    """q49c's PPJoin filters on an engineered corpus: boilerplate shingles
+    (high df) sit in every suffix so no candidate flows through them, the
+    length filter kills size-mismatched pairs, and the output equals a
+    driver-side brute-force global Jaccard — lossless pruning."""
+    import hashlib
+    import itertools
+    import unittest.mock as mock
+
+    from parquet_modular_encryption_spark.pipeline import dedup as dd
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        q49c_jaccard_ppjoin,
+    )
+
+    boiler = "standard footer text appended to every document here"
+    rows = [
+        (
+            i,
+            " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest() for j in range(25)
+            )
+            + " "
+            + boiler,
+        )
+        for i in range(200)
+    ]
+    passage = " ".join(f"s{k} t{k}" for k in range(30))
+    rows += [(1000, f"aa bb {passage}"), (1001, f"cc dd {passage}")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with mock.patch.object(dd, "load", lambda s, d, t: docs):
+        got = {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in q49c_jaccard_ppjoin(spark, "unused").collect()
+        }
+    assert (1000, 1001) in got
+
+    # driver-side brute force over distinct shingle sets
+    def sset(text):
+        t = text.split()
+        return (
+            {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+            if len(t) >= 3
+            else {" ".join(t)}
+        )
+
+    sets = {i: sset(tx) for i, tx in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        i = len(sets[a] & sets[b])
+        u = len(sets[a] | sets[b])
+        if PPJOIN_T_DEN * i >= PPJOIN_T_NUM * u:
+            want[(a, b)] = i / u
+    assert got == want
