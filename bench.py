@@ -135,6 +135,7 @@ EXTENDED = [
     "q39c_python_datasource_sink",
     "q101b_drift_report",
     "q49c_jaccard_ppjoin",
+    "q97b_ohlc_bars",
 ]
 
 

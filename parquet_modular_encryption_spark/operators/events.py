@@ -602,3 +602,70 @@ def q99b_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "offset_week")
     )
+
+
+@register(
+    "q97b_ohlc_bars",
+    oracle="""
+    WITH ranked AS (
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS win_start,
+               event_type, value,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts, event_id) AS rn_a,
+               row_number() OVER (PARTITION BY date_trunc('hour', ts), event_type
+                                  ORDER BY ts DESC, event_id DESC) AS rn_d
+        FROM events
+    )
+    SELECT win_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+               AS volume_fp
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+    tags=("window", "time", "ohlc"),
+)
+def q97b_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bar aggregation — the time-series downsampling shape (metric
+    rollups, market bars, telemetry compaction): per hour x event type,
+    the opening and closing values (argmin/argmax over the composite
+    (ts, event_id) key — the id tie-break makes same-timestamp opens
+    deterministic, the q110b struct-ordering pattern), the high/low
+    extremes, and a fixed-point volume (floor-scaled BIGINT sum —
+    double addition is not associative across agg orders, integers are).
+
+    One map-side-combined hash aggregation: open/close ride the same
+    shuffle as the min/max/count — no window, no sort, no second pass.
+    That is what makes bars cheap enough to maintain continuously at
+    scale (contrast a per-window ORDER BY ts LIMIT 1 formulation, which
+    sorts every group)."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.floor(F.col("value") * 10000).cast("bigint"))
+            .cast("bigint")
+            .alias("volume_fp"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_events",
+            "volume_fp",
+        )
+    )
