@@ -363,3 +363,30 @@ def read_encrypted_stream_output(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def ohlc_bars_stream(
+    events: DataFrame, window: str = "1 hour", watermark: str | None = None
+) -> DataFrame:
+    """Streaming twin of the batch q97b OHLC bars: open/close via
+    composite-key min_by/max_by inside the windowed aggregation — both
+    are declarative aggregates with merge support, so they maintain
+    incrementally across micro-batches exactly like min/max/count (this
+    is the point of the q97b shape: no per-window sort anywhere, so the
+    same plan serves batch rollups and continuous maintenance)."""
+    src = events.withWatermark("ts", watermark) if watermark else events
+    key = F.struct(F.col("ts"), F.col("event_id"))
+    return (
+        src.groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.min_by("value", key).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", key).alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type", "open", "high", "low", "close", "n_events",
+        )
+    )

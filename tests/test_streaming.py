@@ -499,3 +499,20 @@ def test_streaming_cms_sketch_equals_batch(spark, tmp_path):
     got_cells = {(r.d, r.bucket): r["count"] for r in got.collect()}
     batch_cells = {(r.d, r.bucket): r.cell_cnt for r in batch.collect()}
     assert got_cells == batch_cells
+
+
+def test_ohlc_stream_equals_batch(spark):
+    """Streaming OHLC bars (complete mode) == the batch q97b aggregate on
+    the same events: min_by/max_by maintain incrementally across
+    micro-batches, so open/close survive streaming execution bit-for-bit."""
+    from parquet_modular_encryption_spark.operators.events import q97b_ohlc_bars
+    from parquet_modular_encryption_spark.streaming.windows import ohlc_bars_stream
+
+    stream = stream_events(spark, SF, max_files_per_trigger=1)
+    got = run_to_memory(
+        ohlc_bars_stream(stream), "t_ohlc", output_mode="complete"
+    ).select("win_start", "event_type", "open", "high", "low", "close", "n_events")
+    batch = q97b_ohlc_bars(spark, SF).select(
+        "win_start", "event_type", "open", "high", "low", "close", "n_events"
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
