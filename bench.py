@@ -133,7 +133,7 @@ EXTENDED = [
     "q91f_phash_encrypted",
     "q54g_ann_recall_report",
     "q39c_python_datasource_sink",
-    "q101b_drift_report",
+    "q88e_drift_report",
     "q49c_jaccard_ppjoin",
     "q97b_ohlc_bars",
 ]

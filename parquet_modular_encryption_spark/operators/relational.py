@@ -1302,14 +1302,14 @@ def q101_data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Corpus drift report (q101b)
+# Corpus drift report (q88e)
 # ---------------------------------------------------------------------------
 DRIFT_SPLIT_DATE = "1998-06-01"  # epoch A = orders before, epoch B = after
 DRIFT_PPM = 1_000_000
 
 
 @register(
-    "q101b_drift_report",
+    "q88e_drift_report",
     oracle=f"""
     WITH tagged AS (
         SELECT o_orderpriority AS bucket,
@@ -1333,7 +1333,7 @@ DRIFT_PPM = 1_000_000
     """,
     tags=("audit", "drift", "diagnostics"),
 )
-def q101b_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q88e_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution-drift report between two data epochs — the check a
     training-data pipeline runs when a new crawl/dump lands: order
     priority shares in the epoch before vs after {DRIFT_SPLIT_DATE},
