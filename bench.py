@@ -136,6 +136,7 @@ EXTENDED = [
     "q88e_drift_report",
     "q49c_jaccard_ppjoin",
     "q97b_ohlc_bars",
+    "q97c_rolling_anomaly",
 ]
 
 

@@ -669,3 +669,94 @@ def q97b_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             "volume_fp",
         )
     )
+
+
+# Rolling anomaly detection (q97c): trailing-history window + integer z-test
+ANOMALY_HIST = 100  # trailing events per user considered
+ANOMALY_MIN_HIST = 20  # warm-up: no verdict before this much history
+ANOMALY_Z = 3  # flag |z| > 3
+
+
+@register(
+    "q97c_rolling_anomaly",
+    oracle=f"""
+    WITH fp AS (
+        SELECT event_id, user_id, event_type, ts,
+               CAST(floor(value * 10000) AS BIGINT) AS vfp
+        FROM events
+    ), roll AS (
+        SELECT event_id, user_id, event_type, vfp,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n_hist,
+               CAST(SUM(vfp) OVER w AS BIGINT) AS s,
+               CAST(SUM(vfp * vfp) OVER w AS BIGINT) AS ss
+        FROM fp
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ANOMALY_HIST} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id, event_type, vfp, n_hist,
+           CAST(n_hist * vfp - s AS BIGINT) AS dev_num,
+           CAST(n_hist * ss - s * s AS BIGINT) AS var_num
+    FROM roll
+    WHERE n_hist >= {ANOMALY_MIN_HIST}
+      AND (n_hist * vfp - s) * (n_hist * vfp - s)
+          > {ANOMALY_Z * ANOMALY_Z} * (n_hist * ss - s * s)
+    """,
+    tags=("window", "anomaly", "time"),
+)
+def q97c_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection — the telemetry/metrics outlier
+    flagger: each event is tested against its user's TRAILING
+    {ANOMALY_HIST}-event history (the frame excludes the current row, so
+    an outlier cannot contaminate its own baseline), flagged when
+    z^2 > {ANOMALY_Z}^2. The test is pure BIGINT: with fixed-point values
+    v, z^2 > k^2 is equivalent to (n*v - S)^2 > k^2*(n*SS - S^2) — no
+    float mean/std anywhere, so the flagged set is hash-checked exactly.
+    A {ANOMALY_MIN_HIST}-event warm-up suppresses verdicts on thin
+    history. Fixed-point range: |v| <= ~3e8 keeps (n*v - S)^2 inside
+    BIGINT at this window size; larger magnitudes need a wider scale or
+    DOUBLE fallback.
+
+    Scale: one shuffle on user_id; the running-frame window sorts within
+    a user's bounded event stream — the same shape q20/q32 already
+    carry, and the streaming analogue is a transformWithState rolling
+    aggregate."""
+    prep(spark)
+    ev = load(spark, sf_dir, "events")
+    fp = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("bigint").alias("vfp"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ANOMALY_HIST, -1)
+    )
+    roll = fp.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "vfp",
+        F.count(F.lit(1)).over(w).alias("n_hist"),
+        F.sum("vfp").over(w).alias("s"),
+        F.sum(F.col("vfp") * F.col("vfp")).over(w).alias("ss"),
+    )
+    dev = F.col("n_hist") * F.col("vfp") - F.col("s")
+    var_num = F.col("n_hist") * F.col("ss") - F.col("s") * F.col("s")
+    return (
+        roll.filter(
+            (F.col("n_hist") >= ANOMALY_MIN_HIST)
+            & (dev * dev > F.lit(ANOMALY_Z * ANOMALY_Z) * var_num)
+        )
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            "vfp",
+            "n_hist",
+            dev.cast("bigint").alias("dev_num"),
+            var_num.cast("bigint").alias("var_num"),
+        )
+    )

@@ -2302,3 +2302,35 @@ def test_ppjoin_prefix_skew_and_exactness(spark):
         if PPJOIN_T_DEN * i >= PPJOIN_T_NUM * u:
             want[(a, b)] = i / u
     assert got == want
+
+
+def test_rolling_anomaly_engineered(spark):
+    """q97c on an engineered stream: a flat baseline then one spike — the
+    spike is flagged against its trailing history, the baseline rows are
+    not, and the event AFTER the spike is judged against a window that
+    now CONTAINS the spike (inflated variance => not flagged)."""
+    import datetime
+    import unittest.mock as mock
+
+    from parquet_modular_encryption_spark.operators import events as ev_mod
+    from parquet_modular_encryption_spark.operators.events import (
+        ANOMALY_MIN_HIST,
+        q97c_rolling_anomaly,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # 30 baseline events oscillating 10.0/10.2 (non-zero variance), then a
+    # 100x spike, then a return to baseline
+    for i in range(30):
+        rows.append((i, base + datetime.timedelta(minutes=i), 1, "m", 10.0 + 0.2 * (i % 2), "{}"))
+    rows.append((30, base + datetime.timedelta(minutes=30), 1, "m", 1000.0, "{}"))
+    rows.append((31, base + datetime.timedelta(minutes=31), 1, "m", 10.0, "{}"))
+    ev = spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    )
+    with mock.patch.object(ev_mod, "load", lambda s, d, t: ev):
+        flagged = {r.event_id for r in q97c_rolling_anomaly(spark, "unused").collect()}
+    assert 30 in flagged, "spike not flagged"
+    assert all(i not in flagged for i in range(ANOMALY_MIN_HIST, 30)), "baseline flagged"
