@@ -137,6 +137,7 @@ EXTENDED = [
     "q49c_jaccard_ppjoin",
     "q97b_ohlc_bars",
     "q97c_rolling_anomaly",
+    "q92c_incremental_rollup",
 ]
 
 

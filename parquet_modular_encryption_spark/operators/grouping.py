@@ -425,3 +425,52 @@ def q88d_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hottest_share_ppm"
         ),
     )
+
+
+@register(
+    "q92c_incremental_rollup",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {sql_dsum("o_totalprice")} AS total_value
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+    tags=("agg", "incremental", "mergeable"),
+)
+def q92c_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance — the mergeable-partials
+    contract a continuously-maintained rollup depends on: the fact table
+    is processed as two independent epochs (the q88e before/after split,
+    standing in for "yesterday's materialized state" and "today's new
+    data"), each epoch aggregated to exact-decimal PARTIALS, and the
+    partials merged WITHOUT touching the base rows again. The oracle
+    aggregates all rows in one pass — a hash match proves
+    merge(partial(A), partial(B)) == aggregate(A ∪ B) exactly, decimals
+    included (the single-floor-at-finalize discipline from the salted
+    q86 path; flooring per-epoch would diverge in the last fixed-point
+    digit).
+
+    At 100 TB this is THE shape of a maintained rollup: each ingest
+    batch contributes one partial-agg pass over the new data only, and
+    the merge costs |groups|, not |rows|. Count/sum are the mergeable
+    pair here; the same contract extends to any commutative monoid
+    (bitmaps, HLL registers — q28/q88c's sketches merge the same way)."""
+    prep(spark)
+    orders = load(spark, sf_dir, "orders")
+    split = F.lit("1998-06-01").cast("timestamp")
+    epochs = []
+    for pred in (F.col("o_orderdate") < split, F.col("o_orderdate") >= split):
+        epochs.append(
+            orders.filter(pred)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("pn"),
+                dsum_partial("o_totalprice").alias("pv"),
+            )
+        )
+    merged = epochs[0].unionByName(epochs[1])
+    return merged.groupBy("o_orderpriority").agg(
+        F.sum("pn").alias("n_orders"),
+        dsum_finalize("pv").alias("total_value"),
+    )
