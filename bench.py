@@ -138,6 +138,8 @@ EXTENDED = [
     "q97b_ohlc_bars",
     "q97c_rolling_anomaly",
     "q92c_incremental_rollup",
+    "q56b_pseudonymize",
+    "q39d_csv_malformed_modes",
 ]
 
 

@@ -444,3 +444,116 @@ def q66b_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("tw").cast("bigint").alias("total_weight_x100"),
         F.min("n_rows").cast("bigint").alias("n_rows"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Malformed-record ingestion modes (q39d)
+# ---------------------------------------------------------------------------
+_CSV_FIXTURE_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _malformed_csv_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """CSV shard with planted corruption: one good line per customer
+    (c_custkey <= 150) plus one type-corrupt line per custkey % 10 == 0
+    (unparseable bigint field). Derived from the customer table so the
+    oracle computes the planted counts from the same data."""
+    import os
+
+    key = (spark.sparkContext.applicationId, f"q39d:{sf_dir}")
+    cached = _CSV_FIXTURE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+
+    path = scratch_dir("pme_q39d_csv_")
+    rows = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 150)
+        .select("c_custkey", "c_name", "c_acctbal")
+        .collect()  # fixture write only (bounded); the reads are distributed
+    )
+    with open(os.path.join(path, "part-000.csv"), "w", encoding="utf-8") as fh:
+        for r in rows:
+            fh.write(f"{r.c_custkey},{r.c_name},{r.c_acctbal}\n")
+            if r.c_custkey % 10 == 0:
+                fh.write(f"corrupt-{r.c_custkey},###,not_a_number\n")
+    _CSV_FIXTURE_CACHE[key] = path
+    return path
+
+
+@register(
+    "q39d_csv_malformed_modes",
+    oracle="""
+    WITH g AS (SELECT COUNT(*) AS n_good,
+                      CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+               FROM customer WHERE c_custkey <= 150),
+         b AS (SELECT COUNT(*) AS n_bad FROM customer
+               WHERE c_custkey <= 150 AND c_custkey % 10 = 0)
+    SELECT 'PERMISSIVE' AS mode,
+           CAST(n_good + n_bad AS BIGINT) AS n_rows,
+           CAST(n_bad AS BIGINT) AS n_corrupt,
+           key_sum AS key_checksum
+    FROM g, b
+    UNION ALL
+    SELECT 'DROPMALFORMED', CAST(n_good AS BIGINT), CAST(0 AS BIGINT), key_sum
+    FROM g, b
+    """,
+    tags=("sources", "csv", "robustness"),
+)
+def q39d_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-record handling on the CSV connector — the ingestion-
+    robustness contract a real feed depends on (a 100 TB crawl WILL
+    contain broken lines, and silently mis-parsing them is worse than
+    either failing or counting them): the same planted-corruption shard
+    is read under PERMISSIVE (corrupt lines preserved in the
+    columnNameOfCorruptRecord side-channel and COUNTED) and
+    DROPMALFORMED (corrupt lines removed from the row count). The oracle
+    recomputes the planted good/bad counts from the source table, so a
+    reader that mis-classifies any line hash-mismatches. FAILFAST (the
+    third mode) aborts by design and is pinned in pytest instead.
+
+    The PERMISSIVE frame is cached before filtering on the corrupt
+    column — Spark disallows plans referencing ONLY the internal corrupt
+    record column of an unmaterialized CSV scan (documented limitation);
+    the fixture is bounded so the cache is too."""
+    prep(spark)
+    path = _malformed_csv_fixture(spark, sf_dir)
+    ddl = "c_custkey bigint, c_name string, c_acctbal double"
+
+    permissive = (
+        spark.read.schema(ddl + ", _corrupt string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(path)
+        .cache()
+    )
+    p_counts = permissive.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("_corrupt").alias("n_corrupt"),
+        F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+    ).select(
+        F.lit("PERMISSIVE").alias("mode"), "n_rows", "n_corrupt", "key_checksum"
+    )
+
+    dropped = (
+        spark.read.schema(ddl)
+        .option("mode", "DROPMALFORMED")
+        .csv(path)
+    )
+    # The key_checksum sum is what makes this count honest: a bare
+    # count() over a CSV scan takes a record-counting fast path that
+    # never parses field values, so DROPMALFORMED silently reports
+    # good+bad (measured: collect() returns the filtered rows, every
+    # pure-count form does not). Aggregating an actual column value
+    # forces the full parse the malformed filter rides on — and doubles
+    # as a survivor-set checksum the oracle recomputes.
+    d_counts = dropped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("c_custkey").cast("bigint").alias("key_checksum"),
+    ).select(
+        F.lit("DROPMALFORMED").alias("mode"),
+        "n_rows",
+        F.lit(0).cast("bigint").alias("n_corrupt"),
+        "key_checksum",
+    )
+    return p_counts.unionByName(d_counts)

@@ -2334,3 +2334,63 @@ def q63e_chunk_dedup_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rewritten_md5"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic pseudonymization (q56b)
+# ---------------------------------------------------------------------------
+# Demo-only derivation secret (a production deployment pulls this from the
+# KMS — the reference's wrapping-key registry is exactly the right home).
+PSEUDO_SECRET = "pme-demo-pseudonym-secret-v1"
+PSEUDO_LEN = 16  # hex chars kept: 64 bits of pseudonym space
+
+
+@register(
+    "q56b_pseudonymize",
+    oracle=f"""
+    SELECT c_custkey,
+           substr(sha256('{PSEUDO_SECRET}:name:' || c_name), 1, {PSEUDO_LEN})
+               AS name_token,
+           substr(sha256('{PSEUDO_SECRET}:nation:' || CAST(c_nationkey AS VARCHAR)),
+                  1, {PSEUDO_LEN}) AS nation_token,
+           c_mktsegment
+    FROM customer WHERE c_custkey <= 200
+    """,
+    tags=("privacy", "pseudonymization"),
+)
+def q56b_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic keyed pseudonymization — the third leg of the privacy
+    toolbox beside redaction (q56 scrubs and destroys linkage) and
+    encryption (q60 preserves the value for keyholders): a keyed-hash
+    token per (secret, column, value) that is stable — the same name
+    always maps to the same token, so joins, group-bys, and frequency
+    analysis still work on the pseudonymized table — while unlinkable
+    across columns (the column tag in the derivation prevents a name
+    token matching another column's token even for equal raw strings) and
+    irreversible without the secret. Crypto-shredding the secret (q60c's
+    operation) anonymizes every table derived with it at once.
+
+    Pure map-side projection (sha256 is a builtin in both engines — the
+    only privacy transform here with literally zero shuffle), so the
+    pseudonymized output is hash-checked end to end."""
+    prep(spark)
+    cust = load(spark, sf_dir, "customer").filter(F.col("c_custkey") <= 200)
+
+    def token(tag: str, col: str):
+        return F.substring(
+            F.sha2(
+                F.concat(
+                    F.lit(f"{PSEUDO_SECRET}:{tag}:"), F.col(col).cast("string")
+                ),
+                256,
+            ),
+            1,
+            PSEUDO_LEN,
+        )
+
+    return cust.select(
+        "c_custkey",
+        token("name", "c_name").alias("name_token"),
+        token("nation", "c_nationkey").alias("nation_token"),
+        "c_mktsegment",
+    )

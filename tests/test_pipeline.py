@@ -2334,3 +2334,51 @@ def test_rolling_anomaly_engineered(spark):
         flagged = {r.event_id for r in q97c_rolling_anomaly(spark, "unused").collect()}
     assert 30 in flagged, "spike not flagged"
     assert all(i not in flagged for i in range(ANOMALY_MIN_HIST, 30)), "baseline flagged"
+
+
+def test_csv_failfast_aborts(spark, tmp_path):
+    """The third malformed-record mode: FAILFAST must abort the read on
+    the first corrupt line (q39d covers PERMISSIVE/DROPMALFORMED, whose
+    counts are hash-checked; abort semantics can only be pinned here)."""
+    import pytest
+
+    src = tmp_path / "bad.csv"
+    src.write_text("1,ok,2.5\ncorrupt,###,zzz\n")
+    df = (
+        spark.read.schema("k bigint, s string, v double")
+        .option("mode", "FAILFAST")
+        .csv(str(src))
+    )
+    with pytest.raises(Exception) as ei:
+        df.collect()
+    assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
+
+
+def test_pseudonym_properties(spark):
+    """q56b invariants: tokens are stable across runs (same input, same
+    token), distinct across column tags for identical raw values, and the
+    raw value never appears in the output."""
+    from parquet_modular_encryption_spark.pipeline.textops import (
+        PSEUDO_LEN,
+        PSEUDO_SECRET,
+        q56b_pseudonymize,
+    )
+    import hashlib
+
+    rows = q56b_pseudonymize(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    r = next(x for x in rows if x.c_custkey == 1)
+    # independently recompute the keyed token for custkey 1's name
+    import duckdb
+
+    name = duckdb.sql(
+        "SELECT c_name FROM '/root/testdata/sf0.001/customer.parquet' "
+        "WHERE c_custkey = 1"
+    ).fetchone()[0]
+    want = hashlib.sha256(f"{PSEUDO_SECRET}:name:{name}".encode()).hexdigest()[:PSEUDO_LEN]
+    assert r.name_token == want
+    assert name not in (r.name_token, r.nation_token)
+    # same raw value under different tags -> different tokens
+    t_name = hashlib.sha256(f"{PSEUDO_SECRET}:name:5".encode()).hexdigest()[:PSEUDO_LEN]
+    t_nation = hashlib.sha256(f"{PSEUDO_SECRET}:nation:5".encode()).hexdigest()[:PSEUDO_LEN]
+    assert t_name != t_nation
