@@ -277,3 +277,120 @@ def test_dup_substring_span_coverage_property(shared, pre_a, suf_a, pre_b, suf_b
         assert covering, (
             f"doc {doc}: shared run {region} not covered by spans {spans.get(doc)}"
         )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filter candidate-superset guarantees (q55c / q49c)
+# ---------------------------------------------------------------------------
+# Pure-Python mirrors of the SQL constructions (the winnowing-theorem test
+# pattern): the mathematical guarantee — every pair meeting the similarity
+# threshold shares an indexed prefix feature — must hold on arbitrary
+# corpora, not just the fixed adversarial fixtures.
+
+_words = st.sampled_from([f"w{i}" for i in range(12)])
+_doc = st.lists(_words, min_size=1, max_size=40)
+_corpus = st.lists(_doc, min_size=2, max_size=12)
+
+
+def _tf_vectors(corpus):
+    vecs = []
+    for toks in corpus:
+        grams = (
+            [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+            if len(toks) >= 3
+            else [" ".join(toks)]
+        )
+        v = {}
+        for g in grams:
+            v[g] = v.get(g, 0) + 1
+        vecs.append(v)
+    return vecs
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus=_corpus)
+def test_bayardo_prefix_superset(corpus):
+    """q55c's suffix bound: order features by (df DESC, g), drop the
+    initial run with cumulative sum(x_hat * maxw) < t - eps from the
+    index — every pair with cosine >= t must still share a prefix
+    feature of its smaller-id member."""
+    import itertools
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        ALLPAIRS_PREFIX_EPS,
+        ALLPAIRS_T_DEN,
+        ALLPAIRS_T_NUM,
+    )
+
+    t = ALLPAIRS_T_NUM / ALLPAIRS_T_DEN
+    vecs = _tf_vectors(corpus)
+    norms = [math.sqrt(sum(w * w for w in v.values())) for v in vecs]
+    df = {}
+    for v in vecs:
+        for g in v:
+            df[g] = df.get(g, 0) + 1
+    maxw = {}
+    for v, n in zip(vecs, norms):
+        for g, w in v.items():
+            maxw[g] = max(maxw.get(g, 0.0), w / n)
+
+    prefixes = []
+    for v, n in zip(vecs, norms):
+        feats = sorted(v, key=lambda g: (-df[g], g))
+        cum, pref = 0.0, set()
+        for g in feats:
+            cum += (v[g] / n) * maxw[g]
+            if cum >= t - ALLPAIRS_PREFIX_EPS:
+                pref.add(g)
+        prefixes.append(pref)
+
+    for a, b in itertools.combinations(range(len(vecs)), 2):
+        va, vb = vecs[a], vecs[b]
+        dot = sum(w * vb[g] for g, w in va.items() if g in vb)
+        if ALLPAIRS_T_DEN**2 * dot * dot >= ALLPAIRS_T_NUM**2 * (
+            sum(w * w for w in va.values()) * sum(w * w for w in vb.values())
+        ) and dot > 0:
+            assert prefixes[a] & set(vb), (
+                f"qualifying pair ({a},{b}) shares no prefix feature of {a}"
+            )
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus=_corpus)
+def test_ppjoin_prefix_superset(corpus):
+    """q49c's PPJoin bound: order tokens by (df ASC, tok), index the first
+    m - ceil(t*m) + 1 of each set — every pair with Jaccard >= t shares
+    an indexed prefix token of its smaller-id member, and passes the
+    length filter."""
+    import itertools
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+    )
+
+    sets = [set(v) for v in _tf_vectors(corpus)]
+    df = {}
+    for s in sets:
+        for g in s:
+            df[g] = df.get(g, 0) + 1
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+
+    prefixes = []
+    for s in sets:
+        m = len(s)
+        p = m - -(-num * m // den) + 1  # m - ceil(num*m/den) + 1
+        feats = sorted(s, key=lambda g: (df[g], g))
+        prefixes.append(set(feats[:p]))
+
+    for a, b in itertools.combinations(range(len(sets)), 2):
+        sa, sb = sets[a], sets[b]
+        i = len(sa & sb)
+        u = len(sa | sb)
+        if den * i >= num * u and i > 0:
+            assert den * len(sb) >= num * len(sa), "length filter rejected a true pair"
+            assert den * len(sa) >= num * len(sb), "length filter rejected a true pair"
+            assert prefixes[a] & sb, (
+                f"qualifying pair ({a},{b}) shares no prefix token of {a}"
+            )
