@@ -140,6 +140,7 @@ EXTENDED = [
     "q92c_incremental_rollup",
     "q56b_pseudonymize",
     "q39d_csv_malformed_modes",
+    "q43h_curation_verdict",
 ]
 
 

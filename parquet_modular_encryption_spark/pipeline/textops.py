@@ -2394,3 +2394,71 @@ def q56b_pseudonymize(spark: SparkSession, sf_dir: str) -> DataFrame:
         token("nation", "c_nationkey").alias("nation_token"),
         "c_mktsegment",
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation verdict with reason codes (q43h)
+# ---------------------------------------------------------------------------
+# Rule bits (a production pipeline logs WHY each document dropped, not
+# just that it did — reason-code distributions are how rule regressions
+# get caught):
+VERDICT_MIN_TOKENS = 30       # bit 0: too short
+VERDICT_MIN_QUALITY = 0.75    # bit 1: low composite quality
+VERDICT_MIN_DIVERSITY = 0.45  # bit 2: repetitive (low distinct-token ratio)
+VERDICT_BLOCKED_SOURCES = ("src7", "src13")  # bit 3: source blocklist
+
+
+@register(
+    "q43h_curation_verdict",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, source,
+               {sql_tokens("text")} AS ts,
+               {SQL_QUALITY} AS q
+        FROM documents
+    ), bits AS (
+        SELECT doc_id, lang,
+               (CASE WHEN len(ts) < {VERDICT_MIN_TOKENS} THEN 1 ELSE 0 END)
+             + (CASE WHEN q < {VERDICT_MIN_QUALITY} THEN 2 ELSE 0 END)
+             + (CASE WHEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
+                          < {VERDICT_MIN_DIVERSITY} THEN 4 ELSE 0 END)
+             + (CASE WHEN source IN {VERDICT_BLOCKED_SOURCES} THEN 8 ELSE 0 END)
+                   AS reasons_mask
+        FROM t
+    )
+    SELECT doc_id, lang,
+           CAST(reasons_mask AS BIGINT) AS reasons_mask,
+           CAST(CASE WHEN reasons_mask = 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM bits
+    """,
+    tags=("text", "curation", "verdict"),
+)
+def q43h_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document curation verdict with REASON CODES — the rule-engine
+    shape every production curation pass emits (drops without reasons are
+    undebuggable; the reason-mask histogram is the regression alarm when
+    a rule or the data shifts): each filter contributes one bit
+    (too-short / low-quality / repetitive / blocked-source), a document
+    is kept iff its mask is zero, and every rule is evaluated for every
+    document (contrast q63b's short-circuiting pipeline, which stops at
+    the first failing stage — here the full diagnosis is the product).
+
+    Pure map-side projection over expressions already verified by q42/
+    q43/q116's oracles — composing existing rules costs zero extra
+    shuffles, and the bitmask is exact integer output."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    diversity = F.size(F.array_distinct(toks)).cast("double") / F.size(toks)
+    mask = (
+        F.when(F.size(toks) < VERDICT_MIN_TOKENS, 1).otherwise(0)
+        + F.when(quality_score(F.col("text")) < VERDICT_MIN_QUALITY, 2).otherwise(0)
+        + F.when(diversity < VERDICT_MIN_DIVERSITY, 4).otherwise(0)
+        + F.when(F.col("source").isin(*VERDICT_BLOCKED_SOURCES), 8).otherwise(0)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        mask.cast("bigint").alias("reasons_mask"),
+        F.when(mask == 0, 1).otherwise(0).cast("bigint").alias("kept"),
+    )
