@@ -712,9 +712,13 @@ def q97c_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     v, z^2 > k^2 is equivalent to (n*v - S)^2 > k^2*(n*SS - S^2) — no
     float mean/std anywhere, so the flagged set is hash-checked exactly.
     A {ANOMALY_MIN_HIST}-event warm-up suppresses verdicts on thin
-    history. Fixed-point range: |v| <= ~3e8 keeps (n*v - S)^2 inside
-    BIGINT at this window size; larger magnitudes need a wider scale or
-    DOUBLE fallback.
+    history. Fixed-point range: with window n={ANOMALY_HIST} the largest
+    intermediate is max((n*v - S)^2, k^2*(n*SS - S^2)) <= max(4, k^2) *
+    n^2 * v^2, so BIGINT safety (< 2^63 ~ 9.2e18) requires the
+    fixed-point |v| <= ~1e7 — i.e. raw values <= ~1e3 at the 1e4 scale
+    used here (NOT the ~3e8 an n*v-only analysis suggests; the n*SS term
+    dominates). Larger magnitudes need a narrower scale or a DOUBLE
+    fallback; the events table's value column sits well inside the bound.
 
     Scale: one shuffle on user_id; the running-frame window sorts within
     a user's bounded event stream — the same shape q20/q32 already

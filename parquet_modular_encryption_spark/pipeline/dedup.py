@@ -160,15 +160,20 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation AND verification are value-checked."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    # Persist the shingle sets: they feed both the signature pipeline and
-    # the Jaccard verification, and re-shingling (regex tokenize + n-gram
-    # assembly) dominates recomputation cost. Tokens are projected into a
-    # column BEFORE shingling so the regex split runs once per doc, not
-    # once per element_at (see functions.text.shingles_from).
+    # Materialize the shingle sets once: they feed both the signature
+    # pipeline and the Jaccard verification, and re-shingling (regex
+    # tokenize + n-gram assembly) dominates recomputation cost. Tokens are
+    # projected into a column BEFORE shingling so the regex split runs
+    # once per doc, not once per element_at (see
+    # functions.text.shingles_from). localCheckpoint, not persist: the
+    # ContextCleaner reclaims checkpoint blocks when the frame is
+    # garbage-collected, where a bare persist() leaked cached partitions
+    # across repeated invocations (bench min-of-3, driver registry
+    # re-runs) for the session's lifetime — same fix as q49b.
     shingled = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
     hv = hash60(F.col("shingle")) % P
@@ -358,10 +363,12 @@ def q47b_minhash_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarially skewed bucket."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
+    # localCheckpoint, not persist — see q47's comment (leak across
+    # repeated invocations; ContextCleaner reclaims checkpoint blocks).
     shingled = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
     hv = hash60(F.col("shingle")) % P
@@ -1762,10 +1769,12 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
 
     The float prefix bound only chooses HOW MUCH to index (any error is
     absorbed by eps and merely enlarges the candidate set); every emitted
-    number is integer-derived. Fixed-point range: the integer accept test
-    needs norm2_a * norm2_b < 2^63, i.e. sum(w^2) < ~3e9 per doc — any
-    real document qualifies; a production guard would clamp or fall back
-    to DOUBLE compare for larger vectors.
+    number is integer-derived. Fixed-point range: the accept test's LHS
+    den^2 * dot^2 can reach den^2 * (norm2_a * norm2_b) (Cauchy-Schwarz;
+    den=2 here), so BIGINT safety needs norm2_a * norm2_b < 2^63/den^2 =
+    2^61, i.e. sum(w^2) < ~1.5e9 per doc — any real document qualifies;
+    a production guard would clamp or fall back to DOUBLE compare for
+    larger vectors.
 
     Scale notes (100 TB): tf and the norm are one hash-agg each; the
     feature-stats frame is vocabulary-sized (broadcast here; a shuffle

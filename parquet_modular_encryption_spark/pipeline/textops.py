@@ -2406,6 +2406,9 @@ VERDICT_MIN_TOKENS = 30       # bit 0: too short
 VERDICT_MIN_QUALITY = 0.75    # bit 1: low composite quality
 VERDICT_MIN_DIVERSITY = 0.45  # bit 2: repetitive (low distinct-token ratio)
 VERDICT_BLOCKED_SOURCES = ("src7", "src13")  # bit 3: source blocklist
+# Explicit IN-list (not the tuple repr, which renders ('x',) — invalid
+# SQL — the moment the blocklist shrinks to one entry).
+_VERDICT_BLOCKED_IN = "(" + ", ".join(f"'{s}'" for s in VERDICT_BLOCKED_SOURCES) + ")"
 
 
 @register(
@@ -2422,7 +2425,7 @@ VERDICT_BLOCKED_SOURCES = ("src7", "src13")  # bit 3: source blocklist
              + (CASE WHEN q < {VERDICT_MIN_QUALITY} THEN 2 ELSE 0 END)
              + (CASE WHEN CAST(len(list_distinct(ts)) AS DOUBLE) / len(ts)
                           < {VERDICT_MIN_DIVERSITY} THEN 4 ELSE 0 END)
-             + (CASE WHEN source IN {VERDICT_BLOCKED_SOURCES} THEN 8 ELSE 0 END)
+             + (CASE WHEN source IN {_VERDICT_BLOCKED_IN} THEN 8 ELSE 0 END)
                    AS reasons_mask
         FROM t
     )
