@@ -1,0 +1,156 @@
+#!/usr/bin/env python
+"""Generate an sfN-equivalent dataset by tiling the driver's sf0.1 tables.
+
+Usage: python scripts/gen_scaled_testdata.py [MULT] [DST_DIR]
+       (defaults: MULT=10, DST=build/testdata/sf1)
+
+The driver's generator is not available, so the 10x dataset is built by
+UNION-ing MULT key-offset copies of sf0.1 — every copy keeps the source's
+value distributions, FK relationships (all key domains are dense 0..max,
+so offsetting each domain by i*(max+1) preserves joins copy-locally), and
+within-copy duplicate/near-duplicate structure, which is what the scale
+experiment measures. Two deliberate de-correlations stop the tiling
+itself from manufacturing cross-copy structure that would corrupt the
+measurement:
+
+- documents.text: copy i>0 applies a deterministic per-document token
+  permutation (seeded by (copy, doc_id)). Token frequencies and document
+  lengths are preserved (so BM25/PMI/langid-style costs scale honestly),
+  but shingle/n-gram sets are destroyed across copies — without this,
+  every document would have MULT-1 exact twins and near-dup pair counts
+  would grow ~MULT^2 by construction instead of reflecting the operator.
+- embeddings.embedding: copy i rolls the vector by i positions. Rolling
+  is an inner-product-preserving permutation WITHIN a copy (the kNN/ANN
+  topology of each copy replicates sf0.1's exactly) while cross-copy
+  dot products decorrelate.
+
+region/nation stay fixed (as in real TPC-H at every SF). events offsets
+user_id, so per-user streams replicate rather than deepen — windows and
+sessionization scale by user count, the realistic axis.
+
+Output layout matches /root/testdata: one <table>.parquet FILE per table.
+"""
+
+from __future__ import annotations
+
+import os
+import random
+import sys
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = os.environ.get("SPARK_GRAFT_SCALE_SRC", "/root/testdata/sf0.1")
+
+#: key columns to offset per copy: table -> {column: domain_size}
+#: (domain sizes read from the source at runtime; entries here name the
+#: DOMAIN each column belongs to so FK references shift consistently)
+KEY_DOMAINS = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "eventid", "user_id": "userid"},
+    "documents": {"doc_id": "docid"},
+    "embeddings": {"vec_id": "vecid"},
+}
+
+#: where each domain's size is measured: domain -> (table, column)
+DOMAIN_SOURCE = {
+    "custkey": ("customer", "c_custkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "partkey": ("part", "p_partkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "eventid": ("events", "event_id"),
+    "userid": ("events", "user_id"),
+    "docid": ("documents", "doc_id"),
+    "vecid": ("embeddings", "vec_id"),
+}
+
+
+def _permute_documents(tbl: pa.Table, copy_idx: int) -> pa.Table:
+    texts = tbl.column("text").to_pylist()
+    doc_ids = tbl.column("doc_id").to_pylist()
+    out_text, out_chars = [], []
+    for doc_id, text in zip(doc_ids, texts):
+        toks = text.split()
+        rng = random.Random((copy_idx << 33) ^ doc_id)
+        rng.shuffle(toks)
+        t = " ".join(toks)
+        out_text.append(t)
+        out_chars.append(len(t))
+    tbl = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(out_text, pa.string())
+    )
+    return tbl.set_column(
+        tbl.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array(out_chars, pa.int64()),
+    )
+
+
+def _roll_embeddings(tbl: pa.Table, copy_idx: int) -> pa.Table:
+    col = tbl.column("embedding").combine_chunks()
+    arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.values.to_numpy(zero_copy_only=False)
+    dim = len(flat) // len(tbl)
+    mat = np.roll(flat.reshape(len(tbl), dim), copy_idx, axis=1)
+    rolled = pa.FixedSizeListArray.from_arrays(
+        pa.array(mat.ravel(), type=arr.values.type), dim
+    ) if pa.types.is_fixed_size_list(arr.type) else pa.ListArray.from_arrays(
+        pa.array(range(0, (len(tbl) + 1) * dim, dim), pa.int32()),
+        pa.array(mat.ravel(), type=arr.values.type),
+    )
+    return tbl.set_column(
+        tbl.schema.get_field_index("embedding"), "embedding", rolled
+    )
+
+
+def main() -> int:
+    mult = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    dst = (
+        sys.argv[2]
+        if len(sys.argv) > 2
+        else os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                          "build", "testdata", "sf1")
+    )
+    os.makedirs(dst, exist_ok=True)
+
+    domain_size = {}
+    for dom, (t, c) in DOMAIN_SOURCE.items():
+        tbl = pq.read_table(f"{SRC}/{t}.parquet", columns=[c])
+        domain_size[dom] = pc.max(tbl.column(c)).as_py() + 1
+
+    for name in ["region", "nation"]:
+        pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{dst}/{name}.parquet")
+        print(f"{name}: copied verbatim")
+
+    for name, keycols in KEY_DOMAINS.items():
+        src = pq.read_table(f"{SRC}/{name}.parquet")
+        copies = []
+        for i in range(mult):
+            t = src
+            for col, dom in keycols.items():
+                idx = t.schema.get_field_index(col)
+                shifted = pc.add(t.column(col), i * domain_size[dom])
+                t = t.set_column(idx, col, pc.cast(shifted, src.schema.field(col).type))
+            if i > 0 and name == "documents":
+                t = _permute_documents(t, i)
+            if name == "embeddings":
+                t = _roll_embeddings(t, i)
+            copies.append(t)
+        out = pa.concat_tables(copies)
+        pq.write_table(out, f"{dst}/{name}.parquet")
+        print(f"{name}: {len(src)} -> {len(out)} rows")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
