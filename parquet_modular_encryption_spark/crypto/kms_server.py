@@ -193,17 +193,36 @@ class _KmsHandler(BaseHTTPRequestHandler):
             if action == "wrap":
                 # wrap endpoint is unauthenticated by design (reference
                 # kms_server.py:135-139): writing requires no privilege.
+                # Wraps always use the CURRENT master-key version.
                 result = kms_core.wrap(kek, key)
             else:
                 token = self.headers.get("x-api-key")
                 if not can_unwrap(token, key_id):
                     self._reply(403, {"detail": f"token not authorized for {key_id}"})
                     return
-                result = kms_core.unwrap(kek, key)
+                result = self._unwrap_any_version(key_id, kek, key)
         except kms_core.KeyValidationError as exc:
             self._reply(422, {"detail": str(exc)})
             return
         self._reply(200, {"key": kms_core.b64e(result)})
+
+    def _unwrap_any_version(self, key_id: str, current: bytes, blob: bytes) -> bytes:
+        """Unwrap against the current KEK, falling back to retained older
+        versions (master-key rotation leaves old blobs in the wild until
+        every sidecar/footer is rewrapped; a KMS that forgot its previous
+        versions would brick them instantly). RFC 3394's integrity block
+        makes trying versions safe: a wrong KEK fails deterministically,
+        never yields garbage. The wire format is unchanged — versioning is
+        entirely the server's concern."""
+        versions = getattr(self.server, "pme_key_versions", {}).get(key_id, [])
+        for kek in [current] + [v for v in reversed(versions) if v != current]:
+            try:
+                return kms_core.unwrap(kek, blob)
+            except kms_core.KeyValidationError:
+                continue
+        raise kms_core.KeyValidationError(
+            "key unwrap failed integrity check under every retained version"
+        )
 
 
 class KmsServer:
@@ -228,6 +247,11 @@ class KmsServer:
         # process-wide shared singleton — untouched
         self._httpd.pme_keys = dict(kms_core.WRAPPING_KEYS)
         self._httpd.pme_shredded = set()
+        # master-key version history per key_id (oldest → newest, including
+        # the current): unwrap falls back through these after a rotation
+        self._httpd.pme_key_versions = {
+            k: [v] for k, v in kms_core.WRAPPING_KEYS.items()
+        }
         # per-(action, key_id) request counts — the ground truth for
         # "which keys did this read actually fetch" least-privilege tests
         self._httpd.pme_key_counters = {}
@@ -258,6 +282,37 @@ class KmsServer:
         self._httpd.pme_counters.update(wrap=0, unwrap=0)
         self._httpd.pme_key_counters.clear()
 
+    def rotate(self, key_id: str) -> None:
+        """Master-key rotation: derive a fresh KEK version for ``key_id``.
+        New wraps use the new version immediately; unwraps of existing
+        blobs keep working through the retained version history until
+        :meth:`retire_old_versions` — the standard two-phase rotation
+        (rotate at the KMS, rewrap every sidecar/footer via parquet-mr's
+        ``KeyToolkit.rotateMasterKeys``, then retire). Derivation is
+        deterministic per (key_id, version ordinal) so tests are
+        reproducible; production would pull fresh random material."""
+        versions = self._httpd.pme_key_versions.get(key_id)
+        if versions is None:
+            raise KeyError(f"unknown wrapping key {key_id!r}")
+        import hashlib
+
+        new = hashlib.sha256(
+            f"demo-wrapping-key-{key_id}-v{len(versions)}".encode()
+        ).digest()
+        versions.append(new)
+        self._httpd.pme_keys[key_id] = new
+
+    def retire_old_versions(self, key_id: str) -> None:
+        """Finish a rotation: forget every KEK version except the current.
+        Blobs still wrapped under an old version (files whose key material
+        was NOT rewrapped) become permanently unreadable — which is the
+        point: retirement is the enforcement step that proves the rewrap
+        actually covered the estate."""
+        versions = self._httpd.pme_key_versions.get(key_id)
+        if versions is None:
+            raise KeyError(f"unknown wrapping key {key_id!r}")
+        del versions[:-1]
+
     def shred(self, key_id: str) -> None:
         """Crypto-shredding: destroy the wrapping key's material on THIS
         server. Every DEK double-wrapped under it — in every file ever
@@ -272,6 +327,7 @@ class KmsServer:
             del self._httpd.pme_keys[key_id]
         except KeyError:
             raise KeyError(f"unknown wrapping key {key_id!r}") from None
+        self._httpd.pme_key_versions.pop(key_id, None)  # old versions too
         self._httpd.pme_shredded.add(key_id)
 
     def start(self) -> "KmsServer":

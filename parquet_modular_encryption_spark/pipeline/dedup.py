@@ -160,16 +160,24 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation AND verification are value-checked."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    # Materialize the shingle sets once: they feed both the signature
-    # pipeline and the Jaccard verification, and re-shingling (regex
-    # tokenize + n-gram assembly) dominates recomputation cost. Tokens are
-    # projected into a column BEFORE shingling so the regex split runs
-    # once per doc, not once per element_at (see
-    # functions.text.shingles_from). localCheckpoint, not persist: the
-    # ContextCleaner reclaims checkpoint blocks when the frame is
-    # garbage-collected, where a bare persist() leaked cached partitions
-    # across repeated invocations (bench min-of-3, driver registry
-    # re-runs) for the session's lifetime — same fix as q49b.
+    shingled, bands = minhash_bands(docs)
+    pairs = banded_pairs(bands).distinct()
+    return _jaccard_verify(shingled, pairs)
+
+
+def minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared q47/q47b front half: (shingled, bands).
+
+    The shingle sets feed both the signature pipeline and the Jaccard
+    verification, and re-shingling (regex tokenize + n-gram assembly)
+    dominates recomputation cost, so they are materialized once. Tokens
+    are projected into a column BEFORE shingling so the regex split runs
+    once per doc, not once per element_at (see
+    functions.text.shingles_from). localCheckpoint, not persist: the
+    ContextCleaner reclaims checkpoint blocks when the frame is
+    garbage-collected, where a bare persist() leaked cached partitions
+    across repeated invocations (bench min-of-3, driver registry
+    re-runs) for the session's lifetime — same fix as q49b."""
     shingled = (
         docs.select("doc_id", tokens("text").alias("toks"))
         .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
@@ -183,9 +191,7 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j, (a, b) in enumerate(MINHASH_PERMS)
         ]
     )
-    bands = band_keys(sig, "doc_id")
-    pairs = banded_pairs(bands).distinct()
-    return _jaccard_verify(shingled, pairs)
+    return shingled, band_keys(sig, "doc_id")
 
 
 def banded_pairs(bands: DataFrame) -> DataFrame:
@@ -363,22 +369,7 @@ def q47b_minhash_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     adversarially skewed bucket."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    # localCheckpoint, not persist — see q47's comment (leak across
-    # repeated invocations; ContextCleaner reclaims checkpoint blocks).
-    shingled = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
-        .localCheckpoint(eager=True)
-    )
-    sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
-    hv = hash60(F.col("shingle")) % P
-    sig = sh.groupBy("doc_id").agg(
-        *[
-            F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
-            for j, (a, b) in enumerate(MINHASH_PERMS)
-        ]
-    )
-    bands = band_keys(sig, "doc_id")
+    shingled, bands = minhash_bands(docs)
     pairs = banded_pairs_salted(bands).distinct()
     return _jaccard_verify(shingled, pairs)
 
@@ -1956,6 +1947,49 @@ PPJOIN_T_NUM = 7
 PPJOIN_T_DEN = 20
 
 
+def ppjoin_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """q49c's candidate stage: (token postings, candidate pairs).
+
+    Length filter (cross-multiplied integers) inside the join; prefix
+    filter indexes only each set's first p = m - ceil(t*m) + 1 tokens in
+    rarest-first (document frequency ASC, token) order — see q49c's
+    docstring for the superset proof. Exposed so the scale experiment can
+    count the candidate frame at multiple SFs."""
+    from pyspark.sql import Window
+
+    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
+    )
+    toks = shingled.select(
+        "doc_id", F.size("shingles").alias("m"), F.explode("shingles").alias("tok")
+    )
+    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+    # p = m - ceil(t*m) + 1, with ceil(num*m/den) = (num*m + den - 1) DIV den
+    prefix_len = F.col("m") - F.expr(f"(({num} * m) + {den} - 1) DIV {den}") + 1
+    prefix = (
+        toks.join(F.broadcast(dfreq), "tok")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"), "tok")
+    )
+    full = toks.select(
+        F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), "tok"
+    )
+    cand = (
+        prefix.join(full, "tok")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
+            & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
+        )
+        .select("doc_a", "doc_b", "ma", "mb")
+        .distinct()
+    )
+    return toks, cand
+
+
 @register(
     "q49c_jaccard_ppjoin",
     oracle=f"""
@@ -2002,38 +2036,8 @@ def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     every suffix, and never generates a candidate."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    from pyspark.sql import Window
-
-    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
-    )
-    toks = shingled.select(
-        "doc_id", F.size("shingles").alias("m"), F.explode("shingles").alias("tok")
-    )
-    dfreq = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    toks, cand = ppjoin_candidates(docs)
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
-    # p = m - ceil(t*m) + 1, with ceil(num*m/den) = (num*m + den - 1) DIV den
-    prefix_len = F.col("m") - F.expr(f"(({num} * m) + {den} - 1) DIV {den}") + 1
-    prefix = (
-        toks.join(F.broadcast(dfreq), "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"), "tok")
-    )
-    full = toks.select(
-        F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), "tok"
-    )
-    cand = (
-        prefix.join(full, "tok")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
-            & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
-        )
-        .select("doc_a", "doc_b", "ma", "mb")
-        .distinct()
-    )
     # Verify by COUNTING shared tokens through the posting rows (only
     # shared tokens survive the second join) and derive the union from
     # the set sizes: U = ma + mb - I. Shipping shingle ARRAYS to every

@@ -859,6 +859,44 @@ def q45b_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBDUP_K = 20
 
 
+def dup_grams(docs: DataFrame) -> DataFrame:
+    """Stage 1 of :func:`dup_substring_spans`: the stride-1 SUBDUP_K-char
+    gram index with positions (pure HOF transform + posexplode)."""
+    normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
+        F.length("norm") >= SUBDUP_K
+    )
+    return normed.select(
+        "doc_id",
+        F.length("norm").cast("bigint").alias("norm_len"),
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, length(norm) - {SUBDUP_K} + 1), "
+                f"i -> substr(norm, i, {SUBDUP_K}))"
+            )
+        ).alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "norm_len",
+        "gram",
+        (F.col("pos0") + 1).cast("bigint").alias("s"),
+        (F.col("pos0") + SUBDUP_K).cast("bigint").alias("e"),
+    )
+
+
+def dup_gram_hits(grams: DataFrame) -> DataFrame:
+    """Stage 2 of :func:`dup_substring_spans`: duplicated-gram positions
+    (one row per duplicated position — the operator's LINEAR "candidate"
+    frame, exposed so the scale experiment can count it at multiple SFs)."""
+    from pyspark.sql import Window
+
+    occ = F.count(F.lit(1)).over(Window.partitionBy("gram"))
+    return (
+        grams.withColumn("occ", occ)
+        .filter(F.col("occ") >= 2)
+        .select("doc_id", "norm_len", "s", "e")
+    )
+
+
 def dup_substring_spans(docs: DataFrame) -> DataFrame:
     """(doc_id, n_dup_spans, dup_chars, norm_len, clean_chars) per
     document containing at least one duplicated >= SUBDUP_K-char
@@ -890,31 +928,7 @@ def dup_substring_spans(docs: DataFrame) -> DataFrame:
     boilerplate gram dominates a corpus."""
     from pyspark.sql import Window
 
-    normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
-        F.length("norm") >= SUBDUP_K
-    )
-    grams = normed.select(
-        "doc_id",
-        F.length("norm").cast("bigint").alias("norm_len"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(norm) - {SUBDUP_K} + 1), "
-                f"i -> substr(norm, i, {SUBDUP_K}))"
-            )
-        ).alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        "norm_len",
-        "gram",
-        (F.col("pos0") + 1).cast("bigint").alias("s"),
-        (F.col("pos0") + SUBDUP_K).cast("bigint").alias("e"),
-    )
-    occ = F.count(F.lit(1)).over(Window.partitionBy("gram"))
-    hits = (
-        grams.withColumn("occ", occ)
-        .filter(F.col("occ") >= 2)
-        .select("doc_id", "norm_len", "s", "e")
-    )
+    hits = dup_gram_hits(dup_grams(docs))
     w = Window.partitionBy("doc_id").orderBy("s")
     prev_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
     flagged = hits.withColumn(

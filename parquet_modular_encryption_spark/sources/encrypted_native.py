@@ -94,6 +94,7 @@ def write_encrypted_native(
     mode: str = "overwrite",
     data_page_version: str = "2.0",
     partition_by: list[str] | None = None,
+    internal_key_material: bool = True,
 ) -> None:
     """Distributed encrypted write through Spark's own parquet sink.
 
@@ -105,14 +106,28 @@ def write_encrypted_native(
     readers must decrypt: v2-page encryption is not cross-readable between
     parquet-mr and parquet-cpp (mr keeps rep/def levels outside the
     ciphertext, cpp encrypts the whole page body — an upstream format
-    ambiguity); v1 pages interop cleanly in both directions."""
+    ambiguity); v1 pages interop cleanly in both directions.
+
+    ``internal_key_material=False`` selects the PME spec's EXTERNAL
+    (sidecar) key-material mode: parquet-mr's HadoopFSKeyMaterialStore
+    writes each file's wrapped key material to a
+    ``_KEY_MATERIAL_FOR_<file>.json`` sidecar instead of the footer. The
+    data file alone is then undecryptable (the sidecar is a second
+    removable secret), and — the operational reason the mode exists —
+    master-key rotation can rewrap the ~KB sidecars in place via
+    :func:`rotate_master_keys_native` without rewriting the data files
+    (the reference demos internal material only,
+    write_encrypted_parquet.py:84; in-place rotation is impossible there
+    because footers are immutable)."""
     spark = df.sparkSession
     entries = _common_conf(kms_url, None) | {
         "parquet.encryption.column.keys": policy.spark_column_keys(),
         "parquet.encryption.footer.key": policy.footer_key,
         "parquet.encryption.plaintext.footer": str(policy.plaintext_footer).lower(),
         "parquet.encryption.double.wrapping": "true",
-        "parquet.encryption.key.material.store.internally": "true",
+        "parquet.encryption.key.material.store.internally": (
+            str(internal_key_material).lower()
+        ),
         "parquet.compression.codec.zstd.level": "19",
         "parquet.writer.version": (
             "PARQUET_2_0" if data_page_version == "2.0" else "PARQUET_1_0"
@@ -300,3 +315,40 @@ def rotate_encrypted_native(
         write_encrypted_native(
             df, dst_path, new_policy, kms_url, data_page_version=data_page_version
         )
+
+
+def rotate_master_keys_native(
+    spark: SparkSession,
+    path: str,
+    kms_url: str,
+    token: str = "RESTRICTED",
+) -> None:
+    """IN-PLACE master-key rotation for an EXTERNAL-key-material dataset:
+    parquet-mr's ``KeyToolkit.rotateMasterKeys`` unwraps every sidecar's
+    key material under the old master-key versions (one KMS unwrap per
+    KEK), generates fresh KEKs, rewraps them under the KMS's CURRENT
+    versions, and rewrites only the ``_KEY_MATERIAL_FOR_*.json`` sidecars
+    — the data files (and their DEKs) are untouched, which is why this is
+    O(sidecar bytes), not O(data bytes): the rotation a 100 TB estate can
+    actually afford. Flow: ``KmsServer.rotate(key_id)`` at the KMS, this
+    call per dataset folder, then ``KmsServer.retire_old_versions``.
+
+    ``token`` must carry unwrap privilege for every master key the
+    dataset uses (footer + all column keys). KEK caches are flushed on
+    both sides of the call: parquet-mr's write-path KEK cache could
+    otherwise hand the rotation a pre-rotation KEK, and a later read
+    could decrypt from a stale cache and mask a broken rewrap.
+
+    Raises ``UnsupportedOperationException`` (as a py4j error) for
+    internal-key-material datasets — rotation without rewriting data
+    files is structurally impossible there (footers are immutable)."""
+    jvm = spark.sparkContext._jvm
+    entries = _common_conf(kms_url, token) | {
+        "parquet.encryption.key.material.store.internally": "false",
+    }
+    with _pme_hadoop_conf(spark, entries):
+        conf = spark.sparkContext._jsc.hadoopConfiguration()
+        toolkit = jvm.org.apache.parquet.crypto.keytools.KeyToolkit
+        toolkit.removeCacheEntriesForAllTokens()
+        toolkit.rotateMasterKeys(path, conf)
+        toolkit.removeCacheEntriesForAllTokens()

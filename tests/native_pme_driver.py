@@ -32,7 +32,8 @@ SF = "/root/testdata/sf0.001"
 
 def main() -> None:
     build_jar()
-    with KmsServer() as kms_url:
+    server = KmsServer()
+    with server as kms_url:
         spark = get_spark("native-pme", cores=4, extra_conf=native_session_conf())
         plain = spark.read.parquet(f"{SF}/customer.parquet").coalesce(2)
         expected = sorted(map(tuple, plain.collect()))
@@ -310,6 +311,106 @@ def main() -> None:
             msg = str(exc)
             assert "GCM" in msg or "Tag" in msg or "decrypt" in msg.lower(), msg
         print("OK native_gcm_tamper_detection")
+
+        # 7. EXTERNAL (sidecar) key material — the PME spec capability the
+        # reference never demos (it writes internal material only,
+        # write_encrypted_parquet.py:84): key.material.store.internally=
+        # false puts each file's wrapped key material in a
+        # _KEY_MATERIAL_FOR_<file>.json sidecar. The data file alone must
+        # be undecryptable, and master-key rotation rewraps ONLY the
+        # sidecars in place (KeyToolkit) — no data rewrite.
+        import json as _json
+        import shutil as _shutil
+
+        from parquet_modular_encryption_spark.sources.encrypted_native import (
+            rotate_master_keys_native,
+        )
+
+        write_encrypted_native(
+            plain,
+            f"{scratch}/ext",
+            CUSTOMER_POLICY,
+            kms_url,
+            internal_key_material=False,
+        )
+        data_files = sorted(glob.glob(f"{scratch}/ext/*.parquet"))
+        sidecars = sorted(glob.glob(f"{scratch}/ext/_KEY_MATERIAL_FOR_*.json"))
+        assert data_files and len(sidecars) == len(data_files), (
+            f"{len(sidecars)} sidecars for {len(data_files)} data files"
+        )
+        # HadoopFSKeyMaterialStore layout: one JSON object per file with a
+        # footerKey entry + columnKeyN entries, each a PKMT1 key-material
+        # document (wrapped DEK + wrapped KEK under the master key id)
+        km = _json.loads(open(sidecars[0]).read())
+        footer_km = _json.loads(km["footerKey"])
+        assert footer_km["keyMaterialType"] == "PKMT1", footer_km
+        assert footer_km["doubleWrapping"] is True, footer_km
+        assert any(k.startswith("columnKey") for k in km), km
+        ext = read_encrypted_native(spark, f"{scratch}/ext", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, ext.collect())) == expected
+        ext.unpersist(blocking=True)
+        # the raw data files keep protected values opaque, same as internal
+        raw_ext = b"".join(open(f, "rb").read() for f in data_files)
+        assert all(name not in raw_ext for name in sample_names)
+        print("OK external_key_material_roundtrip")
+
+        # fail-closed: withholding the sidecars makes the dataset
+        # unreadable (the material is a second, removable secret);
+        # restoring them restores the read bit-for-bit
+        hidden = f"{scratch}/hidden_km"
+        _os.makedirs(hidden)
+        for s in sidecars:
+            _shutil.move(s, hidden)
+        try:
+            read_encrypted_native(
+                spark, f"{scratch}/ext", kms_url, "RESTRICTED"
+            ).collect()
+            raise AssertionError("read succeeded without key-material sidecars")
+        except AssertionError:
+            raise
+        except Exception:  # noqa: BLE001 — wrapped JVM crypto error
+            pass
+        for s in glob.glob(f"{hidden}/*"):
+            _shutil.move(s, f"{scratch}/ext/")
+        back_ext = read_encrypted_native(spark, f"{scratch}/ext", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, back_ext.collect())) == expected
+        back_ext.unpersist(blocking=True)
+        print("OK external_sidecar_withheld_fails_closed")
+
+        # in-place master-key rotation, two-phase: (a) KMS derives new KEK
+        # versions (old blobs still unwrap via retained versions), (b)
+        # KeyToolkit rewraps every sidecar under the new versions, (c) the
+        # KMS retires the old versions — after which an UNROTATED control
+        # copy is bricked while the rotated dataset reads identically.
+        # Only sidecar bytes change; data files stay byte-identical.
+        control = f"{scratch}/ext_unrotated"
+        _shutil.copytree(f"{scratch}/ext", control)
+        before_km = {s: open(s, "rb").read() for s in sidecars}
+        before_data = {f: open(f, "rb").read() for f in data_files}
+        for key_id in ("PUBLIC", "INTERNAL", "CONFIDENTIAL"):
+            server.rotate(key_id)
+        rotate_master_keys_native(spark, f"{scratch}/ext", kms_url, "RESTRICTED")
+        assert all(open(s, "rb").read() != before_km[s] for s in sidecars), (
+            "rotation left a sidecar unchanged"
+        )
+        assert all(open(f, "rb").read() == before_data[f] for f in data_files), (
+            "rotation rewrote a data file"
+        )
+        for key_id in ("PUBLIC", "INTERNAL", "CONFIDENTIAL"):
+            server.retire_old_versions(key_id)
+        rot_ext = read_encrypted_native(spark, f"{scratch}/ext", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, rot_ext.collect())) == expected
+        rot_ext.unpersist(blocking=True)
+        try:
+            read_encrypted_native(spark, control, kms_url, "RESTRICTED").collect()
+            raise AssertionError(
+                "unrotated copy still readable after KEK version retirement"
+            )
+        except AssertionError:
+            raise
+        except Exception:  # noqa: BLE001 — 422 unwrap failure from the KMS
+            pass
+        print("OK external_master_key_rotation")
 
         # 6. unpersist contract: releasing the returned frames (whose
         # .unpersist forwards to the internal pinned frame) drains every

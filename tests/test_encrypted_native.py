@@ -23,6 +23,9 @@ EXPECTED = [
     "OK lazy_conf_scoped",
     "OK interop_jvm_to_arrow",
     "OK native_key_rotation",
+    "OK external_key_material_roundtrip",
+    "OK external_sidecar_withheld_fails_closed",
+    "OK external_master_key_rotation",
     "OK unpersist_releases_all",
 ]
 

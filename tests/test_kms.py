@@ -253,3 +253,47 @@ def test_crypto_shred_wire_semantics():
         assert c2.unwrap_key(c2.wrap_key(key, "CONFIDENTIAL"), "CONFIDENTIAL") == key
     finally:
         other.stop()
+
+
+def test_master_key_rotation_versioned_unwrap():
+    """Two-phase master-key rotation at the wire level: after
+    KmsServer.rotate(key_id), blobs wrapped under the OLD version still
+    unwrap (the server retains version history — the grace window in
+    which KeyToolkit rewraps the estate's sidecars), NEW wraps use the
+    new KEK (old != new blob for the same plaintext, since AES-KW is
+    deterministic per key), and retire_old_versions() is the enforcement
+    step: old blobs then fail 422 while new ones keep working. Sibling
+    keys are untouched throughout, and rotating an unknown key raises."""
+    key = bytes(range(32))
+    server = KmsServer().start()
+    try:
+        client = RestKmsClient(server.url, access_token="RESTRICTED")
+        old_blob = client.wrap_key(key, "CONFIDENTIAL")
+        sibling_blob = client.wrap_key(key, "INTERNAL")
+
+        server.rotate("CONFIDENTIAL")
+        # grace window: both old and new blobs unwrap
+        assert client.unwrap_key(old_blob, "CONFIDENTIAL") == key
+        new_blob = client.wrap_key(key, "CONFIDENTIAL")
+        assert new_blob != old_blob, "rotation did not change the KEK"
+        assert client.unwrap_key(new_blob, "CONFIDENTIAL") == key
+
+        server.retire_old_versions("CONFIDENTIAL")
+        with pytest.raises(RuntimeError, match=r"\(422\)"):
+            client.unwrap_key(old_blob, "CONFIDENTIAL")
+        assert client.unwrap_key(new_blob, "CONFIDENTIAL") == key
+        # a second rotation composes (v2 -> v3)
+        server.rotate("CONFIDENTIAL")
+        assert client.unwrap_key(new_blob, "CONFIDENTIAL") == key
+        assert client.unwrap_key(
+            client.wrap_key(key, "CONFIDENTIAL"), "CONFIDENTIAL"
+        ) == key
+
+        # sibling key never rotated: original blob still fine
+        assert client.unwrap_key(sibling_blob, "INTERNAL") == key
+        with pytest.raises(KeyError):
+            server.rotate("NO_SUCH_KEY")
+        with pytest.raises(KeyError):
+            server.retire_old_versions("NO_SUCH_KEY")
+    finally:
+        server.stop()

@@ -461,3 +461,45 @@ def test_global_ordinals_permutation_and_no_single_partition(spark):
     assert got == expect
 
     assert "SinglePartition" not in executed_plan(out)
+
+
+def test_global_ordinals_adversarial_tie_skew(spark):
+    """RangePartitioner stress for q70b: 90% of rows share ONE leading
+    sort-key value (and the rest collapse onto two more), so boundary
+    sampling MUST split ties of the hot key across many partitions —
+    correctness then rests entirely on the partitioner honoring the full
+    composite (k, uniq) ordering and on the offset table stitching the
+    split runs back together. A uniform-ish key test (above) never
+    exercises this: ties crossing partition boundaries is exactly where
+    range-boundary sampling wobbles. Exact agreement with the
+    single-reducer ROW_NUMBER is asserted for every row, plus the
+    no-SinglePartition plan contract."""
+    import random
+
+    from parquet_modular_encryption_spark.operators.window import (
+        _ORDINAL_PARTS,
+        global_ordinals,
+    )
+    from parquet_modular_encryption_spark.plans.explain import executed_plan
+
+    rng = random.Random(23)
+    n = 6000
+    # 90% ties on k=7, remainder on two flanking values; uniq is a
+    # shuffled permutation so arrival order correlates with nothing.
+    rows = [(7 if rng.random() < 0.9 else rng.choice((3, 9)), i) for i in range(n)]
+    rng.shuffle(rows)
+    df = spark.createDataFrame(rows, "k bigint, uniq bigint").repartition(32)
+
+    out = global_ordinals(df, ["k", "uniq"])
+    got = {(r.k, r.uniq): r.ordinal for r in out.collect()}
+    expect = {
+        (k, u): i + 1 for i, (k, u) in enumerate(sorted((k, u) for k, u in rows))
+    }
+    assert got == expect
+
+    # the hot key really does straddle partitions (the scenario under
+    # test): its rows cannot fit the ~n/parts partition budget
+    hot = sum(1 for k, _ in rows if k == 7)
+    assert hot > 2 * (n // _ORDINAL_PARTS), "fixture no longer skewed enough"
+
+    assert "SinglePartition" not in executed_plan(out)
