@@ -177,6 +177,7 @@ EXTENDED = [
     "q56b_pseudonymize",
     "q39d_csv_malformed_modes",
     "q43h_curation_verdict",
+    "q91g_avi_frame_decode",
 ]
 
 

@@ -2382,3 +2382,53 @@ def test_pseudonym_properties(spark):
     t_name = hashlib.sha256(f"{PSEUDO_SECRET}:name:5".encode()).hexdigest()[:PSEUDO_LEN]
     t_nation = hashlib.sha256(f"{PSEUDO_SECRET}:nation:5".encode()).hexdigest()[:PSEUDO_LEN]
     assert t_name != t_nation
+
+
+def test_avi_bi_rgb_roundtrip():
+    """q91g's decoder recovers the exact planted pixels from a
+    spec-correct uncompressed AVI for every (width, height, frame-count)
+    combination the fixture uses — widths are odd, so 1-3 stride-padding
+    bytes per row are always in play, and the row-gradient pattern makes
+    the bottom-up un-flip load-bearing (a flip-forgetting decode produces
+    reversed rows, not equal bytes). A compressed strf must raise: the
+    decoder is honest about its BI_RGB-only scope."""
+    import struct
+
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        _avi_frame_pixels,
+        _avi_params,
+        decode_avi_bi_rgb,
+        encode_avi_bi_rgb,
+    )
+
+    for mid in (0, 41, 82, 123, 164):  # covers all 5 widths / 3 heights
+        w, h, nf = _avi_params(mid)
+        frames = [_avi_frame_pixels(mid, f, w, h) for f in range(nf)]
+        blob = encode_avi_bi_rgb(w, h, frames)
+        rw, rh, back = decode_avi_bi_rgb(blob)
+        assert (rw, rh) == (w, h)
+        assert back == frames, f"pixel mismatch for media {mid}"
+        assert (w * 3) % 4 != 0, "fixture width no longer exercises padding"
+        # header-only parsers still work on the same bytes (q91c interop)
+        from parquet_modular_encryption_spark.pipeline.multimodal import sniff_video
+
+        fmt, sw, sh, sn = sniff_video(blob)
+        assert (fmt, sw, sh, sn) == ("avi", w, h, nf)
+
+    # flipping rows is NOT a no-op: decoded frames differ from a
+    # bottom-up (unflipped) reading whenever h > 1
+    w, h, nf = _avi_params(41)
+    f0 = _avi_frame_pixels(41, 0, w, h)
+    assert f0 != f0[::-1] and decode_avi_bi_rgb(
+        encode_avi_bi_rgb(w, h, [f0])
+    )[2][0] == f0
+
+    # compressed or non-24-bit content is refused, never guessed at
+    blob = bytearray(encode_avi_bi_rgb(w, h, [f0]))
+    i = blob.find(b"strf") + 8
+    comp_off = i + 16  # biSize(4) biWidth(4) biHeight(4) biPlanes+biBitCount(4)
+    blob[comp_off:comp_off + 4] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_avi_bi_rgb(bytes(blob))
