@@ -401,8 +401,11 @@ def frame_sample(media: DataFrame, every_nth: int = 10) -> DataFrame:
 # Dimensions and frame counts live in header boxes, not in the encoded
 # stream — an AVI MainAVIHeader carries dwTotalFrames/dwWidth/dwHeight,
 # an MP4 carries tkhd 16.16-fixed dimensions and the stsz sample count.
-# Decoding PIXELS would need a codec (absent in this environment, and
-# honestly out of scope); sampling WHICH frames to fetch needs only this.
+# Sampling WHICH frames to fetch needs only this; decoding COMPRESSED
+# pixels would need a codec (absent in this environment). Uncompressed
+# (BI_RGB DIB) frame payloads ARE decoded — see q91g below — so the
+# codec boundary is the only remaining line, drawn at exactly the same
+# place the q91e PNG path draws it (zlib in the stdlib vs codecs not).
 
 
 def _parse_avi(b: bytes) -> tuple[int, int, int]:

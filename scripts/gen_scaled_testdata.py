@@ -13,12 +13,19 @@ experiment measures. Two deliberate de-correlations stop the tiling
 itself from manufacturing cross-copy structure that would corrupt the
 measurement:
 
-- documents.text: copy i>0 applies a deterministic per-document token
-  permutation (seeded by (copy, doc_id)). Token frequencies and document
-  lengths are preserved (so BM25/PMI/langid-style costs scale honestly),
-  but shingle/n-gram sets are destroyed across copies — without this,
-  every document would have MULT-1 exact twins and near-dup pair counts
-  would grow ~MULT^2 by construction instead of reflecting the operator.
+- documents.text: copy i>0 applies a BIJECTIVE per-copy token rename
+  (every token gets the copy's suffix). Within a copy this is an
+  isomorphism of the token algebra: shingle sets, document frequencies,
+  duplicate/near-duplicate pairs, and candidate counts are EXACTLY copy
+  0's under relabeling — so per-copy structure replicates and corpus
+  totals scale by MULT, which is what the experiment must measure.
+  Across copies the vocabularies are disjoint, so the tiling cannot
+  manufacture cross-copy near-dup pairs (without this, every document
+  would have MULT-1 exact twins and pair counts would grow ~MULT^2 by
+  construction instead of reflecting the operator). A first cut used a
+  per-DOCUMENT token permutation instead — that destroyed within-copy
+  structure too (two near-dups permute differently), leaving only copy
+  0's pairs; the rename is the correct decorrelation.
 - embeddings.embedding: copy i rolls the vector by i positions. Rolling
   is an inner-product-preserving permutation WITHIN a copy (the kNN/ANN
   topology of each copy replicates sf0.1's exactly) while cross-copy
@@ -34,7 +41,6 @@ Output layout matches /root/testdata: one <table>.parquet FILE per table.
 from __future__ import annotations
 
 import os
-import random
 import sys
 
 import numpy as np
@@ -75,15 +81,12 @@ DOMAIN_SOURCE = {
 }
 
 
-def _permute_documents(tbl: pa.Table, copy_idx: int) -> pa.Table:
+def _rename_documents(tbl: pa.Table, copy_idx: int) -> pa.Table:
+    suffix = f"q{copy_idx}z"
     texts = tbl.column("text").to_pylist()
-    doc_ids = tbl.column("doc_id").to_pylist()
     out_text, out_chars = [], []
-    for doc_id, text in zip(doc_ids, texts):
-        toks = text.split()
-        rng = random.Random((copy_idx << 33) ^ doc_id)
-        rng.shuffle(toks)
-        t = " ".join(toks)
+    for text in texts:
+        t = " ".join(tok + suffix for tok in text.split())
         out_text.append(t)
         out_chars.append(len(t))
     tbl = tbl.set_column(
@@ -142,7 +145,7 @@ def main() -> int:
                 shifted = pc.add(t.column(col), i * domain_size[dom])
                 t = t.set_column(idx, col, pc.cast(shifted, src.schema.field(col).type))
             if i > 0 and name == "documents":
-                t = _permute_documents(t, i)
+                t = _rename_documents(t, i)
             if name == "embeddings":
                 t = _roll_embeddings(t, i)
             copies.append(t)
