@@ -1688,12 +1688,21 @@ def _allpairs_oracle() -> str:
 def shingle_tf(docs: DataFrame) -> DataFrame:
     """(doc_id, g, w): term-frequency sparse vectors over word
     {SHINGLE_N}-gram shingles WITH multiplicity (contrast minhash_signature,
-    which wants the distinct shingle *set*)."""
+    which wants the distinct shingle *set*).
+
+    The shingle-ARRAY frame is localCheckpointed before the explode:
+    codegen inlines a Generate's child, so exploding the LAZY HOF would
+    re-run the tokenize+shingle construction once per output row (the
+    q49c finding — see ppjoin_candidates). This is NOT the post-explode
+    tf checkpoint that the round-8 A/B measured as a loss: the array
+    frame is |docs| rows, its materialization costs ~0.5 s at sf0.1, and
+    q55c's six tf branches each re-run only the cheap explode+hash-agg."""
     toks = docs.select("doc_id", tokens("text").alias("toks"))
+    arrays = toks.select(
+        "doc_id", raw_shingles_from(F.col("toks"), SHINGLE_N).alias("gs")
+    ).localCheckpoint(eager=True)
     return (
-        toks.select(
-            "doc_id", F.explode(raw_shingles_from(F.col("toks"), SHINGLE_N)).alias("g")
-        )
+        arrays.select("doc_id", F.explode("gs").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("w"))
     )
@@ -1954,12 +1963,24 @@ def ppjoin_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     filter indexes only each set's first p = m - ceil(t*m) + 1 tokens in
     rarest-first (document frequency ASC, token) order — see q49c's
     docstring for the superset proof. Exposed so the scale experiment can
-    count the candidate frame at multiple SFs."""
+    count the candidate frame at multiple SFs.
+
+    The shingle-ARRAY frame is localCheckpointed before the explode —
+    the round-9 scale experiment caught q49c at ~4x its recorded cost,
+    and the profile isolated the cause: whole-stage codegen inlines a
+    Generate's child expression, so explode over a LAZY shingle HOF
+    re-evaluates the whole tokenize+shingle construction once per OUTPUT
+    row (~52x the per-document work here; measured 7 s vs 0.1 s for the
+    explode from materialized arrays, with the array build itself only
+    0.5 s). Materializing the ~|docs|-row array frame and exploding
+    lazily makes every one of the five consuming branches (df stats,
+    prefix side, probe side, both verification posting sides) pay only
+    the cheap explode."""
     from pyspark.sql import Window
 
     shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     toks = shingled.select(
         "doc_id", F.size("shingles").alias("m"), F.explode("shingles").alias("tok")
     )

@@ -761,9 +761,16 @@ def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     # No .distinct(): the per-document array_distinct above already makes
     # every exploded (doc_id, fp) row unique, so a distinct here would be
     # a semantic no-op costing one full shuffle of the fingerprint index.
-    return normed.select("doc_id", hashes.alias("h")).select(
-        "doc_id", F.explode(minima).alias("fp")
+    # The fingerprint-ARRAY frame is localCheckpointed before the explode:
+    # codegen inlines a Generate's child, so exploding the lazy minima HOF
+    # would re-run the md5 gram hashing + window minima per emitted
+    # fingerprint (the round-9 q49c finding; md5 dominates this operator).
+    arrays = (
+        normed.select("doc_id", hashes.alias("h"))
+        .select("doc_id", minima.alias("fps"))
+        .localCheckpoint(eager=True)
     )
+    return arrays.select("doc_id", F.explode("fps").alias("fp"))
 
 
 def winnow_candidate_pairs(docs: DataFrame, max_df: int = WINNOW_MAX_DF) -> DataFrame:
@@ -861,19 +868,29 @@ SUBDUP_K = 20
 
 def dup_grams(docs: DataFrame) -> DataFrame:
     """Stage 1 of :func:`dup_substring_spans`: the stride-1 SUBDUP_K-char
-    gram index with positions (pure HOF transform + posexplode)."""
+    gram index with positions (pure HOF transform + posexplode).
+
+    The gram-ARRAY frame is localCheckpointed before the posexplode:
+    whole-stage codegen inlines a Generate's child expression, so
+    exploding the LAZY transform would rebuild the ENTIRE per-document
+    gram array once per emitted gram — O(|doc|^2) character work per
+    document (the round-9 q49c finding, worst here because the fan-out
+    is ~|doc| instead of ~52)."""
     normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
         F.length("norm") >= SUBDUP_K
     )
-    return normed.select(
+    arrays = normed.select(
         "doc_id",
         F.length("norm").cast("bigint").alias("norm_len"),
-        F.posexplode(
-            F.expr(
-                f"transform(sequence(1, length(norm) - {SUBDUP_K} + 1), "
-                f"i -> substr(norm, i, {SUBDUP_K}))"
-            )
-        ).alias("pos0", "gram"),
+        F.expr(
+            f"transform(sequence(1, length(norm) - {SUBDUP_K} + 1), "
+            f"i -> substr(norm, i, {SUBDUP_K}))"
+        ).alias("grams"),
+    ).localCheckpoint(eager=True)
+    return arrays.select(
+        "doc_id",
+        "norm_len",
+        F.posexplode("grams").alias("pos0", "gram"),
     ).select(
         "doc_id",
         "norm_len",
