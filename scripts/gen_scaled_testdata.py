@@ -13,19 +13,23 @@ experiment measures. Two deliberate de-correlations stop the tiling
 itself from manufacturing cross-copy structure that would corrupt the
 measurement:
 
-- documents.text: copy i>0 applies a BIJECTIVE per-copy token rename
-  (every token gets the copy's suffix). Within a copy this is an
-  isomorphism of the token algebra: shingle sets, document frequencies,
-  duplicate/near-duplicate pairs, and candidate counts are EXACTLY copy
-  0's under relabeling — so per-copy structure replicates and corpus
-  totals scale by MULT, which is what the experiment must measure.
-  Across copies the vocabularies are disjoint, so the tiling cannot
-  manufacture cross-copy near-dup pairs (without this, every document
-  would have MULT-1 exact twins and pair counts would grow ~MULT^2 by
-  construction instead of reflecting the operator). A first cut used a
-  per-DOCUMENT token permutation instead — that destroyed within-copy
-  structure too (two near-dups permute differently), leaving only copy
-  0's pairs; the rename is the correct decorrelation.
+- documents.text: copy i>0 applies an INJECTIVE, LENGTH-PRESERVING
+  per-copy token rename (each vocabulary word maps to a same-length
+  pseudo-word derived from md5(copy, token)). Within a copy this is an
+  isomorphism of both the token algebra AND the character geometry:
+  word-shingle sets, document frequencies, near-duplicate pairs, AND
+  stride-1 char-gram structure are EXACTLY copy 0's under relabeling —
+  so per-copy structure replicates and corpus totals scale by MULT,
+  which is what the experiment must measure. Across copies the
+  vocabularies are disjoint, so the tiling cannot manufacture cross-copy
+  pairs (without this, every document would have MULT-1 exact twins and
+  pair counts would grow ~MULT^2 by construction). Two earlier cuts are
+  cautionary tales: a per-DOCUMENT token permutation destroyed
+  within-copy structure (two near-dups permute differently, leaving only
+  copy 0's pairs), and a uniform per-copy token SUFFIX preserved word
+  structure but inflated char-20-gram collisions ~4x (every token ending
+  in the same 3 chars makes unrelated text self-similar at the char
+  level) — the length-preserving rename fixes both.
 - embeddings.embedding: copy i rolls the vector by i positions. Rolling
   is an inner-product-preserving permutation WITHIN a copy (the kNN/ANN
   topology of each copy replicates sf0.1's exactly) while cross-copy
@@ -81,21 +85,41 @@ DOMAIN_SOURCE = {
 }
 
 
+def _copy_token_map(vocab: set[str], copy_idx: int) -> dict[str, str]:
+    """Injective, length-preserving pseudo-word map for one copy: letters
+    from md5(copy, token, probe), same length as the original, linear
+    probing on hash-input collisions (the corpus vocabulary is far
+    smaller than 26^len for every length in play)."""
+    import hashlib
+
+    used: set[str] = set()
+    out: dict[str, str] = {}
+    for tok in sorted(vocab):
+        probe = 0
+        while True:
+            h = hashlib.md5(f"{copy_idx}:{tok}:{probe}".encode()).digest()
+            # repeat the digest if the token is longer than 16 bytes
+            reps = (len(tok) // len(h)) + 1
+            pseudo = "".join(chr(ord("a") + b % 26) for b in (h * reps)[: len(tok)])
+            if pseudo not in used:
+                break
+            probe += 1
+        used.add(pseudo)
+        out[tok] = pseudo
+    return out
+
+
 def _rename_documents(tbl: pa.Table, copy_idx: int) -> pa.Table:
-    suffix = f"q{copy_idx}z"
     texts = tbl.column("text").to_pylist()
-    out_text, out_chars = [], []
-    for text in texts:
-        t = " ".join(tok + suffix for tok in text.split())
-        out_text.append(t)
-        out_chars.append(len(t))
-    tbl = tbl.set_column(
-        tbl.schema.get_field_index("text"), "text", pa.array(out_text, pa.string())
+    vocab = {tok for text in texts for tok in text.split()}
+    mapping = _copy_token_map(vocab, copy_idx)
+    out_text = [" ".join(mapping[tok] for tok in text.split()) for text in texts]
+    # lengths are preserved exactly, so n_chars needs no update — assert it
+    assert all(len(t) == len(o) for t, o in zip(out_text, texts)), (
+        "length-preserving rename changed a document length"
     )
     return tbl.set_column(
-        tbl.schema.get_field_index("n_chars"),
-        "n_chars",
-        pa.array(out_chars, pa.int64()),
+        tbl.schema.get_field_index("text"), "text", pa.array(out_text, pa.string())
     )
 
 
