@@ -53,12 +53,13 @@ HEADLINE = [
 # EXTENDED_CORE is the stable tier of expensive algorithmic operators
 # (exact all-pairs joins, graph fixpoints, ANN serving, perceptual dedup):
 # per-query times appear in the final metric line every round, so
-# round-over-round extended comparisons track a FIXED set. Everything
-# else in EXTENDED is the fast tier — timed identically, but per-query
-# numbers go to stderr + bench_raw.json only, with just the tier total on
-# the metric line (the final line must stay compact: the driver captures
-# a bounded window of stdout, and ~90 per-query entries overflowed it in
-# round 8, truncating the gated headline number out of BENCH_r08.json).
+# round-over-round extended comparisons track a FIXED set. Every other
+# registered query lands in the fast tier — timed identically, but
+# per-query numbers go to stderr + bench_raw.json only, with just the
+# tier total on the metric line (the final line must stay compact: the
+# driver captures a bounded window of stdout, and ~90 per-query entries
+# overflowed it in round 8, truncating the gated headline number out of
+# BENCH_r08.json).
 EXTENDED_CORE = [
     "q45b_winnow_fingerprint",
     "q45c_dup_substring_spans",
@@ -85,100 +86,14 @@ EXTENDED_CORE = [
     "q91f_phash_encrypted",
 ]
 
-EXTENDED = [
-    "q38b_variant_json",
-    "q40_product_profit",
-    "q42b_subword_token_counts",
-    "q43b_doc_chunks",
-    "q43c_dsir_importance",
-    "q43d_chunk_hash_chain",
-    "q53c_bm25_topk",
-    "q53d_hybrid_rrf",
-    "q45b_winnow_fingerprint",
-    "q45c_dup_substring_spans",
-    "q47b_minhash_neardup_salted",
-    "q49b_ngram_jaccard_salted",
-    "q50b_knn_vectorized",
-    "q52b_kmeans_refine",
-    "q54c_ann_quantized",
-    "q54d_ann_ivf",
-    "q54e_ann_ivf_partitioned",
-    "q55b_semdedup",
-    "q57_neardup_clusters",
-    "q57b_pagerank",
-    "q59_fuzzy_match_levenshtein",
-    "q59b_fuzzy_match_salted",
-    "q60b_encrypted_partitioned",
-    "q60c_crypto_shred",
-    "q62b_snapshot_time_travel",
-    "q62d_snapshot_merge_upsert",
-    "q63b_curation_pipeline",
-    "q63c_dedup_pass",
-    "q83_promo_revenue",
-    "q94_small_qty_avg",
-    "q73_term_doc_freq",
-    "q75_train_val_test_split",
-    "q76d_cluster_balanced_sample",
-    "q77_volume_shipping",
-    "q78_market_share",
-    "q80b_min_cost_supplier",
-    "q81_activity_streaks",
-    "q86_salted_aggregation",
-    "q90_embedding_quantization",
-    "q91_multimodal_features",
-    "q95_cdc_latest_wins",
-    "q104_large_volume_customers",
-    "q106_waiting_supplier",
-    "q110_scd2_history",
-    "q111_interval_merge",
-    "q115_epoch_shard_reshuffle",
-    "q116_repetition_filter",
-    "q117_source_cap_sample",
-    "q76c_temperature_mix",
-    "q118_token_budget_sample",
-    "q41b_dup_ngram_chars",
-    "q42c_bpe_merge_train",
-    "q43e_quality_classifier",
-    "q50c_mmr_rerank",
-    "q57c_triangle_count",
-    "q91c_media_header_census",
-    "q42d_word_cooccurrence_pmi",
-    "q43f_pareto_frontier",
-    "q54f_ann_ivfpq",
-    "q88c_heavy_hitters_cms",
-    "q90b_random_projection",
-    "q91d_audio_pcm_features",
-    "q99b_retention_cohorts",
-    "q95c_scd2_point_in_time",
-    "q57d_cc_two_phase",
-    "q63d_incremental_dedup",
-    "q39b_python_datasource",
-    "q70b_global_ordinals",
-    "q46b_bigram_lm_score",
-    "q55c_allpairs_sparse",
-    "q98b_phrase_search",
-    "q91e_phash_neardup",
-    "q43g_chunk_dedup",
-    "q86b_skew_profile",
-    "q88d_join_cardinality",
-    "q50d_hard_negatives",
-    "q46c_oov_rate",
-    "q66b_weighted_median",
-    "q47c_minhash_error_audit",
-    "q63e_chunk_dedup_rewrite",
-    "q91f_phash_encrypted",
-    "q54g_ann_recall_report",
-    "q39c_python_datasource_sink",
-    "q88e_drift_report",
-    "q49c_jaccard_ppjoin",
-    "q97b_ohlc_bars",
-    "q97c_rolling_anomaly",
-    "q92c_incremental_rollup",
-    "q56b_pseudonymize",
-    "q39d_csv_malformed_modes",
-    "q43h_curation_verdict",
-    "q91g_avi_frame_decode",
-]
+# Fast tier: EVERY registered query not already in the headline or core
+# tiers, computed from the registry at run time. Round-9 lesson: q61b
+# sat outside the hand-maintained list and hid a 15.7 s hot spot for two
+# rounds — a dynamic tier means a newly registered query is benched the
+# round it lands, with per-query fault isolation already in place.
+def _fast_tier(registry) -> list[str]:
+    covered = set(HEADLINE) | set(EXTENDED_CORE)
+    return [n for n in sorted(registry) if n not in covered]
 
 
 def main() -> None:
@@ -271,7 +186,7 @@ def main() -> None:
     core_set = set(EXTENDED_CORE)
     core: dict[str, float] = {}
     fast: dict[str, float] = {}
-    for name in EXTENDED_CORE + [n for n in EXTENDED if n not in core_set]:
+    for name in EXTENDED_CORE + _fast_tier(registry):
         q = registry.get(name)
         if q is None:
             continue

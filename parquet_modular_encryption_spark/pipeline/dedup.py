@@ -460,7 +460,10 @@ def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin for corpora where one source × length bucket dominates."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    sh = _ngram_blocked_shingles(docs)
+    # localCheckpoint (q49b already does this): the self-join otherwise
+    # re-evaluates the lazy tokenize+shingle construction per joined PAIR
+    # on both sides — measured 4.2 s -> ~1.5 s at sf0.1 (round 9).
+    sh = _ngram_blocked_shingles(docs).localCheckpoint(eager=True)
     a = sh.alias("a")
     b = sh.alias("b")
     jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
@@ -777,9 +780,14 @@ def q58_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     docs = load(spark, sf_dir, "documents")
+    # localCheckpoint: approxSimilarityJoin self-joins feats, which would
+    # otherwise re-run the lazy tokenize+shingle+HashingTF lineage on both
+    # join sides and inside the hash-explode (measured 16.0 s -> 3.1 s at
+    # sf0.1, round 9 — the Generate-inlining finding applied to the ML
+    # pipeline's own explode).
     shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
         "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
-    )
+    ).localCheckpoint(eager=True)
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -1197,12 +1205,23 @@ def q61b_contamination_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(
         F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b", "train"
     ).otherwise("eval")
-    shingled = docs.select(
+    # Two disciplines from the round-9 profile (15.7 s -> ~2 s at sf0.1):
+    # tokens() projected into a column BEFORE shingling — nesting
+    # tokens(normalized(text)) inside shingles_from inlines the regex
+    # split into the transform lambda, re-running it once per element_at
+    # (O(n^2) splits per doc; the exact pitfall functions/text.py:53
+    # documents) — and the array frame localCheckpointed before the
+    # explode (the Generate-inlining finding, see ppjoin_candidates),
+    # since it feeds BOTH the train and eval branches.
+    arrays = docs.select(
+        "doc_id", split.alias("split"), tokens(normalized("text")).alias("toks")
+    ).select(
         "doc_id",
-        split.alias("split"),
-        F.explode(
-            shingles_from(tokens(normalized("text")), CONTAM_SHINGLE_N)
-        ).alias("shingle"),
+        "split",
+        shingles_from(F.col("toks"), CONTAM_SHINGLE_N).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    shingled = arrays.select(
+        "doc_id", "split", F.explode("shingles").alias("shingle")
     )
     tr = shingled.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "shingle"

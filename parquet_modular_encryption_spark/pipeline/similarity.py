@@ -1004,11 +1004,14 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
             key = bit if key is None else key + bit
         band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    # localCheckpoint: both sides of the bucket self-join consume bands,
+    # which would otherwise re-run the 16-plane projection per side
+    # (round-9 materialization discipline; ~1.5 s of the 3.7 s at sf0.1).
     bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "vec_id",
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         bands.alias("a")
         .join(
