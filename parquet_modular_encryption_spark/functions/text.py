@@ -73,15 +73,8 @@ def shingles_from(toks: Column, n: int = 3) -> Column:
     )
 
 
-def word_shingles(c: Column | str, n: int = 3) -> Column:
-    """Shingles straight from a text column — convenience form for small
-    inputs; hot paths should project ``tokens()`` first and use
-    :func:`shingles_from`."""
-    return shingles_from(tokens(c), n)
-
-
 def sql_word_shingles(toks_expr: str, n: int = 3) -> str:
-    """DuckDB twin of :func:`word_shingles`.
+    """DuckDB twin of :func:`shingles_from` over a token-list expression.
 
     ``toks_expr`` should be a (cheap) reference to an already-computed token
     list column — it is referenced n+2 times.

@@ -59,10 +59,15 @@ SHINGLE_N = 3
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, sig_0..sig_7): MinHash signature over distinct word shingles."""
-    sh = df.select(F.col(id_col), tokens(text_col).alias("toks")).select(
-        F.col(id_col), F.explode(shingles_from(F.col("toks"), SHINGLE_N)).alias("shingle")
-    )
+    """(id, sig_0..sig_7): MinHash signature over distinct word shingles.
+
+    Array-checkpoint before the explode (round-9 discipline, enforced by
+    scripts/lint.py): exploding the lazy shingle HOF re-runs the whole
+    construction per emitted shingle."""
+    arrays = df.select(F.col(id_col), tokens(text_col).alias("toks")).select(
+        F.col(id_col), shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
+    ).localCheckpoint(eager=True)
+    sh = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
     hv = hash60(F.col("shingle")) % P
     aggs = [
         F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
@@ -1087,10 +1092,15 @@ def q61_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         split.alias("split"),
         tokens(normalized("text")).alias("toks"),
     )
-    shingled = tokenized.select(
+    # array-checkpoint before the explode (round-9 discipline, enforced
+    # by scripts/lint.py; this frame also feeds both ev and tr branches)
+    arrays = tokenized.select(
         "doc_id",
         "split",
-        F.explode(shingles_from(F.col("toks"), CONTAM_SHINGLE_N)).alias("shingle"),
+        shingles_from(F.col("toks"), CONTAM_SHINGLE_N).alias("shingles"),
+    ).localCheckpoint(eager=True)
+    shingled = arrays.select(
+        "doc_id", "split", F.explode("shingles").alias("shingle")
     )
     ev = shingled.filter(F.col("split") == "eval").select(
         F.col("doc_id").alias("eval_doc"), F.col("shingle")

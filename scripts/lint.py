@@ -28,6 +28,47 @@ TARGETS = [
 ]
 
 
+#: Plan anti-patterns the round-9 profiles measured at 4-50x slowdowns.
+#: Each entry: (regex, why). Scanned over package source only (tests may
+#: deliberately construct them to prove the cost).
+ANTIPATTERNS = [
+    (
+        r"explode\(\s*(raw_)?shingles_from\(",
+        "explode over a lazy shingle HOF: codegen inlines the Generate "
+        "child, re-running the whole array construction per OUTPUT row "
+        "(~50x at shingle fan-out). Project the array, localCheckpoint "
+        "the |docs|-row frame, then explode the column — see "
+        "ppjoin_candidates (q49c: 19-25 s -> 5.6 s).",
+    ),
+    (
+        r"shingles_from\(\s*tokens\(",
+        "tokens() nested inside shingles_from: the regex split is inlined "
+        "into the transform lambda and re-runs once per element_at — "
+        "O(n^2) splits per document. Project tokens() into a column "
+        "first — see q61b (15.7 s -> 1.9 s).",
+    ),
+]
+
+
+def scan_antipatterns() -> list[str]:
+    import re
+
+    findings = []
+    pkg = os.path.join(REPO, "parquet_modular_encryption_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        for fname in files:
+            if not fname.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, fname)
+            src = open(path).read()
+            for pat, why in ANTIPATTERNS:
+                for m in re.finditer(pat, src):
+                    line = src.count("\n", 0, m.start()) + 1
+                    rel = os.path.relpath(path, REPO)
+                    findings.append(f"{rel}:{line}: {why}")
+    return findings
+
+
 def main() -> int:
     ok = True
     for target in TARGETS:
@@ -38,6 +79,13 @@ def main() -> int:
             ok &= bool(compileall.compile_dir(path, quiet=2))
     if not ok:
         print("lint: FAIL (syntax)")
+        return 1
+
+    findings = scan_antipatterns()
+    if findings:
+        print("lint: FAIL (plan anti-patterns)")
+        for f in findings:
+            print(f"  {f}")
         return 1
 
     ruff = shutil.which("ruff")

@@ -172,23 +172,31 @@ def main() -> int:
         report["scales"][label] = entry
 
     labels = list(report["scales"])
-    if len(labels) == 2:
-        a, b = (report["scales"][x] for x in labels)
-        growth = b["candidates"]["n_docs"] / a["candidates"]["n_docs"]
-        ratios = {
-            "data_growth": round(growth, 2),
-            "headline_total": round(b["headline_total"] / a["headline_total"], 2),
-            "heavy_total": round(b["heavy_total"] / a["heavy_total"], 2),
-            "times": {
-                n: round(b["times"][n] / max(a["times"][n], 1e-3), 2)
-                for n in HEADLINE + HEAVY
-            },
-            "candidates": {
-                k: round(b["candidates"][k] / max(a["candidates"][k], 1), 2)
-                for k in a["candidates"]
-            },
-        }
-        report["scale_ratios"] = ratios
+    if len(labels) >= 2:
+        # ratios of every later point vs the FIRST (baseline) point —
+        # with >= 3 points the per-step ratios distinguish O(n) from
+        # O(n log n) where a single 10x step cannot
+        a = report["scales"][labels[0]]
+        report["scale_ratios"] = {}
+        for lbl in labels[1:]:
+            b = report["scales"][lbl]
+            report["scale_ratios"][f"{labels[0]}->{lbl}"] = {
+                "data_growth": round(
+                    b["candidates"]["n_docs"] / a["candidates"]["n_docs"], 2
+                ),
+                "headline_total": round(
+                    b["headline_total"] / a["headline_total"], 2
+                ),
+                "heavy_total": round(b["heavy_total"] / a["heavy_total"], 2),
+                "times": {
+                    n: round(b["times"][n] / max(a["times"][n], 1e-3), 2)
+                    for n in HEADLINE + HEAVY
+                },
+                "candidates": {
+                    k: round(b["candidates"][k] / max(a["candidates"][k], 1), 2)
+                    for k in a["candidates"]
+                },
+            }
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"out": out_path, **report.get("scale_ratios", {})}))
