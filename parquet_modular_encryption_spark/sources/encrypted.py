@@ -70,11 +70,43 @@ def _resolve_kms_url(spark: SparkSession, kms_url: str | None) -> str:
     return shared_kms_url()
 
 
-def _encryption_config(policy: EncryptionPolicy) -> pe.EncryptionConfiguration:
+#: The two ciphers the PME spec defines (parquet-format Encryption.md):
+#: AES_GCM_V1 authenticates every module; AES_GCM_CTR_V1 keeps GCM for
+#: footer/metadata modules but encrypts data-page bodies with CTR — no
+#: per-page auth tag, so decrypt is cheaper and the trade is integrity:
+#: a flipped ciphertext byte in a data page decrypts to silently wrong
+#: values instead of failing (pinned by test_gcm_ctr_tamper_semantics).
+PME_ALGORITHMS = ("AES_GCM_V1", "AES_GCM_CTR_V1")
+
+
+def _check_algorithm(algorithm: str) -> str:
+    if algorithm not in PME_ALGORITHMS:
+        raise ValueError(f"algorithm must be one of {PME_ALGORITHMS}, got {algorithm!r}")
+    return algorithm
+
+
+def _encryption_config(
+    policy: EncryptionPolicy, algorithm: str = "AES_GCM_V1"
+) -> pe.EncryptionConfiguration:
+    if algorithm == "AES_GCM_CTR_V1" and policy.plaintext_footer:
+        # Empirical upstream defect (pyarrow 16.1.0): the CTR writer in
+        # plaintext-footer mode emits files whose signed footer declares
+        # one cipher while pages are encrypted with another — unreadable
+        # by Arrow itself ("Failed decryption finalization") AND by
+        # parquet-mr (AEADBadTagException on the first dictionary page).
+        # Encrypted-footer CTR files are fine, and parquet-mr writes
+        # plaintext-footer CTR correctly (tests/native_pme_driver.py 8/8b),
+        # so the gate is exactly this one writer combination.
+        raise ValueError(
+            "AES_GCM_CTR_V1 on the Arrow writer requires an encrypted "
+            "footer (policy.plaintext_footer=False): pyarrow's plaintext-"
+            "footer CTR files are internally inconsistent and unreadable "
+            "by any engine. Use the native writer for plaintext-footer CTR."
+        )
     return pe.EncryptionConfiguration(
         footer_key=policy.footer_key,
         column_keys=policy.column_keys(),
-        encryption_algorithm="AES_GCM_V1",
+        encryption_algorithm=_check_algorithm(algorithm),
         cache_lifetime=CACHE_LIFETIME,
         data_key_length_bits=256,
         double_wrapping=True,
@@ -83,7 +115,9 @@ def _encryption_config(policy: EncryptionPolicy) -> pe.EncryptionConfiguration:
     )
 
 
-def _file_encryption_properties(kms_url: str, policy: EncryptionPolicy):
+def _file_encryption_properties(
+    kms_url: str, policy: EncryptionPolicy, algorithm: str = "AES_GCM_V1"
+):
     from parquet_modular_encryption_spark.crypto.kms_client import (
         connection_config,
         crypto_factory,
@@ -91,7 +125,7 @@ def _file_encryption_properties(kms_url: str, policy: EncryptionPolicy):
 
     factory = crypto_factory()
     return factory.file_encryption_properties(
-        connection_config(kms_url, None), _encryption_config(policy)
+        connection_config(kms_url, None), _encryption_config(policy, algorithm)
     )
 
 
@@ -116,12 +150,21 @@ def write_encrypted(
     compression: str = "zstd",
     compression_level: int = 19,
     data_page_version: str = "2.0",
+    algorithm: str = "AES_GCM_V1",
 ) -> int:
     """Distributed encrypted write: one encrypted parquet file per Spark
     partition, written executor-side. Returns the number of files.
 
     Writer config matches the reference exactly: zstd at level 19 and
-    DataPage v2 (reference write_encrypted_parquet.py:23-25)."""
+    DataPage v2 (reference write_encrypted_parquet.py:23-25).
+
+    ``algorithm="AES_GCM_CTR_V1"`` selects the spec's second cipher
+    (see :data:`PME_ALGORITHMS` for the integrity trade-off); the
+    reference demos GCM only (write_encrypted_parquet.py:70)."""
+    # Validate algorithm AND the policy×algorithm combination driver-side,
+    # before any partition task runs (the per-task config build would only
+    # surface the error as an opaque executor failure).
+    _encryption_config(policy, algorithm)
     kms_url = _resolve_kms_url(df.sparkSession, kms_url)
     os.makedirs(path, exist_ok=True)
 
@@ -141,7 +184,9 @@ def write_encrypted(
                         compression=compression,
                         compression_level=compression_level,
                         data_page_version=data_page_version,
-                        encryption_properties=_file_encryption_properties(kms_url, policy),
+                        encryption_properties=_file_encryption_properties(
+                            kms_url, policy, algorithm
+                        ),
                     )
                 writer.write_batch(batch)
                 n_rows += batch.num_rows
@@ -167,7 +212,9 @@ def read_encrypted(
 ) -> DataFrame:
     """Distributed decrypting scan: schema from the plaintext footer (no
     key needed), file-granular parallel decryption on executors, projection
-    pushed into the Arrow scanner."""
+    pushed into the Arrow scanner. Encrypted-footer files (PARE magic) fall
+    back to a driver-side decrypting schema read — one KMS unwrap of the
+    footer key, still no data scanned."""
     kms_url = _resolve_kms_url(spark, kms_url)
     files = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
@@ -176,7 +223,13 @@ def read_encrypted(
         raise FileNotFoundError(f"no parquet files under {path}")
 
     # Plaintext footer => schema discovery needs no KMS call (README.md:49-54).
-    arrow_schema = pq.read_schema(files[0])
+    try:
+        arrow_schema = pq.read_schema(files[0])
+    except (pa.ArrowException, OSError):  # ArrowIOError surfaces as OSError
+        arrow_schema = pq.ParquetFile(
+            files[0],
+            decryption_properties=_file_decryption_properties(kms_url, token),
+        ).schema_arrow
     if columns:
         arrow_schema = pa.schema([arrow_schema.field(c) for c in columns])
     spark_schema = _spark_schema_from_arrow(spark, arrow_schema)

@@ -95,6 +95,10 @@ def write_encrypted_native(
     data_page_version: str = "2.0",
     partition_by: list[str] | None = None,
     internal_key_material: bool = True,
+    algorithm: str = "AES_GCM_V1",
+    complete_columns: bool = False,
+    compression: str = "zstd",
+    extra_conf: dict[str, str] | None = None,
 ) -> None:
     """Distributed encrypted write through Spark's own parquet sink.
 
@@ -118,13 +122,32 @@ def write_encrypted_native(
     :func:`rotate_master_keys_native` without rewriting the data files
     (the reference demos internal material only,
     write_encrypted_parquet.py:84; in-place rotation is impossible there
-    because footers are immutable)."""
+    because footers are immutable).
+
+    ``algorithm="AES_GCM_CTR_V1"`` selects the PME spec's second cipher:
+    footer/metadata modules stay GCM-authenticated but data-page bodies
+    are CTR-encrypted with no per-page auth tag — cheaper decrypt, and
+    the documented trade is that a tampered data page decrypts to
+    silently wrong values instead of raising (the GCM/CTR tamper
+    semantics are pinned side-by-side in tests/test_encryption.py).
+
+    ``complete_columns=True`` sets parquet-mr's complete-column-encryption
+    mode (FileEncryptionProperties.withCompleteColumnEncryption): every
+    schema column NOT in the policy is encrypted with the FOOTER key
+    instead of being silently stored plaintext — the safety rail for
+    sensitive datasets where "unlisted ⇒ plaintext" (the reference's `id`
+    column behavior, README.md:126-127) is the wrong default. Incompatible
+    with uniform mode (see :func:`write_encrypted_uniform_native`)."""
+    from parquet_modular_encryption_spark.sources.encrypted import _check_algorithm
+
     spark = df.sparkSession
     entries = _common_conf(kms_url, None) | {
         "parquet.encryption.column.keys": policy.spark_column_keys(),
         "parquet.encryption.footer.key": policy.footer_key,
         "parquet.encryption.plaintext.footer": str(policy.plaintext_footer).lower(),
         "parquet.encryption.double.wrapping": "true",
+        "parquet.encryption.algorithm": _check_algorithm(algorithm),
+        "parquet.encryption.complete.columns": str(complete_columns).lower(),
         "parquet.encryption.key.material.store.internally": (
             str(internal_key_material).lower()
         ),
@@ -132,9 +155,9 @@ def write_encrypted_native(
         "parquet.writer.version": (
             "PARQUET_2_0" if data_page_version == "2.0" else "PARQUET_1_0"
         ),
-    }
+    } | (extra_conf or {})
     with _pme_hadoop_conf(spark, entries):
-        writer = df.write.mode(mode).option("compression", "zstd")
+        writer = df.write.mode(mode).option("compression", compression)
         if partition_by:
             # Hive-partitioned encrypted dataset: every leaf file is PME-
             # encrypted while the partition directory names stay plaintext
@@ -144,6 +167,39 @@ def write_encrypted_native(
             # date-partitioned read touches only the matching days' files.
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+
+
+def write_encrypted_uniform_native(
+    df: DataFrame,
+    path: str,
+    key_id: str,
+    kms_url: str,
+    mode: str = "overwrite",
+    algorithm: str = "AES_GCM_V1",
+) -> None:
+    """UNIFORM encryption mode (parquet-mr ``parquet.encryption.uniform.key``):
+    one key encrypts every column AND the footer. The spec's simplest
+    deployment shape — no per-column policy, no plaintext footer, so even
+    the schema is opaque without the key (the opposite end of the spectrum
+    from the reference's partial-protection demo, README.md:49-54).
+    parquet-mr forbids footer/column key confs alongside the uniform key,
+    so this writer is a separate entry point rather than a flag on
+    :func:`write_encrypted_native`.
+
+    Use when the whole dataset is at ONE privilege level: a single KMS
+    unwrap per file serves the entire read, metadata included — the
+    cheapest KMS load profile at 100 TB file counts."""
+    from parquet_modular_encryption_spark.sources.encrypted import _check_algorithm
+
+    spark = df.sparkSession
+    entries = _common_conf(kms_url, None) | {
+        "parquet.encryption.uniform.key": key_id,
+        "parquet.encryption.algorithm": _check_algorithm(algorithm),
+        "parquet.compression.codec.zstd.level": "19",
+        "parquet.writer.version": "PARQUET_2_0",
+    }
+    with _pme_hadoop_conf(spark, entries):
+        df.write.mode(mode).option("compression", "zstd").parquet(path)
 
 
 def read_encrypted_native(

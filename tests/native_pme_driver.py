@@ -412,6 +412,179 @@ def main() -> None:
             pass
         print("OK external_master_key_rotation")
 
+        # 8. AES_GCM_CTR_V1 — the PME spec's second cipher (the reference
+        # demos GCM only, write_encrypted_parquet.py:70): footer/metadata
+        # modules stay GCM-authenticated, data-page bodies go CTR with no
+        # per-page auth tag. Round-trip + opacity first.
+        write_encrypted_native(
+            plain, f"{scratch}/ctr", CUSTOMER_POLICY, kms_url,
+            algorithm="AES_GCM_CTR_V1",
+        )
+        ctr = read_encrypted_native(spark, f"{scratch}/ctr", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, ctr.collect())) == expected
+        ctr.unpersist(blocking=True)
+        raw_ctr = b"".join(
+            open(f, "rb").read() for f in glob.glob(f"{scratch}/ctr/*.parquet")
+        )
+        assert all(name not in raw_ctr for name in sample_names)
+        print("OK gcm_ctr_roundtrip")
+
+        # 8b. GCM_CTR cross-engine interop, both directions (v1 pages for
+        # the same parquet-mr/parquet-cpp reason as steps 4/5). The Arrow
+        # WRITE direction needs an encrypted footer: pyarrow's plaintext-
+        # footer CTR writer emits internally inconsistent files (the gate
+        # in sources/encrypted.py documents the upstream defect), while
+        # parquet-mr handles plaintext-footer CTR fine.
+        import dataclasses
+
+        write_encrypted_native(
+            plain, f"{scratch}/ctr_v1", CUSTOMER_POLICY, kms_url,
+            algorithm="AES_GCM_CTR_V1", data_page_version="1.0",
+        )
+        t_ctr = read_encrypted_arrow(
+            f"{scratch}/ctr_v1", token="RESTRICTED", kms_url=kms_url
+        )
+        assert sorted(tuple(r.values()) for r in t_ctr.to_pylist()) == expected
+        write_encrypted(
+            plain,
+            f"{scratch}/ctr_arrow",
+            dataclasses.replace(CUSTOMER_POLICY, plaintext_footer=False),
+            kms_url=kms_url,
+            data_page_version="1.0",
+            algorithm="AES_GCM_CTR_V1",
+        )
+        via_native_ctr = read_encrypted_native(
+            spark, f"{scratch}/ctr_arrow", kms_url, "RESTRICTED"
+        )
+        assert sorted(map(tuple, via_native_ctr.collect())) == expected
+        via_native_ctr.unpersist(blocking=True)
+        print("OK gcm_ctr_interop_both_ways")
+
+        # 8c. The integrity trade, pinned side-by-side: flip the SAME tail
+        # bytes of the c_acctbal chunk in a GCM file and a CTR file
+        # (uncompressed, dictionary off, one file — so the flipped bytes
+        # are PLAIN-encoded doubles in the last data module's ciphertext).
+        # GCM must fail the tag check; CTR must read back SILENTLY WRONG
+        # values — same row count, different numbers. That asymmetry IS
+        # the documented reason to pick one cipher over the other.
+        tampered = {}
+        for algo, sub in (("AES_GCM_V1", "tgcm"), ("AES_GCM_CTR_V1", "tctr")):
+            write_encrypted_native(
+                plain.coalesce(1), f"{scratch}/{sub}", CUSTOMER_POLICY, kms_url,
+                algorithm=algo, compression="none",
+                extra_conf={"parquet.enable.dictionary": "false"},
+            )
+            for crc in glob.glob(f"{scratch}/{sub}/.*.crc"):
+                _os.remove(crc)
+            tfile = glob.glob(f"{scratch}/{sub}/*.parquet")[0]
+            props_t = enc._crypto_factory_for_tasks().file_decryption_properties(
+                enc._connection_config_for_tasks(kms_url, "RESTRICTED"),
+                pe.DecryptionConfiguration(cache_lifetime=enc.CACHE_LIFETIME),
+            )
+            rg_t = pq.ParquetFile(
+                tfile, decryption_properties=props_t
+            ).metadata.row_group(0)
+            acct_t = next(
+                rg_t.column(i)
+                for i in range(rg_t.num_columns)
+                if rg_t.column(i).path_in_schema == "c_acctbal"
+            )
+            chunk_end = acct_t.data_page_offset + acct_t.total_compressed_size
+            raw_t = bytearray(open(tfile, "rb").read())
+            # last ciphertext bytes before the module tail: inside the GCM
+            # tag (or the bytes it authenticates) on the GCM file, inside
+            # the final PLAIN doubles on the CTR file
+            for i in range(chunk_end - 24, chunk_end - 16):
+                raw_t[i] ^= 0xFF
+            open(tfile, "wb").write(bytes(raw_t))
+            tampered[algo] = f"{scratch}/{sub}"
+        try:
+            read_encrypted_native(
+                spark, tampered["AES_GCM_V1"], kms_url, "RESTRICTED"
+            ).collect()
+            raise AssertionError("tampered GCM file read back silently")
+        except AssertionError:
+            raise
+        except Exception as exc:  # noqa: BLE001 — wrapped JVM GCM error
+            msg = str(exc)
+            assert "GCM" in msg or "Tag" in msg or "decrypt" in msg.lower(), msg
+        got_ctr = read_encrypted_native(
+            spark, tampered["AES_GCM_CTR_V1"], kms_url, "RESTRICTED"
+        )
+        rows_ctr = sorted(map(tuple, got_ctr.collect()))
+        got_ctr.unpersist(blocking=True)
+        assert len(rows_ctr) == len(expected), "CTR tamper changed row count"
+        assert rows_ctr != expected, (
+            "CTR read returned the original values despite ciphertext flips"
+        )
+        print("OK gcm_ctr_tamper_semantics")
+
+        # 9. UNIFORM encryption (parquet.encryption.uniform.key): one key
+        # for every column AND the footer — even the schema is opaque
+        # without it. Encrypted-footer files end in the PARE magic, not
+        # PAR1 (parquet-format Encryption.md), and a keyless schema read
+        # fails; an authorized native read round-trips; a weaker token is
+        # denied at the footer key.
+        from parquet_modular_encryption_spark.sources.encrypted_native import (
+            write_encrypted_uniform_native,
+        )
+
+        write_encrypted_uniform_native(
+            plain, f"{scratch}/uniform", "CONFIDENTIAL", kms_url
+        )
+        ufile = glob.glob(f"{scratch}/uniform/*.parquet")[0]
+        assert open(ufile, "rb").read()[-4:] == b"PARE", "expected encrypted-footer magic"
+        try:
+            pq.read_schema(ufile)
+            raise AssertionError("keyless schema read of an encrypted footer")
+        except AssertionError:
+            raise
+        except Exception:  # noqa: BLE001 — arrow refuses the PARE footer
+            pass
+        uni = read_encrypted_native(spark, f"{scratch}/uniform", kms_url, "CONFIDENTIAL")
+        assert sorted(map(tuple, uni.collect())) == expected
+        uni.unpersist(blocking=True)
+        try:
+            read_encrypted_native(
+                spark, f"{scratch}/uniform", kms_url, "PUBLIC"
+            ).collect()
+            raise AssertionError("PUBLIC token opened a CONFIDENTIAL-uniform file")
+        except AssertionError:
+            raise
+        except Exception as exc:  # noqa: BLE001
+            assert "KeyAccessDenied" in str(exc) or "not authorized" in str(exc), exc
+        raw_uni = open(ufile, "rb").read()
+        assert all(name not in raw_uni for name in sample_names)
+        print("OK uniform_encryption")
+
+        # 9b. complete-column encryption: with the SAME partial policy,
+        # complete_columns=True encrypts the unlisted c_custkey with the
+        # footer key instead of leaving it plaintext. In step 1's file a
+        # plain reader can read c_custkey; here it must fail — and the
+        # authorized read still round-trips everything.
+        write_encrypted_native(
+            plain, f"{scratch}/complete", CUSTOMER_POLICY, kms_url,
+            complete_columns=True,
+        )
+        cfile = glob.glob(f"{scratch}/complete/*.parquet")[0]
+        nfile = glob.glob(f"{scratch}/native/*.parquet")[0]
+        assert pq.ParquetFile(nfile).read(columns=["c_custkey"]).num_rows == len(
+            expected
+        ), "baseline: unlisted column should be plaintext-readable"
+        try:
+            pq.ParquetFile(cfile).read(columns=["c_custkey"])
+            raise AssertionError(
+                "complete-column file served c_custkey to a keyless reader"
+            )
+        except AssertionError:
+            raise
+        except Exception:  # noqa: BLE001 — encrypted chunk, no keys
+            pass
+        comp = read_encrypted_native(spark, f"{scratch}/complete", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, comp.collect())) == expected
+        comp.unpersist(blocking=True)
+        print("OK complete_column_encryption")
+
         # 6. unpersist contract: releasing the returned frames (whose
         # .unpersist forwards to the internal pinned frame) drains every
         # decrypted block from executor memory — plaintext does not outlive

@@ -23,9 +23,15 @@ EXPECTED = [
     "OK lazy_conf_scoped",
     "OK interop_jvm_to_arrow",
     "OK native_key_rotation",
+    "OK native_gcm_tamper_detection",
     "OK external_key_material_roundtrip",
     "OK external_sidecar_withheld_fails_closed",
     "OK external_master_key_rotation",
+    "OK gcm_ctr_roundtrip",
+    "OK gcm_ctr_interop_both_ways",
+    "OK gcm_ctr_tamper_semantics",
+    "OK uniform_encryption",
+    "OK complete_column_encryption",
     "OK unpersist_releases_all",
 ]
 
@@ -35,7 +41,7 @@ def test_native_pme_end_to_end():
         [sys.executable, os.path.join(REPO, "tests", "native_pme_driver.py"), REPO],
         capture_output=True,
         text=True,
-        timeout=280,
+        timeout=420,
     )
     assert proc.returncode == 0, f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-3000:]}"
     for line in EXPECTED:

@@ -422,3 +422,61 @@ def test_gcm_tamper_detection(spark, people_path, tmp_path):
         for r in read_encrypted(spark, people_path, token="RESTRICTED").collect()
     )
     assert got == sorted(PEOPLE_ROWS)
+
+
+def test_gcm_ctr_roundtrip_arrow(spark, tmp_path):
+    """AES_GCM_CTR_V1 on the Arrow path — the PME spec's second cipher
+    (the reference demos GCM only, write_encrypted_parquet.py:70):
+    round-trip fidelity, on-disk opacity, and the access matrix still
+    enforced (the cipher changes page encryption, not key wrapping or
+    authorization). CTR on this writer requires an ENCRYPTED footer
+    (upstream pyarrow defect with plaintext-footer CTR, documented at
+    the gate in sources/encrypted.py), which also exercises the
+    encrypted-footer schema-discovery fallback in read_encrypted. The
+    GCM-vs-CTR tamper-semantics asymmetry is pinned on the parquet-mr
+    path in tests/native_pme_driver.py step 8c."""
+    import dataclasses
+    import glob
+
+    df = spark.createDataFrame(PEOPLE_ROWS, PEOPLE_SCHEMA)
+    path = str(tmp_path / "ctr")
+    ctr_policy = dataclasses.replace(PEOPLE_POLICY, plaintext_footer=False)
+    write_encrypted(df, path, ctr_policy, algorithm="AES_GCM_CTR_V1")
+
+    # encrypted footer: PARE magic, keyless schema read refused
+    f0 = sorted(glob.glob(f"{path}/*.parquet"))[0]
+    assert open(f0, "rb").read()[-4:] == b"PARE"
+    with pytest.raises(Exception):
+        pq.read_schema(f0)
+
+    got = sorted(
+        tuple(r) for r in read_encrypted(spark, path, token="RESTRICTED").collect()
+    )
+    assert got == sorted(PEOPLE_ROWS)
+
+    raw = b"".join(open(f, "rb").read() for f in glob.glob(f"{path}/*.parquet"))
+    assert b"Truk" not in raw and b"123-45-6789" not in raw
+
+    with pytest.raises(Exception, match="(?i)unwrap|denied|authoriz|403"):
+        read_encrypted(
+            spark, path, token="PUBLIC", columns=["id", "social_security_number"]
+        ).collect()
+
+
+def test_ctr_plaintext_footer_combination_gated(spark, tmp_path):
+    """The broken writer combination (CTR + plaintext footer) fails fast
+    at the API boundary with the upstream defect explained — before any
+    file or KMS work."""
+    df = spark.createDataFrame(PEOPLE_ROWS, PEOPLE_SCHEMA)
+    with pytest.raises(ValueError, match="plaintext_footer"):
+        write_encrypted(
+            df, str(tmp_path / "bad"), PEOPLE_POLICY, algorithm="AES_GCM_CTR_V1"
+        )
+
+
+def test_unknown_algorithm_rejected(spark, tmp_path):
+    """Only the spec's two ciphers exist; anything else fails fast at the
+    API boundary, before any file or KMS work."""
+    df = spark.createDataFrame(PEOPLE_ROWS, PEOPLE_SCHEMA)
+    with pytest.raises(ValueError, match="AES_GCM_V1"):
+        write_encrypted(df, str(tmp_path / "bad"), PEOPLE_POLICY, algorithm="AES_CBC_V1")
