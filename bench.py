@@ -290,6 +290,12 @@ def measure_encryption_overhead(spark, sf_dir: str) -> dict:
 
     li.write.mode("overwrite").parquet(f"{scratch}/plain")
     write_encrypted_native(li, f"{scratch}/enc", policy, kms_url)
+    # The spec's second cipher: CTR data pages (no per-page auth tag) are
+    # the spec's answer to decrypt overhead — measure both so the
+    # GCM-vs-CTR trade is a recorded number, not a claim.
+    write_encrypted_native(
+        li, f"{scratch}/enc_ctr", policy, kms_url, algorithm="AES_GCM_CTR_V1"
+    )
     # The Arrow path scans its own Arrow-written dataset: v2-page encryption
     # is not cross-readable between parquet-mr and parquet-cpp (see
     # sources/encrypted_native.py), and each engine reading its own v2 file
@@ -316,6 +322,8 @@ def measure_encryption_overhead(spark, sf_dir: str) -> dict:
     # starts)
     with decrypting_scan(spark, f"{scratch}/enc", kms_url, "RESTRICTED") as enc_df:
         native_sec = _time_scan(enc_df)
+    with decrypting_scan(spark, f"{scratch}/enc_ctr", kms_url, "RESTRICTED") as ctr_df:
+        ctr_sec = _time_scan(ctr_df)
     arrow_sec = _time_scan(
         read_encrypted(spark, f"{scratch}/enc_arrow", token="RESTRICTED", kms_url=kms_url)
     )
@@ -324,8 +332,10 @@ def measure_encryption_overhead(spark, sf_dir: str) -> dict:
     return {
         "plain_scan_sec": round(plain_sec, 3),
         "encrypted_scan_native_sec": round(native_sec, 3),
+        "encrypted_scan_native_ctr_sec": round(ctr_sec, 3),
         "encrypted_scan_arrow_sec": round(arrow_sec, 3),
         "native_scan_ratio": round(native_sec / plain_sec, 2),
+        "native_ctr_scan_ratio": round(ctr_sec / plain_sec, 2),
         "plain_bytes": plain_bytes,
         "encrypted_bytes": enc_bytes,
         "size_ratio": round(enc_bytes / plain_bytes, 3),

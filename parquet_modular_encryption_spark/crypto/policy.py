@@ -89,3 +89,15 @@ CUSTOMER_POLICY = EncryptionPolicy(
     },
     name="customer_pii",
 )
+
+# Training-corpus fixture: document text is the sensitive payload
+# (scraped content under licensing/PII constraints), provenance is
+# internal metadata, numeric stats and ids stay plaintext so curation
+# queries (counts, length histograms, source mixes) run keyless.
+DOCUMENTS_POLICY = EncryptionPolicy(
+    column_levels={
+        "text": Privilege.CONFIDENTIAL,
+        "source": Privilege.INTERNAL,
+    },
+    name="documents_corpus",
+)

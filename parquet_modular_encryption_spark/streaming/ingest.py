@@ -112,3 +112,87 @@ def incremental_dedup_ingest(
 def read_accepted(spark: SparkSession, work_dir: str) -> DataFrame:
     """The accepted (deduplicated) corpus across all processed batches."""
     return spark.read.parquet(f"{work_dir}/corpus")
+
+
+def encrypted_stream_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    out_dir: str,
+    policy,
+    kms_url: str | None = None,
+    max_files_per_trigger: int = 1,
+    checkpoint_dir: str | None = None,
+) -> None:
+    """Continuous ENCRYPTED ingestion: micro-batches land directly as
+    PME-encrypted parquet — plaintext never touches the sink, so the
+    at-rest guarantee holds from the first byte of the first batch (the
+    reference's write path, made continuous).
+
+    Composition of two verified pieces: Structured Streaming's
+    ``foreachBatch`` (sequential, replay-on-failure) and the Arrow PME
+    writer ``write_encrypted`` (per-partition executor-side encryption,
+    sources/encrypted.py). Each batch writes its own
+    ``batch_id=N`` directory and a REPLAYED batch rewrites that directory
+    from scratch before re-encrypting — the same overwrite-own-directory
+    idempotency contract as :func:`incremental_dedup_ingest` (AES-GCM
+    uses random IVs, so replayed ciphertext differs byte-wise while the
+    plaintext content is identical; idempotency is at the row level,
+    which is the level the readers see).
+
+    Scale shape: encryption cost is per-partition and embarrassingly
+    parallel; KMS load is one wrap per file x key-id per batch (double
+    wrapping), independent of row volume. Resuming from the checkpoint
+    skips already-ingested files."""
+    import shutil
+
+    from parquet_modular_encryption_spark.sources.encrypted import write_encrypted
+
+    schema = spark.read.parquet(source_dir).schema
+
+    def per_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sub = f"{out_dir}/batch_id={batch_id}"
+        shutil.rmtree(sub, ignore_errors=True)
+        write_encrypted(batch_df, sub, policy, kms_url=kms_url)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(source_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(per_batch)
+        .option("checkpointLocation", checkpoint_dir or f"{out_dir}/_checkpoint")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+
+def read_encrypted_batches(
+    spark: SparkSession,
+    out_dir: str,
+    token: str | None = None,
+    kms_url: str | None = None,
+    columns: list[str] | None = None,
+) -> DataFrame:
+    """Decrypting union over every ``batch_id=N`` directory written by
+    :func:`encrypted_stream_ingest`. The directory list is driver-side but
+    bounded by micro-batch count (not data volume); each directory's scan
+    is the fully distributed ``read_encrypted``."""
+    from functools import reduce
+
+    from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
+
+    subs = sorted(
+        d for d in os.listdir(out_dir) if d.startswith("batch_id=")
+    )
+    if not subs:
+        raise FileNotFoundError(f"no batch_id=* directories under {out_dir}")
+    frames = [
+        read_encrypted(spark, f"{out_dir}/{d}", token=token, kms_url=kms_url,
+                       columns=columns)
+        for d in subs
+    ]
+    return reduce(DataFrame.unionByName, frames)

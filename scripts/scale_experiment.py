@@ -57,6 +57,13 @@ HEAVY = [
     "q49c_jaccard_ppjoin",
     "q45c_dup_substring_spans",
     "q47b_minhash_neardup_salted",
+    # second wave (merged into the same artifact): the remaining
+    # expensive algorithmic ops whose scale behavior was previously
+    # argued from plan shape only
+    "q45b_winnow_fingerprint",
+    "q55b_semdedup",
+    "q57d_cc_two_phase",
+    "q63c_dedup_pass",
 ]
 
 
@@ -114,6 +121,61 @@ def candidate_counts(spark, sf_dir: str) -> dict:
     return out
 
 
+def encryption_scale(spark, sf_dir: str, repeats: int) -> dict:
+    """Encrypted-vs-plain scan at this scale, both ciphers, native path —
+    does PME overhead stay a constant factor as data grows 10x? Uses the
+    same lineitem aggregate as bench.measure_encryption_overhead."""
+    import tempfile
+
+    from parquet_modular_encryption_spark.crypto.kms_server import shared_kms_url
+    from parquet_modular_encryption_spark.crypto.policy import (
+        EncryptionPolicy,
+        Privilege,
+    )
+    from parquet_modular_encryption_spark.sources.encrypted_native import (
+        decrypting_scan,
+        write_encrypted_native,
+    )
+
+    policy = EncryptionPolicy(
+        column_levels={
+            "l_extendedprice": Privilege.CONFIDENTIAL,
+            "l_discount": Privilege.CONFIDENTIAL,
+            "l_tax": Privilege.INTERNAL,
+        },
+        name="lineitem_financials",
+    )
+    kms_url = shared_kms_url()
+    scratch = tempfile.mkdtemp(prefix="pme_scale_")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").coalesce(8)
+    li.write.mode("overwrite").parquet(f"{scratch}/plain")
+    write_encrypted_native(li, f"{scratch}/gcm", policy, kms_url)
+    write_encrypted_native(
+        li, f"{scratch}/ctr", policy, kms_url, algorithm="AES_GCM_CTR_V1"
+    )
+
+    def _scan(df):
+        df.agg(
+            F.count("l_orderkey"), F.sum("l_extendedprice"), F.sum("l_discount")
+        ).collect()
+
+    plain = _time(lambda: _scan(spark.read.parquet(f"{scratch}/plain")), repeats)
+
+    def _enc(sub):
+        with decrypting_scan(spark, f"{scratch}/{sub}", kms_url, "RESTRICTED") as df:
+            _scan(df)
+
+    gcm = _time(lambda: _enc("gcm"), repeats)
+    ctr = _time(lambda: _enc("ctr"), repeats)
+    return {
+        "plain_scan_sec": plain,
+        "gcm_scan_sec": gcm,
+        "ctr_scan_sec": ctr,
+        "gcm_ratio": round(gcm / plain, 2),
+        "ctr_ratio": round(ctr / plain, 2),
+    }
+
+
 def main() -> int:
     args = sys.argv[1:]
     out_path = os.path.join(REPO, "SCALE_r09.json")
@@ -124,6 +186,12 @@ def main() -> int:
     if "--sfs" in args:
         i = args.index("--sfs")
         sfs = args[i + 1].split(",")
+    only: list[str] | None = None
+    if "--only" in args:
+        only = args[args.index("--only") + 1].split(",")
+    merge = "--merge" in args
+    do_encryption = "--encryption" in args
+    do_candidates = "--no-candidates" not in args
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
     extra_conf = {}
@@ -147,12 +215,19 @@ def main() -> int:
     ).count().write.format("noop").mode("overwrite").save()
 
     report: dict = {"repeats": repeats, "scales": {}}
+    if merge and os.path.exists(out_path):
+        with open(out_path) as fh:
+            report = json.load(fh)
+        report.setdefault("scales", {})
+    run_list = only if only is not None else HEADLINE + HEAVY
     for sf_dir in sfs:
         label = os.path.basename(sf_dir.rstrip("/"))
-        entry: dict = {"dir": sf_dir, "lineitem_rows": spark.read.parquet(
-            f"{sf_dir}/lineitem.parquet").count()}
-        times: dict[str, float] = {}
-        for name in HEADLINE + HEAVY:
+        entry: dict = report["scales"].get(label) or {
+            "dir": sf_dir,
+            "lineitem_rows": spark.read.parquet(f"{sf_dir}/lineitem.parquet").count(),
+        }
+        times: dict[str, float] = entry.get("times", {})
+        for name in run_list:
             q = registry[name]
             times[name] = _time(
                 lambda q=q: q.builder(spark, sf_dir)
@@ -163,12 +238,18 @@ def main() -> int:
             )
             print(f"# {label} {name}: {times[name]:.3f}s", file=sys.stderr)
         entry["times"] = times
-        entry["headline_total"] = round(sum(times[n] for n in HEADLINE), 3)
-        entry["heavy_total"] = round(sum(times[n] for n in HEAVY), 3)
-        t0 = time.perf_counter()
-        entry["candidates"] = candidate_counts(spark, sf_dir)
-        entry["candidate_count_sec"] = round(time.perf_counter() - t0, 3)
-        print(f"# {label} candidates: {entry['candidates']}", file=sys.stderr)
+        if all(n in times for n in HEADLINE):
+            entry["headline_total"] = round(sum(times[n] for n in HEADLINE), 3)
+        if all(n in times for n in HEAVY):
+            entry["heavy_total"] = round(sum(times[n] for n in HEAVY), 3)
+        if do_candidates and "candidates" not in entry:
+            t0 = time.perf_counter()
+            entry["candidates"] = candidate_counts(spark, sf_dir)
+            entry["candidate_count_sec"] = round(time.perf_counter() - t0, 3)
+            print(f"# {label} candidates: {entry['candidates']}", file=sys.stderr)
+        if do_encryption:
+            entry["encryption"] = encryption_scale(spark, sf_dir, repeats)
+            print(f"# {label} encryption: {entry['encryption']}", file=sys.stderr)
         report["scales"][label] = entry
 
     labels = list(report["scales"])
@@ -180,23 +261,29 @@ def main() -> int:
         report["scale_ratios"] = {}
         for lbl in labels[1:]:
             b = report["scales"][lbl]
-            report["scale_ratios"][f"{labels[0]}->{lbl}"] = {
-                "data_growth": round(
-                    b["candidates"]["n_docs"] / a["candidates"]["n_docs"], 2
-                ),
-                "headline_total": round(
-                    b["headline_total"] / a["headline_total"], 2
-                ),
-                "heavy_total": round(b["heavy_total"] / a["heavy_total"], 2),
+            ratios: dict = {
+                "data_growth": round(b["lineitem_rows"] / a["lineitem_rows"], 2),
                 "times": {
                     n: round(b["times"][n] / max(a["times"][n], 1e-3), 2)
-                    for n in HEADLINE + HEAVY
-                },
-                "candidates": {
-                    k: round(b["candidates"][k] / max(a["candidates"][k], 1), 2)
-                    for k in a["candidates"]
+                    for n in a.get("times", {})
+                    if n in b.get("times", {})
                 },
             }
+            for total in ("headline_total", "heavy_total"):
+                if total in a and total in b:
+                    ratios[total] = round(b[total] / a[total], 2)
+            if "candidates" in a and "candidates" in b:
+                ratios["candidates"] = {
+                    k: round(b["candidates"][k] / max(a["candidates"][k], 1), 2)
+                    for k in a["candidates"]
+                    if k in b["candidates"]
+                }
+            if "encryption" in a and "encryption" in b:
+                ratios["encryption"] = {
+                    k: round(b["encryption"][k] / max(a["encryption"][k], 1e-3), 2)
+                    for k in ("plain_scan_sec", "gcm_scan_sec", "ctr_scan_sec")
+                }
+            report["scale_ratios"][f"{labels[0]}->{lbl}"] = ratios
     with open(out_path, "w") as fh:
         json.dump(report, fh, indent=1)
     print(json.dumps({"out": out_path, **report.get("scale_ratios", {})}))

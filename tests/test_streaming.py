@@ -516,3 +516,91 @@ def test_ohlc_stream_equals_batch(spark):
         "win_start", "event_type", "open", "high", "low", "close", "n_events"
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, batch.collect()))
+
+
+def test_encrypted_stream_ingest(spark, tmp_path):
+    """Streaming encrypted ingestion (streaming/ingest.py): documents
+    arrive as three batch files; each micro-batch lands as PME-encrypted
+    parquet. The decrypted union equals the source exactly; the sink
+    bytes never contain the protected text; an under-privileged token
+    cannot read the text column; resuming from the checkpoint with no
+    new files adds nothing, and a late-arriving file adds exactly its
+    rows — encrypted like the rest."""
+    import glob
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.crypto.policy import DOCUMENTS_POLICY
+    from parquet_modular_encryption_spark.streaming.ingest import (
+        encrypted_stream_ingest,
+        read_encrypted_batches,
+    )
+
+    src = tmp_path / "arrivals"
+    out = str(tmp_path / "enc_corpus")
+    os.makedirs(src)
+    table = pq.read_table(f"{SF}/documents.parquet")
+    n = len(table)
+    cuts = [0, n // 3, 2 * n // 3, n]
+    for i in range(3):
+        pq.write_table(
+            table.slice(cuts[i], cuts[i + 1] - cuts[i]), src / f"{i:03d}.parquet"
+        )
+        os.utime(src / f"{i:03d}.parquet", (time.time() - 300 + i,) * 2)
+
+    encrypted_stream_ingest(spark, str(src), out, DOCUMENTS_POLICY)
+
+    batch_dirs = sorted(
+        d for d in os.listdir(out) if d.startswith("batch_id=")
+    )
+    assert len(batch_dirs) == 3, batch_dirs
+
+    # opacity: protected text absent from every sink byte
+    raw = b"".join(
+        open(f, "rb").read()
+        for f in glob.glob(f"{out}/batch_id=*/*.parquet")
+    )
+    samples = [t[:40].encode() for t in table.column("text").to_pylist()[:5]]
+    assert all(s not in raw for s in samples)
+
+    # decrypted union == source, row-exact
+    got = sorted(
+        tuple(r)
+        for r in read_encrypted_batches(spark, out, token="RESTRICTED").collect()
+    )
+    want = sorted(tuple(r.values()) for r in table.to_pylist())
+    assert got == want
+
+    # least privilege: PUBLIC token cannot project the CONFIDENTIAL text
+    with pytest.raises(Exception, match="(?i)unwrap|denied|authoriz|403"):
+        read_encrypted_batches(
+            spark, out, token="PUBLIC", columns=["doc_id", "text"]
+        ).collect()
+
+    # checkpoint resume with nothing new: no-op (same batch dirs, same rows)
+    encrypted_stream_ingest(spark, str(src), out, DOCUMENTS_POLICY)
+    assert sorted(d for d in os.listdir(out) if d.startswith("batch_id=")) == batch_dirs
+    assert len(read_encrypted_batches(spark, out, token="RESTRICTED").collect()) == n
+
+    # late arrival: one novel document, encrypted like the rest
+    novel = pa.table(
+        {
+            "doc_id": pa.array([10_000_000], type=table.schema.field("doc_id").type),
+            "text": pa.array(["late-arriving confidential document"]),
+            "lang": pa.array(["en"]),
+            "source": pa.array(["late"]),
+            "n_chars": pa.array([35], type=table.schema.field("n_chars").type),
+        }
+    ).select(table.schema.names)
+    pq.write_table(novel, src / "900.parquet")
+    encrypted_stream_ingest(spark, str(src), out, DOCUMENTS_POLICY)
+    got2 = read_encrypted_batches(spark, out, token="RESTRICTED")
+    assert got2.count() == n + 1
+    raw2 = b"".join(
+        open(f, "rb").read()
+        for f in glob.glob(f"{out}/batch_id=*/*.parquet")
+    )
+    assert b"late-arriving confidential" not in raw2
