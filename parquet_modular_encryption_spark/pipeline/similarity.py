@@ -952,6 +952,31 @@ def q54e_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: SemDeDup sub-cell sizing (q55b): the label codebook has FIXED K, so
+#: cluster populations grow linearly with the corpus and within-cluster
+#: pairs quadratically — the r9 scale experiment measured q55b at 5.8x
+#: wall-clock on 3x data. SemDeDup's own remedy is cluster count that
+#: scales with corpus size (Abbas et al. use k in the tens of thousands);
+#: here each label cell splits into 2^b residual-sign sub-cells, where b
+#: is the smallest value with n <= K * TARGET * 2^b (integer-exact ladder,
+#: mirrored verbatim in the oracle — no float log2 on either side). Total
+#: pairs are then bounded by n * TARGET: linear in corpus size. b = 0 at
+#: the driver/bench scales (n <= K*256), so small-scale results are
+#: byte-identical to the pre-split operator.
+SEMDEDUP_TARGET_CELL = 256
+SEMDEDUP_MAX_SUBBITS = 8
+
+
+def semdedup_subbits(n: int, k: int) -> int:
+    """Smallest b in [0, 8] with n <= k * TARGET * 2^b."""
+    b = 0
+    while (
+        b < SEMDEDUP_MAX_SUBBITS and n > k * SEMDEDUP_TARGET_CELL * (1 << b)
+    ):
+        b += 1
+    return b
+
+
 NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # cosine ≈ 0.48), so the threshold sits low to exercise the operator; real
 # corpora use ~0.9+.
@@ -1037,13 +1062,35 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q55b_semdedup",
     oracle=f"""
     WITH {_ivf_assign_ctes()},
+    subbits AS (
+        SELECT CASE
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} THEN 0
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 2 THEN 1
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 4 THEN 2
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 8 THEN 3
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 16 THEN 4
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 32 THEN 5
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 64 THEN 6
+            WHEN n <= k * {SEMDEDUP_TARGET_CELL} * 128 THEN 7
+            ELSE 8 END AS b
+        FROM (SELECT (SELECT COUNT(*) FROM embeddings) AS n,
+                     (SELECT COUNT(*) FROM centroids) AS k)
+    ),
     av AS (
-        SELECT a.vec_id, a.cell, e.embedding::DOUBLE[] AS ee
-        FROM assign a JOIN embeddings e USING (vec_id)
+        SELECT a.vec_id, a.cell, e.embedding::DOUBLE[] AS ee,
+               CAST(COALESCE(list_sum(list_transform(
+                   range(1, (SELECT b FROM subbits) + 1),
+                   i -> CASE WHEN e.embedding[i]::DOUBLE > c.ce[i]
+                             THEN 2 ** (i - 1) ELSE 0 END)), 0) AS INT)
+                   AS subcell
+        FROM assign a
+        JOIN embeddings e USING (vec_id)
+        JOIN centroids c ON c.cell = a.cell
     ),
     dup AS (
         SELECT DISTINCT b.vec_id
-        FROM av a JOIN av b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        FROM av a JOIN av b ON a.cell = b.cell AND a.subcell = b.subcell
+                           AND a.vec_id < b.vec_id
         WHERE list_dot_product(a.ee, b.ee)
                   / (sqrt(list_dot_product(a.ee, a.ee))
                      * sqrt(list_dot_product(b.ee, b.ee)))
@@ -1065,36 +1112,58 @@ def q55b_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: pairwise comparison happens ONLY within clusters — the
     whole point of SemDeDup is that clustering bounds the candidate set,
-    exactly as q54d's cells bound probing. Pair generation routes through
-    ``salted_block_self_join`` on the cell key carrying (vec_id, cell)
-    ONLY — a megacluster (hot cell) fragments over the reducer grid
-    instead of stalling one reducer, and the wide embedding arrays join
-    back AFTER candidate generation (q59b's ship-ids-not-payloads
-    discipline). The (vec_id, cell) assignment is localCheckpointed: it
-    is consumed by the census, both join sides, and the final flag join,
-    and at any scale it is two fixed-width columns — the IVF inverted
-    list itself, the thing an IVF index materializes by definition.
+    exactly as q54d's cells bound probing. But the label codebook has
+    FIXED K, so cluster populations grow with the corpus and
+    within-cluster pairs grow quadratically (measured: 5.8x wall-clock
+    on 3x data in SCALE_r09 before this fix). SemDeDup's own remedy is
+    cluster count scaling with corpus size, realized here as a second
+    quantization level: each cell splits into 2^b residual-sign
+    sub-cells (bit i = [v[i] > centroid[i]], the same content-locality
+    trick as SimHash — near-identical vectors agree on every
+    high-magnitude dim), with b the integer ladder in
+    :func:`semdedup_subbits`. Total pairs are then <= n * TARGET — linear
+    in corpus size; b = 0 at small scale, so the operator is unchanged
+    where the old one was already cheap. Pair generation still routes
+    through ``salted_block_self_join`` on the (cell, subcell) key
+    carrying ids ONLY — a hot sub-cell fragments over the reducer grid,
+    and the wide embedding arrays join back AFTER candidate generation
+    (q59b's ship-ids-not-payloads discipline). The (vec_id, cell,
+    subcell) assignment is localCheckpointed: consumed by both join
+    sides and the final flag join, three fixed-width columns at any
+    scale — the (refined) IVF inverted list itself.
 
-    Fully hash-checked: assignment, pairing, and the cosine threshold are
-    the same deterministic IEEE arithmetic as q54d/q55, and the oracle
-    shares the assignment CTEs with q54d verbatim."""
+    Fully hash-checked: assignment, sub-cell bits, pairing, and the
+    cosine threshold are the same deterministic IEEE arithmetic as
+    q54d/q55 (the sign comparisons are exact on float32→double values),
+    and the oracle shares the assignment CTEs with q54d verbatim plus
+    the same integer bit ladder."""
     from parquet_modular_encryption_spark.pipeline.dedup import salted_block_self_join
 
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     centroids = _ivf_codebook(emb)
+    bits = semdedup_subbits(emb.count(), centroids.count())
     scored_cells = e.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
     )
     best = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
-    assign = best.select(
-        "vec_id", (-F.col("b.nc")).cast("int").alias("cell")
-    ).localCheckpoint(eager=True)
+    subcell = F.lit(0)
+    for i in range(bits):
+        subcell = subcell + F.when(
+            F.element_at("ee", i + 1) > F.element_at("ce", i + 1), F.lit(1 << i)
+        ).otherwise(F.lit(0))
+    assign = (
+        best.select("vec_id", (-F.col("b.nc")).cast("int").alias("cell"))
+        .join(F.broadcast(centroids), "cell")
+        .join(e, "vec_id")
+        .select("vec_id", "cell", subcell.cast("int").alias("subcell"))
+        .localCheckpoint(eager=True)
+    )
     pairs = salted_block_self_join(
-        assign, ("cell",), id_col="vec_id", out_a="vec_a", out_b="vec_b"
+        assign, ("cell", "subcell"), id_col="vec_id", out_a="vec_a", out_b="vec_b"
     )
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))

@@ -919,6 +919,60 @@ def test_semdedup_matches_greedy_reference(spark):
         assert got[min(members)] == (cell, False)
 
 
+def test_semdedup_subcell_split_at_scale(spark, tmp_path):
+    """The r9 scale fix: when the corpus outgrows K * TARGET_CELL, q55b
+    splits each label cell into residual-sign sub-cells so pair counts
+    stay linear. This pins the bits>=1 path (the fixed SFs all run at
+    bits=0): a 3000-vector corpus (1500 random bases + 1500 exact
+    duplicates) forces bits=1; the operator must (a) still hash-match
+    its own DuckDB oracle exactly (the oracle computes the same bit
+    ladder, so this catches any engine/oracle drift in the sub-cell
+    arithmetic) and (b) prune EVERY planted duplicate — an identical
+    vector shares its base's cell AND sub-cell by construction, so
+    sub-cell splitting cannot lose exact dups."""
+    import random
+
+    import duckdb
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q55b_semdedup,
+        semdedup_subbits,
+    )
+
+    rng = random.Random(55)
+    n_base, dims, k = 1500, 32, 10
+    rows = []
+    for i in range(n_base):
+        vec = [rng.gauss(0.0, 1.0) for _ in range(dims)]
+        rows.append((i, vec, i % k))
+        rows.append((n_base + i, vec, i % k))  # exact duplicate, higher id
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(4).write.parquet(f"{sf}/embeddings.parquet")
+
+    assert semdedup_subbits(2 * n_base, k) >= 1
+
+    got = q55b_semdedup(spark, sf).collect()
+    by_id = {r.vec_id: (r.cell, r.pruned) for r in got}
+
+    # (b) every exact duplicate pruned
+    missed = [i for i in range(n_base) if not by_id[n_base + i][1]]
+    assert not missed, f"sub-cell split lost exact duplicates: {missed[:5]}"
+
+    # (a) exact oracle agreement on the same corpus
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    from parquet_modular_encryption_spark.registry import load_all
+
+    oracle = load_all()["q55b_semdedup"].oracle
+    orows = {r[0]: (r[1], r[2]) for r in con.execute(oracle).fetchall()}
+    assert by_id == orows
+
+
 def test_chunking_coverage_and_overlap(spark):
     """q43b invariants on a synthetic doc: chunk i starts at token
     i*stride, consecutive chunks share exactly size-stride tokens, every
