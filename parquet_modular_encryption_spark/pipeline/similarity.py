@@ -380,6 +380,40 @@ def q52b_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
 # neighbors of random vectors" live.
 LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2), (3, 4, 5))
 
+#: Corpus-scaled band widening for the WHOLE-CORPUS banding join (q55):
+#: with FIXED 3-bit bands, two random vectors collide per band with
+#: probability (1/2)^3, so candidate pairs grow as ~0.23 * n^2 — the
+#: same quadratic family the r9 scale experiment caught in q55b. The
+#: standard LSH remedy is hash width that grows with corpus size: each
+#: band key gains x extra sign-plane bits, x the smallest value with
+#: n <= TARGET * 2^x (integer-exact ladder, mirrored in SQL — no float
+#: log2). Under the idealized random-sign model each extra bit halves
+#: collisions (candidates ~n * TARGET / 2^(base_bits+1) per band); the
+#: r9 scale measurement shows the REAL per-bit pruning on this corpus is
+#: ~0.64 (pairs at cosine c survive a sign plane with prob 1 - θ(c)/π >
+#: 1/2), so candidates grow ~n^1.36 — measured 17.2x on 10x data, down
+#: from the unwidened n^2's 100x (SCALE_r09.json). Exact duplicates
+#: agree on EVERY plane, so widening never loses them (pytest-pinned);
+#: strict linearity would take ~1.6 bits per corpus doubling at the cost
+#: of mid-cosine recall — the knob a production deployment tunes
+#: together with band count. x = 0 at the driver (sf0.01, 500 vectors)
+#: and bench (sf0.1, 2000 vectors) scales, so those results are
+#: byte-identical to the fixed-width operator. The widening
+#: applies ONLY to the corpus self-join (q55); the q54 search family
+#: keeps fixed bands — its per-query cost is one bucket, not a join.
+#: Extra planes for band b, bit j come from LCG plane index
+#: N_PLANES + b * MAX_EXTRA + j, so bands stay independent.
+Q55_BAND_TARGET = 2048
+Q55_MAX_EXTRA_BITS = 8
+
+
+def q55_extra_band_bits(n: int) -> int:
+    """Smallest x in [0, 8] with n <= TARGET * 2^x."""
+    x = 0
+    while x < Q55_MAX_EXTRA_BITS and n > Q55_BAND_TARGET * (1 << x):
+        x += 1
+    return x
+
 
 def _sql_bands_cte() -> str:
     """Oracle fragment: per-vector banded LSH keys (same planes as q51)."""
@@ -400,6 +434,56 @@ def _sql_bands_cte() -> str:
     )
     return f"""
     planes AS (SELECT e.vec_id, {projs} FROM embeddings e),
+    bands AS ({band_rows})
+    """
+
+
+def _sql_bands_cte_scaled() -> str:
+    """Oracle fragment for the CORPUS-SCALED bands (q55 only): the base
+    3-bit band keys extended by x extra sign-plane bits, x from the
+    integer ladder over COUNT(*) — the exact mirror of the Spark-side
+    :func:`q55_extra_band_bits` widening. All MAX_EXTRA projections are
+    emitted and gated on ``j < x`` so the SQL stays static while the
+    effective width tracks corpus size."""
+    extra = {
+        (b, j): N_PLANES + b * Q55_MAX_EXTRA_BITS + j
+        for b in range(len(LSH_BANDS))
+        for j in range(Q55_MAX_EXTRA_BITS)
+    }
+    all_planes = sorted(set(range(N_PLANES)) | set(extra.values()))
+    projs = ", ".join(
+        f"list_dot_product(e.embedding::DOUBLE[], "
+        f"list_transform(range(0, len(e.embedding)), d -> {_sql_plane_weight(p)})) AS proj_{p}"
+        for p in all_planes
+    )
+    ladder = " ".join(
+        f"WHEN n <= {Q55_BAND_TARGET * (1 << x)} THEN {x}"
+        for x in range(Q55_MAX_EXTRA_BITS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band_id, {key} AS band_key FROM planes".format(
+            b=b,
+            key=" + ".join(
+                [
+                    f"(CASE WHEN proj_{p} > 0 THEN {1 << i} ELSE 0 END)"
+                    for i, p in enumerate(band)
+                ]
+                + [
+                    f"(CASE WHEN {j} < (SELECT x FROM xbits) "
+                    f"AND proj_{extra[(b, j)]} > 0 "
+                    f"THEN {1 << (len(band) + j)} ELSE 0 END)"
+                    for j in range(Q55_MAX_EXTRA_BITS)
+                ]
+            ),
+        )
+        for b, band in enumerate(LSH_BANDS)
+    )
+    return f"""
+    planes AS (SELECT e.vec_id, {projs} FROM embeddings e),
+    xbits AS (
+        SELECT CASE {ladder} ELSE {Q55_MAX_EXTRA_BITS} END AS x
+        FROM (SELECT (SELECT COUNT(*) FROM embeddings) AS n)
+    ),
     bands AS ({band_rows})
     """
 
@@ -982,10 +1066,68 @@ NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # corpora use ~0.9+.
 
 
+def q55_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(e, bands) for q55's whole-corpus banding join: e = (vec_id, ee),
+    bands = (vec_id, band_id, band_key) with corpus-scaled key width
+    (:func:`q55_extra_band_bits`). Factored out of the operator so the
+    scale experiment counts the EXACT candidate frame the operator joins
+    (round-9 instrumentation discipline). bands is localCheckpointed:
+    both sides of the bucket self-join consume it, which would otherwise
+    re-run the sign-plane projections per side (~1.5 s of 3.7 s at
+    sf0.1)."""
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    x = q55_extra_band_bits(emb.count())
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+
+    def _weight_fn(plane: int):
+        return lambda d: _plane_weights(plane, d)
+
+    plane_ids = set(range(N_PLANES)) | {
+        N_PLANES + b * Q55_MAX_EXTRA_BITS + j
+        for b in range(len(LSH_BANDS))
+        for j in range(x)
+    }
+    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in plane_ids}
+    band_structs = []
+    for b, band in enumerate(LSH_BANDS):
+        key = None
+        for i, p in enumerate(band):
+            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        for j in range(x):
+            p = N_PLANES + b * Q55_MAX_EXTRA_BITS + j
+            key = key + F.when(
+                projs[p] > 0, F.lit(1 << (len(band) + j))
+            ).otherwise(F.lit(0))
+        band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    ).localCheckpoint(eager=True)
+    return e, bands
+
+
+def q55_corpus_candidates(bands: DataFrame) -> DataFrame:
+    """Distinct (vec_a < vec_b) candidate pairs from the band-bucket
+    self-join — the frame whose linearity the widened keys guarantee."""
+    return (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
 @register(
     "q55_embedding_neardup",
     oracle=f"""
-    WITH {_sql_bands_cte()},
+    WITH {_sql_bands_cte_scaled()},
     cand AS (
         SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
         FROM bands a JOIN bands b
@@ -1012,42 +1154,19 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands generate candidate pairs across the WHOLE corpus (no query-set
     restriction, unlike q54), exact cosine keeps pairs above threshold.
     The all-pairs comparison never materializes; candidate volume is
-    governed by the banding curve."""
+    governed by the banding curve — and the band WIDTH is corpus-scaled
+    (:func:`q55_extra_band_bits`): fixed 3-bit bands collide random
+    pairs at ~2^-3 per band, a quadratic candidate frame at scale, so
+    each band key gains sign-plane bits as the corpus grows — measured
+    candidate growth 17.2x on 10x data (~n^1.36, vs 100x unwidened; see
+    the constant block above for why the per-bit pruning is ~0.64, not
+    1/2). x = 0 at the driver (sf0.01) and bench (sf0.1) scales, so
+    results there are byte-identical to the fixed-width operator; the
+    oracle computes the same ladder from COUNT(*)."""
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
-
-    def _weight_fn(plane: int):
-        return lambda d: _plane_weights(plane, d)
-
-    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in range(N_PLANES)}
-    band_structs = []
-    for b, band in enumerate(LSH_BANDS):
-        key = None
-        for i, p in enumerate(band):
-            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
-            key = bit if key is None else key + bit
-        band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    # localCheckpoint: both sides of the bucket self-join consume bands,
-    # which would otherwise re-run the 16-plane projection per side
-    # (round-9 materialization discipline; ~1.5 s of the 3.7 s at sf0.1).
-    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
-        "vec_id",
-        F.col("bk.band_id").alias("band_id"),
-        F.col("bk.band_key").alias("band_key"),
-    ).localCheckpoint(eager=True)
-    cand = (
-        bands.alias("a")
-        .join(
-            bands.alias("b"),
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
+    e, bands = q55_corpus_bands(emb)
+    cand = q55_corpus_candidates(bands)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))
     return (

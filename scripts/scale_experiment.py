@@ -64,6 +64,9 @@ HEAVY = [
     "q55b_semdedup",
     "q57d_cc_two_phase",
     "q63c_dedup_pass",
+    # third wave: the whole-corpus embedding banding join, after its
+    # corpus-scaled band widening (the q55 twin of q55b's sub-cells)
+    "q55_embedding_neardup",
 ]
 
 
@@ -76,11 +79,13 @@ def _time(fn, repeats: int) -> float:
     return round(best, 3)
 
 
-def candidate_counts(spark, sf_dir: str) -> dict:
-    """Candidate-frame sizes for the four heavy joins, computed from the
+def candidate_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
+    """Candidate-frame sizes for the heavy joins, computed from the
     SAME internal stages the registered operators use (minhash_bands /
-    ppjoin_candidates / allpairs_candidates / dup_gram_hits), plus the
-    corpus denominators needed to judge linearity."""
+    ppjoin_candidates / allpairs_candidates / dup_gram_hits /
+    q55_corpus_bands), plus the corpus denominators needed to judge
+    linearity. `have` = counts already recorded (merge mode): only
+    missing groups are computed."""
     from parquet_modular_encryption_spark.pipeline.dedup import (
         allpairs_candidates,
         banded_pairs_salted,
@@ -88,36 +93,53 @@ def candidate_counts(spark, sf_dir: str) -> dict:
         ppjoin_candidates,
         shingle_tf,
     )
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q55_corpus_bands,
+        q55_corpus_candidates,
+    )
     from parquet_modular_encryption_spark.pipeline.textops import (
         dup_gram_hits,
         dup_grams,
     )
 
     prep(spark)
+    out: dict[str, int] = dict(have or {})
     docs = load(spark, sf_dir, "documents")
-    out: dict[str, int] = {"n_docs": docs.count()}
+    out.setdefault("n_docs", docs.count())
 
-    # q47b: LSH band-bucket candidates (pre- and post-distinct)
-    _, bands = minhash_bands(docs)
-    raw = banded_pairs_salted(bands)
-    out["q47b_band_candidates_raw"] = raw.count()
-    out["q47b_band_candidates_distinct"] = raw.distinct().count()
+    if "q47b_band_candidates_raw" not in out:
+        # q47b: LSH band-bucket candidates (pre- and post-distinct)
+        _, bands = minhash_bands(docs)
+        raw = banded_pairs_salted(bands)
+        out["q47b_band_candidates_raw"] = raw.count()
+        out["q47b_band_candidates_distinct"] = raw.distinct().count()
 
-    # q49c: PPJoin prefix+length filtered candidates
-    toks, cand = ppjoin_candidates(docs)
-    out["q49c_shingle_postings"] = toks.count()
-    out["q49c_prefix_candidates"] = cand.count()
+    if "q49c_prefix_candidates" not in out:
+        # q49c: PPJoin prefix+length filtered candidates
+        toks, cand = ppjoin_candidates(docs)
+        out["q49c_shingle_postings"] = toks.count()
+        out["q49c_prefix_candidates"] = cand.count()
 
-    # q55c: Bayardo prefix-filtered candidates
-    tf = shingle_tf(docs)
-    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    out["q55c_tf_rows"] = tf.count()
-    out["q55c_prefix_candidates"] = allpairs_candidates(tf, nrm).count()
+    if "q55c_prefix_candidates" not in out:
+        # q55c: Bayardo prefix-filtered candidates
+        tf = shingle_tf(docs)
+        nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        out["q55c_tf_rows"] = tf.count()
+        out["q55c_prefix_candidates"] = allpairs_candidates(tf, nrm).count()
 
-    # q45c: duplicated-gram positions (the operator's linear frame)
-    grams = dup_grams(docs)
-    out["q45c_gram_rows"] = grams.count()
-    out["q45c_dup_gram_hits"] = dup_gram_hits(grams).count()
+    if "q45c_dup_gram_hits" not in out:
+        # q45c: duplicated-gram positions (the operator's linear frame)
+        grams = dup_grams(docs)
+        out["q45c_gram_rows"] = grams.count()
+        out["q45c_dup_gram_hits"] = dup_gram_hits(grams).count()
+
+    if "q55_band_candidates" not in out:
+        # q55: whole-corpus banding-join candidates under the
+        # corpus-scaled band widening
+        emb = load(spark, sf_dir, "embeddings")
+        out["n_vectors"] = emb.count()
+        _, bands55 = q55_corpus_bands(emb)
+        out["q55_band_candidates"] = q55_corpus_candidates(bands55).count()
     return out
 
 
@@ -242,10 +264,17 @@ def main() -> int:
             entry["headline_total"] = round(sum(times[n] for n in HEADLINE), 3)
         if all(n in times for n in HEAVY):
             entry["heavy_total"] = round(sum(times[n] for n in HEAVY), 3)
-        if do_candidates and "candidates" not in entry:
+        if do_candidates:
+            have = entry.get("candidates") or {}
             t0 = time.perf_counter()
-            entry["candidates"] = candidate_counts(spark, sf_dir)
-            entry["candidate_count_sec"] = round(time.perf_counter() - t0, 3)
+            fresh = candidate_counts(spark, sf_dir, have)
+            if fresh != have:
+                entry["candidates"] = fresh
+                entry["candidate_count_sec"] = round(
+                    entry.get("candidate_count_sec", 0.0)
+                    + (time.perf_counter() - t0),
+                    3,
+                )
             print(f"# {label} candidates: {entry['candidates']}", file=sys.stderr)
         if do_encryption:
             entry["encryption"] = encryption_scale(spark, sf_dir, repeats)

@@ -973,6 +973,54 @@ def test_semdedup_subcell_split_at_scale(spark, tmp_path):
     assert by_id == orows
 
 
+def test_embedding_neardup_band_widening_at_scale(spark, tmp_path):
+    """q55's corpus-scaled band widening (the r9 scale fix twin of
+    q55b's sub-cells): a corpus past Q55_BAND_TARGET forces x>=1 extra
+    band bits. The operator must still hash-match its DuckDB oracle
+    (same integer ladder both sides), and every planted EXACT duplicate
+    pair must still be found — identical vectors agree on every sign
+    plane, so widening can never lose them."""
+    import random
+
+    import duckdb
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q55_embedding_neardup,
+        q55_extra_band_bits,
+    )
+    from parquet_modular_encryption_spark.registry import load_all
+
+    rng = random.Random(551)
+    n_base, dims, k = 1500, 32, 10
+    rows = []
+    for i in range(n_base):
+        vec = [rng.gauss(0.0, 1.0) for _ in range(dims)]
+        rows.append((i, vec, i % k))
+        rows.append((n_base + i, vec, i % k))
+    sf = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(4).write.parquet(f"{sf}/embeddings.parquet")
+
+    assert q55_extra_band_bits(2 * n_base) >= 1
+
+    got = {
+        (r.vec_a, r.vec_b): round(r.cosine_sim, 9)
+        for r in q55_embedding_neardup(spark, sf).collect()
+    }
+    for i in range(n_base):
+        assert got.get((i, n_base + i)) == 1.0, f"lost exact-dup pair {i}"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sf}/embeddings.parquet/*.parquet')"
+    )
+    oracle = load_all()["q55_embedding_neardup"].oracle
+    orows = {(r[0], r[1]): round(r[2], 9) for r in con.execute(oracle).fetchall()}
+    assert got == orows
+
+
 def test_chunking_coverage_and_overlap(spark):
     """q43b invariants on a synthetic doc: chunk i starts at token
     i*stride, consecutive chunks share exactly size-stride tokens, every
