@@ -2111,3 +2111,138 @@ def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("i").cast("double") / union).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental PPJoin: batch-vs-corpus EXACT Jaccard at ingest shape (q49d)
+# ---------------------------------------------------------------------------
+# The round-9 scale experiment measured q49c at ~O(n log n): its candidates
+# stay exactly linear, but the rarest-first prefix ranking re-sorts the
+# whole corpus's postings by (df, tok) on every run. Production never does
+# that twice — the corpus's inverted index and df table are maintained at
+# ingest, and the daily question is "which NEW documents near-duplicate the
+# corpus?". q49d is that job: the window runs over BATCH postings only, the
+# corpus side contributes a standing (tok, doc, m) posting index and a df
+# lookup, and the log factor drops from O(corpus) to O(batch).
+
+
+def ppjoin_incremental_candidates(
+    batch_toks: DataFrame, corpus_toks: DataFrame
+) -> DataFrame:
+    """One-sided PPJoin candidate stage: BATCH prefixes probing the CORPUS
+    posting index. `*_toks` are (doc_id, m, tok) posting frames.
+
+    Correctness does not depend on the ranking order: for any fixed total
+    order on tokens, a pair with J >= t shares >= ceil(t*U) >= ceil(t*ma)
+    tokens, more than the ma - p = ceil(t*ma) - 1 tokens in the batch
+    doc's suffix, so at least one shared token sits in the batch doc's
+    first p = ma - ceil(t*ma) + 1 tokens and the prefix x postings join
+    catches the pair (property-tested on random split corpora). That is
+    what makes the INCREMENTAL shape safe: the ranking uses the standing
+    corpus df (unseen tokens COALESCE to df 0 — rarest, their posting
+    lists are empty), which can go arbitrarily stale between index
+    rebuilds without ever losing a pair — staleness only degrades how
+    cold the probe keys are, never exactness."""
+    from pyspark.sql import Window
+
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+    dfreq = corpus_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
+    prefix_len = F.col("m") - F.expr(f"(({num} * m) + {den} - 1) DIV {den}") + 1
+    prefix = (
+        batch_toks.join(F.broadcast(dfreq), "tok", "left")
+        .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= prefix_len)
+        .select(F.col("doc_id").alias("doc_batch"), F.col("m").alias("ma"), "tok")
+    )
+    postings = corpus_toks.select(
+        F.col("doc_id").alias("doc_corpus"), F.col("m").alias("mb"), "tok"
+    )
+    return (
+        prefix.join(postings, "tok")
+        .filter(
+            (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
+            & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
+        )
+        .select("doc_batch", "doc_corpus", "ma", "mb")
+        .distinct()
+    )
+
+
+@register(
+    "q49d_jaccard_ppjoin_incremental",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, {sql_tokens("text")} AS toks,
+               {_INCR_SPLIT_SQL} AS is_corpus
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, is_corpus,
+               {sql_word_shingles("toks", SHINGLE_N)} AS shingles
+        FROM tok
+    )
+    SELECT a.doc_id AS doc_batch, b.doc_id AS doc_corpus,
+           CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+               / len(list_distinct(a.shingles || b.shingles)) AS jaccard
+    FROM sh a JOIN sh b ON NOT a.is_corpus AND b.is_corpus
+    WHERE {PPJOIN_T_DEN} * len(list_intersect(a.shingles, b.shingles))
+          >= {PPJOIN_T_NUM} * len(list_distinct(a.shingles || b.shingles))
+    """,
+    tags=("dedup", "jaccard", "ppjoin", "incremental", "pipeline"),
+)
+def q49d_jaccard_ppjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT batch-vs-corpus Jaccard join at ingest shape: every pair
+    (batch doc, corpus doc) with shingle-set Jaccard >= {PPJOIN_T_NUM}/
+    {PPJOIN_T_DEN}, found losslessly via a ONE-SIDED PPJoin — batch
+    prefixes (ranked by the standing corpus df, q63d's md5 split stands
+    in for the storage boundary) probe the corpus posting index; see
+    :func:`ppjoin_incremental_candidates` for why stale df ranking can
+    never lose a pair.
+
+    This is q49c's daily-ingest twin and the structural answer to its
+    measured ~O(n log n) wall-clock (SCALE_r09.json): q49c's log factor
+    is the corpus-wide rarest-first ranking window, which here shrinks
+    to the BATCH (corpus-side work is the linear, map-side-combinable
+    df aggregate plus posting joins — no corpus-wide sort or window
+    anywhere in the plan). At 100 TB the corpus posting/df frames are
+    the standing index maintained at ingest; the verification join
+    moves only (doc ids, token hashes), never shingle arrays — the
+    array-shipping variant measured ~3x slower on the q49c path."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    is_corpus = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
+    shingled = (
+        docs.select("doc_id", is_corpus.alias("is_corpus"), tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "is_corpus",
+            shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"),
+        )
+        .localCheckpoint(eager=True)  # four consuming branches; see
+        # ppjoin_candidates for the Generate-over-lazy-HOF measurement
+    )
+    toks = shingled.select(
+        "doc_id",
+        "is_corpus",
+        F.size("shingles").alias("m"),
+        F.explode("shingles").alias("tok"),
+    )
+    batch_toks = toks.filter(~F.col("is_corpus")).drop("is_corpus")
+    corpus_toks = toks.filter(F.col("is_corpus")).drop("is_corpus")
+    cand = ppjoin_incremental_candidates(batch_toks, corpus_toks)
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+    ta = batch_toks.select(F.col("doc_id").alias("doc_batch"), "tok")
+    tb = corpus_toks.select(F.col("doc_id").alias("doc_corpus"), "tok")
+    inter = (
+        cand.join(ta, "doc_batch")
+        .join(tb, ["doc_corpus", "tok"])
+        .groupBy("doc_batch", "doc_corpus", "ma", "mb")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    union = F.col("ma") + F.col("mb") - F.col("i")
+    return inter.filter(F.lit(den) * F.col("i") >= F.lit(num) * union).select(
+        "doc_batch",
+        "doc_corpus",
+        (F.col("i").cast("double") / union).alias("jaccard"),
+    )

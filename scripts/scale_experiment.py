@@ -67,6 +67,9 @@ HEAVY = [
     # third wave: the whole-corpus embedding banding join, after its
     # corpus-scaled band widening (the q55 twin of q55b's sub-cells)
     "q55_embedding_neardup",
+    # incremental PPJoin — the structural answer to q49c's measured
+    # O(n log n): the ranking window shrinks from corpus to batch
+    "q49d_jaccard_ppjoin_incremental",
 ]
 
 

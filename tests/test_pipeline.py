@@ -2534,3 +2534,76 @@ def test_avi_bi_rgb_roundtrip():
     blob[comp_off:comp_off + 4] = struct.pack("<I", 1)  # BI_RLE8
     with pytest.raises(ValueError, match="BI_RGB"):
         decode_avi_bi_rgb(bytes(blob))
+
+
+def test_ppjoin_incremental_bruteforce_exactness(spark):
+    """q49d's one-sided PPJoin (batch prefixes ranked by STALE corpus df
+    probing the corpus posting index) equals a driver-side brute force
+    over all cross-split pairs — lossless even though batch-only tokens
+    rank with df 0 and a planted near-dup pair straddles the split."""
+    import hashlib
+    import unittest.mock as mock
+
+    from parquet_modular_encryption_spark.pipeline import dedup as dd
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+        q49d_jaccard_ppjoin_incremental,
+    )
+
+    def is_corpus(doc_id: int) -> bool:
+        return hashlib.md5(str(doc_id).encode()).hexdigest()[0] <= "b"
+
+    boiler = "standard footer text appended to every document here"
+    rows = [
+        (
+            i,
+            " ".join(
+                hashlib.md5(f"{i}-{j}".encode()).hexdigest() for j in range(25)
+            )
+            + " "
+            + boiler,
+        )
+        for i in range(200)
+    ]
+    # plant a near-dup pair that STRADDLES the split (and a batch-internal
+    # pair that must NOT be reported — q49d screens batch vs corpus only)
+    batch_ids = [i for i in range(1000, 1100) if not is_corpus(i)]
+    corpus_ids = [i for i in range(1000, 1100) if is_corpus(i)]
+    passage = " ".join(f"s{k} t{k}" for k in range(30))
+    straddle = (batch_ids[0], corpus_ids[0])
+    rows += [
+        (straddle[0], f"aa bb {passage}"),
+        (straddle[1], f"cc dd {passage}"),
+        (batch_ids[1], f"ee ff {passage}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    with mock.patch.object(dd, "load", lambda s, d, t: docs):
+        got = {
+            (r.doc_batch, r.doc_corpus): r.jaccard
+            for r in q49d_jaccard_ppjoin_incremental(spark, "unused").collect()
+        }
+    assert (straddle[0], straddle[1]) in got
+    assert all(is_corpus(b) and not is_corpus(a) for a, b in got)
+
+    def sset(text):
+        t = text.split()
+        return (
+            {" ".join(t[i : i + 3]) for i in range(len(t) - 2)}
+            if len(t) >= 3
+            else {" ".join(t)}
+        )
+
+    sets = {i: sset(tx) for i, tx in rows}
+    want = {}
+    for a in sets:
+        if is_corpus(a):
+            continue
+        for b in sets:
+            if not is_corpus(b):
+                continue
+            i = len(sets[a] & sets[b])
+            u = len(sets[a] | sets[b])
+            if PPJOIN_T_DEN * i >= PPJOIN_T_NUM * u:
+                want[(a, b)] = i / u
+    assert got == want

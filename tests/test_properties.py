@@ -394,3 +394,43 @@ def test_ppjoin_prefix_superset(corpus):
             assert prefixes[a] & sb, (
                 f"qualifying pair ({a},{b}) shares no prefix token of {a}"
             )
+
+
+@settings(max_examples=150, deadline=None)
+@given(corpus=_corpus, split=st.lists(st.booleans(), min_size=2, max_size=12))
+def test_ppjoin_incremental_superset(corpus, split):
+    """q49d's one-sided bound: rank each BATCH set's tokens by the
+    CORPUS-side df (unseen tokens df 0 — arbitrarily stale ranking),
+    index the first m - ceil(t*m) + 1 — every cross-split pair with
+    Jaccard >= t still shares an indexed batch-prefix token, because the
+    superset lemma holds under ANY total order."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        PPJOIN_T_DEN,
+        PPJOIN_T_NUM,
+    )
+
+    sets = [set(v) for v in _tf_vectors(corpus)]
+    flags = [split[i % len(split)] for i in range(len(sets))]  # True = corpus
+    df = {}
+    for s, fl in zip(sets, flags):
+        if fl:
+            for g in s:
+                df[g] = df.get(g, 0) + 1
+    num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
+
+    for a, sa in enumerate(sets):
+        if flags[a]:
+            continue
+        m = len(sa)
+        p = m - -(-num * m // den) + 1
+        feats = sorted(sa, key=lambda g: (df.get(g, 0), g))
+        pref = set(feats[:p])
+        for b, sb in enumerate(sets):
+            if not flags[b]:
+                continue
+            i = len(sa & sb)
+            u = len(sa | sb)
+            if den * i >= num * u and i > 0:
+                assert pref & sb, (
+                    f"qualifying cross pair ({a},{b}) shares no batch-prefix token"
+                )
