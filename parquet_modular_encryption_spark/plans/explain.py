@@ -90,3 +90,33 @@ def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
                 sub.append(lines[j])
             subtrees.append("\n".join(sub))
     return subtrees
+
+
+def cumulative_shuffle_bytes(spark) -> tuple[int, int]:
+    """(shuffle_write_bytes, shuffle_read_bytes) summed over every stage
+    the app status store retains — snapshot before/after a query and the
+    delta is that query's total shuffle volume.
+
+    Reads the JVM AppStatusStore directly (the same source as the UI's
+    stage table), so it measures REAL shuffle bytes, not plan-shape
+    proxies. Callers that diff snapshots across many queries should
+    raise ``spark.ui.retainedStages`` so eviction between snapshots
+    cannot shrink the cumulative sums (the scale experiment sets 20000).
+    """
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = spark._jvm
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    written = read = 0
+    it = stages.iterator()
+    while it.hasNext():
+        st = it.next()
+        written += st.shuffleWriteBytes()
+        read += st.shuffleReadBytes()
+    return written, read

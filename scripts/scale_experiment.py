@@ -26,6 +26,9 @@ sys.path.insert(0, REPO)
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from parquet_modular_encryption_spark.plans.explain import (  # noqa: E402
+    cumulative_shuffle_bytes,
+)
 from parquet_modular_encryption_spark.registry import load_all  # noqa: E402
 from parquet_modular_encryption_spark.session import get_spark, prep  # noqa: E402
 from parquet_modular_encryption_spark.sources.datasets import load  # noqa: E402
@@ -230,6 +233,9 @@ def main() -> int:
         extra_conf = native_session_conf()
     except Exception as exc:  # noqa: BLE001
         print(f"# native PME jar unavailable: {exc}", file=sys.stderr)
+    # high stage retention so cumulative_shuffle_bytes snapshots never
+    # shrink from eviction between the before/after reads of one query
+    extra_conf["spark.ui.retainedStages"] = "20000"
     spark = get_spark("pme-scale", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                       extra_conf=extra_conf)
     registry = load_all()
@@ -252,8 +258,10 @@ def main() -> int:
             "lineitem_rows": spark.read.parquet(f"{sf_dir}/lineitem.parquet").count(),
         }
         times: dict[str, float] = entry.get("times", {})
+        shuffle: dict[str, int] = entry.get("shuffle_write_bytes", {})
         for name in run_list:
             q = registry[name]
+            w0, _ = cumulative_shuffle_bytes(spark)
             times[name] = _time(
                 lambda q=q: q.builder(spark, sf_dir)
                 .write.format("noop")
@@ -261,8 +269,16 @@ def main() -> int:
                 .save(),
                 repeats,
             )
-            print(f"# {label} {name}: {times[name]:.3f}s", file=sys.stderr)
+            w1, _ = cumulative_shuffle_bytes(spark)
+            # deterministic replans shuffle identical volume each repeat
+            shuffle[name] = (w1 - w0) // repeats
+            print(
+                f"# {label} {name}: {times[name]:.3f}s"
+                f" shuffleW={shuffle[name]}",
+                file=sys.stderr,
+            )
         entry["times"] = times
+        entry["shuffle_write_bytes"] = shuffle
         if all(n in times for n in HEADLINE):
             entry["headline_total"] = round(sum(times[n] for n in HEADLINE), 3)
         if all(n in times for n in HEAVY):
@@ -309,6 +325,11 @@ def main() -> int:
                     k: round(b["candidates"][k] / max(a["candidates"][k], 1), 2)
                     for k in a["candidates"]
                     if k in b["candidates"]
+                }
+            sa, sb = a.get("shuffle_write_bytes", {}), b.get("shuffle_write_bytes", {})
+            if sa and sb:
+                ratios["shuffle_write_bytes"] = {
+                    n: round(sb[n] / max(sa[n], 1), 2) for n in sa if n in sb
                 }
             if "encryption" in a and "encryption" in b:
                 ratios["encryption"] = {

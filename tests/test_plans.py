@@ -503,3 +503,25 @@ def test_global_ordinals_adversarial_tie_skew(spark):
     assert hot > 2 * (n // _ORDINAL_PARTS), "fixture no longer skewed enough"
 
     assert "SinglePartition" not in executed_plan(out)
+
+
+def test_cumulative_shuffle_bytes_counts_real_shuffles(spark):
+    """The scale experiment's shuffle meter reads the JVM status store:
+    a wide aggregation must advance the cumulative shuffle-write sum,
+    and a narrow map-only query must not."""
+    from parquet_modular_encryption_spark.plans.explain import (
+        cumulative_shuffle_bytes,
+    )
+
+    w0, r0 = cumulative_shuffle_bytes(spark)
+    spark.range(0, 200_000).selectExpr("id % 997 AS k", "id AS v").groupBy(
+        "k"
+    ).sum("v").write.format("noop").mode("overwrite").save()
+    w1, r1 = cumulative_shuffle_bytes(spark)
+    assert w1 > w0 and r1 > r0, "groupBy must shuffle"
+
+    spark.range(0, 200_000).selectExpr("id * 2 AS d").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    w2, _ = cumulative_shuffle_bytes(spark)
+    assert w2 == w1, "map-only query must not shuffle"
