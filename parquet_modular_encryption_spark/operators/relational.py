@@ -21,8 +21,10 @@ the rest widen coverage per the driver's north star (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from parquet_modular_encryption_spark.functions.text import hash60, sql_hash60
 
 from parquet_modular_encryption_spark.functions.numeric import (
     davg,
@@ -1372,4 +1374,166 @@ def q88e_drift_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"(abs(cnt_a * n_b - cnt_b * n_a) * {DRIFT_PPM}) DIV (n_a * n_b)"
         ).alias("shift_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HyperLogLog (q88f): the oracle-checkable twin of q28
+# ---------------------------------------------------------------------------
+# q28 uses Spark's approx_count_distinct, whose HLL++ register layout is
+# engine-internal — the driver can only rows-check it. This sketch is the
+# same algorithm (Flajolet et al. 2007) built on the portable md5-based
+# hash60 both engines compute bit-identically, so the ENTIRE sketch state
+# — register census, exact BIGINT harmonic ladder, fixed-point estimate,
+# ppm error vs exact — hash-checks against DuckDB, the same move q88c
+# made for count-min. p=10 ⇒ m=1024 registers (≈3.25% standard error);
+# hash60 yields 60 bits ⇒ 50 w-bits, so rho ∈ [1, 51].
+HLL_P = 10
+HLL_M = 1 << HLL_P  # 1024 registers
+HLL_WBITS = 60 - HLL_P  # rank bits left after the bucket index
+HLL_RMAX = HLL_WBITS + 1  # rho when all w-bits are zero
+HLL_POW = 1 << HLL_RMAX  # 2^51: the harmonic ladder scale
+# Harmonic sum S = sum(2^(RMAX - reg)) over all m registers (empty ⇒ reg 0
+# ⇒ term 2^51). Max S = m * 2^51 = 2^61 < 2^63 — exact BIGINT, no floats.
+# Raw HLL estimate alpha_m * m^2 / Z with Z = S / 2^51, alpha fixed at the
+# asymptotic 0.7213: est = (0.7213 * m^2) * (2^51 / S). Both factors and
+# the quotient are single IEEE-754 double ops on identical inputs —
+# exactly rounded, engine-independent — and FLOOR (not ROUND: half-even
+# vs half-up tie rules differ across engines) makes the BIGINT exact.
+_HLL_EST_SQL = (
+    f"CAST(FLOOR((0.7213 * {HLL_M * HLL_M}.0) * ({HLL_POW}.0 / CAST({{S}} AS DOUBLE)))"
+    " AS BIGINT)"
+)
+
+
+def hll_rho_sql(w: str) -> str:
+    """Portable rho(w) = leading zeros of the {HLL_WBITS}-bit value + 1, as
+    a generated integer CASE ladder — no log2()/bit-length builtins, which
+    are not portably available (DuckDB lacks conv(), Spark lacks printf
+    '%b') and float log2 risks boundary rounding at exact powers of two.
+    The ladder is a single whole-stage-codegen'd expression."""
+    branches = " ".join(
+        f"WHEN {w} >= {1 << (HLL_WBITS - 1 - i)} THEN {i + 1}"
+        for i in range(HLL_WBITS)
+    )
+    return f"CASE {branches} ELSE {HLL_RMAX} END"
+
+
+def hll_registers(df: DataFrame, group: str, key: Column) -> DataFrame:
+    """(group, bucket, reg) register frame for a deterministic HLL over
+    ``key`` — max(rho) per bucket. Duplicates hash identically, so the max
+    is duplicate-insensitive by construction; registers from disjoint
+    splits merge by MAX (pinned in tests/test_properties.py)."""
+    h = hash60(key)
+    return (
+        df.select(F.col(group), h.alias("h"))
+        .select(
+            group,
+            (F.col("h") % HLL_M).alias("bucket"),
+            F.expr(hll_rho_sql(f"(h div {HLL_M})")).alias("rho"),
+        )
+        .groupBy(group, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+@register(
+    "q88f_hll_deterministic",
+    oracle=f"""
+    WITH h AS (
+        SELECT l_returnflag,
+               {sql_hash60("'pk:' || CAST(l_partkey AS VARCHAR)")} AS h
+        FROM lineitem
+    ), b AS (
+        SELECT l_returnflag, h % {HLL_M} AS bucket,
+               {hll_rho_sql(f"(h // {HLL_M})")} AS rho
+        FROM h
+    ), regs AS (
+        SELECT l_returnflag, bucket, MAX(rho) AS reg FROM b GROUP BY 1, 2
+    ), sk AS (
+        SELECT l_returnflag, COUNT(*) AS n_used,
+               SUM(CAST(power(2.0, {HLL_RMAX} - reg) AS BIGINT)) AS s_used
+        FROM regs GROUP BY 1
+    ), ex AS (
+        SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_distinct
+        FROM lineitem GROUP BY 1
+    ), j AS (
+        SELECT sk.l_returnflag, ex.exact_distinct,
+               CAST(sk.s_used + ({HLL_M} - sk.n_used) * {HLL_POW} AS BIGINT)
+                   AS hll_harmonic_fp,
+               {HLL_M} - sk.n_used AS zero_registers
+        FROM sk JOIN ex USING (l_returnflag)
+    ), e AS (
+        SELECT *, {_HLL_EST_SQL.format(S="hll_harmonic_fp")} AS hll_est FROM j
+    )
+    SELECT l_returnflag, exact_distinct, hll_harmonic_fp, zero_registers,
+           hll_est,
+           (abs(hll_est - exact_distinct) * 1000000) // exact_distinct AS err_ppm
+    FROM e
+    """,
+    tags=("agg", "approx", "sketch", "hll", "diagnostics"),
+)
+def q88f_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-count sketch, FULLY hash-checked
+    — per l_returnflag, the register census, exact-BIGINT harmonic ladder,
+    fixed-point raw estimate, and its ppm error against the exact
+    COUNT(DISTINCT) computed in the same query (the audit shape of q47c:
+    the sketch ships with its own error report).
+
+    Why this exists next to q28: approx_count_distinct's HLL++ registers
+    are engine-internal, so the driver can only rows-check it. Owning the
+    hash (md5-based hash60) makes the SAME algorithm reproducible in any
+    engine — the estimator itself becomes oracle-checkable, leaving q28
+    rows-only by engine choice, not by algorithmic necessity.
+
+    Exactness: rho comes from an integer CASE ladder (hll_rho_sql); the
+    harmonic sum is S = sum 2^(51-reg) <= 2^61 in BIGINT (power(2.0, k) is
+    an exactly-representable integer double for k <= 51, so DuckDB's
+    round-on-cast and Spark's truncate-on-cast agree); the estimate
+    (0.7213*m^2)*(2^51/S) is two exactly-rounded double ops on identical
+    inputs, floored (not rounded: cross-engine tie rules differ). The
+    small-range linear-counting correction m*ln(m/V) is deliberately NOT
+    applied in-query — libm ln() is not portably rounded; zero_registers V
+    ships in the output so a consumer (or the pytest tolerance check) can
+    apply it outside the hash-checked core.
+
+    Scale: one projection pass over the fact table into (group, bucket)
+    partial maxes — map-side combinable, fixed m=1024 registers per group
+    regardless of input size, the one-pass bounded-memory shape that
+    replaces the exact distinct shuffle at 100 TB. Registers from disjoint
+    splits merge by MAX (mergeability pinned in test_properties), so the
+    sketch composes across partitions, epochs, and streaming micro-batches
+    exactly like q88c's CMS cells. The 3-row exact branch exists to price
+    the sketch's error in the output; production ships registers only."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    regs = hll_registers(
+        li,
+        "l_returnflag",
+        F.concat(F.lit("pk:"), F.col("l_partkey").cast("string")),
+    )
+    sk = regs.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum(
+            F.expr(f"CAST(power(2.0, {HLL_RMAX} - reg) AS BIGINT)")
+        ).alias("s_used"),
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    j = sk.join(F.broadcast(exact), "l_returnflag").select(
+        "l_returnflag",
+        "exact_distinct",
+        (
+            F.col("s_used") + (F.lit(HLL_M) - F.col("n_used")) * F.lit(HLL_POW)
+        ).alias("hll_harmonic_fp"),
+        (F.lit(HLL_M) - F.col("n_used")).alias("zero_registers"),
+    )
+    return j.select(
+        "*", F.expr(_HLL_EST_SQL.format(S="hll_harmonic_fp")).alias("hll_est")
+    ).select(
+        "*",
+        F.expr(
+            "(abs(hll_est - exact_distinct) * 1000000) DIV exact_distinct"
+        ).alias("err_ppm"),
     )

@@ -434,3 +434,85 @@ def test_ppjoin_incremental_superset(corpus, split):
                 assert pref & sb, (
                     f"qualifying cross pair ({a},{b}) shares no batch-prefix token"
                 )
+
+
+# ---------------------------------------------------------------------------
+# q88f deterministic HLL: estimator accuracy, register mergeability, rho ladder
+# ---------------------------------------------------------------------------
+
+
+def test_q88f_hll_estimate_within_bound_of_exact(spark, sf_dir):
+    """The full HLL decision rule (raw estimate, or linear counting from
+    the shipped zero_registers when est <= 2.5m and V > 0 — applied here,
+    outside the hash-checked core, exactly as the docstring prescribes)
+    must land within 10% of the exact COUNT(DISTINCT) computed in the
+    same query. m=1024 ⇒ ~3.25% sigma raw / ~2-4% LC at these loads; the
+    sketch is deterministic given md5, so 10% (~3 sigma) is a stable pin,
+    not a flaky tolerance."""
+    import math
+
+    from parquet_modular_encryption_spark.operators.relational import (
+        HLL_M,
+        q88f_hll_deterministic,
+    )
+
+    rows = q88f_hll_deterministic(spark, sf_dir).collect()
+    assert rows, "q88f returned no groups"
+    for r in rows:
+        est = r.hll_est
+        if est <= 2.5 * HLL_M and r.zero_registers > 0:
+            est = HLL_M * math.log(HLL_M / r.zero_registers)
+        assert abs(est - r.exact_distinct) <= 0.10 * r.exact_distinct, (
+            f"{r.l_returnflag}: corrected HLL {est} vs exact {r.exact_distinct}"
+        )
+
+
+def test_q88f_hll_registers_merge_by_max(spark, sf_dir):
+    """Sketch mergeability — the property that lets HLL registers compose
+    across partitions, epochs, and streaming micro-batches: building
+    registers on two disjoint halves of lineitem and MAX-merging them must
+    reproduce the whole-corpus register frame exactly."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.operators.relational import hll_registers
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    li = load(spark, sf_dir, "lineitem")
+    key = F.concat(F.lit("pk:"), F.col("l_partkey").cast("string"))
+    whole = hll_registers(li, "l_returnflag", key)
+    halves = [
+        hll_registers(li.filter(F.col("l_orderkey") % 2 == i), "l_returnflag", key)
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("l_returnflag", "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+    diff = whole.exceptAll(merged).unionByName(merged.exceptAll(whole))
+    assert diff.count() == 0, "MAX-merge of split registers != whole-corpus registers"
+
+
+def test_q88f_rho_ladder_exact_bit_positions(spark):
+    """rho(w) boundary pins: all-zero w ⇒ RMAX; the highest representable
+    w-bit ⇒ 1; each exact power of two sits on the correct rung (the CASE
+    ladder exists precisely because float log2 is untrustworthy at these
+    boundaries)."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.operators.relational import (
+        HLL_RMAX,
+        HLL_WBITS,
+        hll_rho_sql,
+    )
+
+    cases = [(0, HLL_RMAX), (1, HLL_WBITS), ((1 << (HLL_WBITS - 1)) - 1, 2)] + [
+        (1 << k, HLL_WBITS - k) for k in range(0, HLL_WBITS, 7)
+    ] + [(1 << (HLL_WBITS - 1), 1)]
+    df = spark.createDataFrame([(w,) for w, _ in cases], "w long").select(
+        "w", F.expr(hll_rho_sql("w")).alias("rho")
+    )
+    got = {r.w: r.rho for r in df.collect()}
+    for w, want in cases:
+        assert got[w] == want, f"rho({w}) = {got[w]}, want {want}"
