@@ -21,7 +21,7 @@ the rest widen coverage per the driver's north star (BASELINE.json).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.text import hash60, sql_hash60
@@ -1535,5 +1535,221 @@ def q88f_hll_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "*",
         F.expr(
             "(abs(hll_est - exact_distinct) * 1000000) DIV exact_distinct"
+        ).alias("err_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic log-linear quantile sketch (q88g): the oracle-checkable
+# twin of q87 — completing the sketch trilogy (q88c CMS frequencies,
+# q88f HLL distincts, q88g quantiles)
+# ---------------------------------------------------------------------------
+# DDSketch (Masson, Rim & Lee, VLDB'19) with the log-linear bucket map
+# made INTEGER-ONLY so it is portably exact: instead of ceil(log_gamma(x))
+# — whose libm log is not identically rounded across engines at bucket
+# boundaries — values bucket by (bit-length, next-4-bits) = a base-2^(1/16)
+# logarithm computed entirely from integer comparisons and divisions.
+# Relative-error guarantee: a bucket [L, U) has U/L <= 17/16, so the
+# reported lower edge is within 1/17 (~5.9%, 58824 ppm) of any value in
+# the bucket; values < 16 cents get exact singleton buckets.
+DDS_EXACT = 16  # values below this bucket exactly (one bucket per value)
+DDS_SUB = 16  # subdivisions per octave: gamma = 2^(1/16)
+DDS_BITS = 40  # bit-length ladder width (cents up to 2^40 ~ $10B)
+DDS_QS = (25, 50, 75, 95)  # percentiles reported
+
+
+def bitlen_sql(v: str) -> str:
+    """Portable integer bit-length of a non-negative BIGINT expression as
+    a generated comparison ladder (same rationale as hll_rho_sql: no
+    cross-engine log2/bit-length builtin, and float log2 is untrustworthy
+    exactly at the power-of-two boundaries the buckets hinge on)."""
+    branches = " ".join(
+        f"WHEN {v} >= {1 << (DDS_BITS - 1 - i)} THEN {DDS_BITS - i}"
+        for i in range(DDS_BITS)
+    )
+    return f"CASE {branches} ELSE 0 END"
+
+
+def _dds_bucket_rep_sql(v: str, bl: str, divop: str) -> tuple[str, str]:
+    """(bucket, rep) SQL for the log-linear map. For v >= 16: octave
+    k = bl-1, sub-bucket m = (v div 2^(k-4)) - 16 in [0,16), bucket id
+    16k+m (>= 64, disjoint from the exact region), representative = the
+    bucket's lower edge (16+m)*2^(k-4). power(2.0, j) is an exactly-
+    representable integer double for j <= 36, so the BIGINT cast is exact
+    under both DuckDB round-on-cast and Spark truncate-on-cast."""
+    pw = f"CAST(power(2.0, {bl} - 5) AS BIGINT)"
+    m = f"(({v} {divop} {pw}) - {DDS_SUB})"
+    bucket = (
+        f"CASE WHEN {v} < {DDS_EXACT} THEN {v} "
+        f"ELSE {DDS_SUB} * ({bl} - 1) + {m} END"
+    )
+    rep = (
+        f"CASE WHEN {v} < {DDS_EXACT} THEN {v} "
+        f"ELSE ({DDS_SUB} + {m}) * {pw} END"
+    )
+    return bucket, rep
+
+
+_DDS_CENTS = "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
+
+
+def _dds_oracle() -> str:
+    bl = bitlen_sql("v")
+    bucket, rep = _dds_bucket_rep_sql("v", "bl", "//")
+    qvals = ", ".join(f"({q})" for q in DDS_QS)
+    return f"""
+    WITH vals AS (
+        SELECT l_returnflag, {_DDS_CENTS} AS v FROM lineitem
+    ), blv AS (
+        SELECT l_returnflag, v, {bl} AS bl FROM vals
+    ), bucketed AS (
+        SELECT l_returnflag, {bucket} AS bucket, {rep} AS rep FROM blv
+    ), buckets AS (
+        SELECT l_returnflag, bucket, rep, COUNT(*) AS c
+        FROM bucketed GROUP BY 1, 2, 3
+    ), bcum AS (
+        SELECT l_returnflag, rep,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+        FROM buckets
+    ), qs(q_pct) AS (VALUES {qvals}),
+    sketch AS (
+        SELECT l_returnflag, q_pct,
+               MIN(CASE WHEN 100 * cum >= q_pct * tot THEN rep END)
+                   AS sketch_cents,
+               CAST(MIN(tot) AS BIGINT) AS n_rows
+        FROM bcum CROSS JOIN qs GROUP BY 1, 2
+    ), vcounts AS (
+        SELECT l_returnflag, v, COUNT(*) AS c FROM vals GROUP BY 1, 2
+    ), vcum AS (
+        SELECT l_returnflag, v,
+               SUM(c) OVER (PARTITION BY l_returnflag ORDER BY v
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS cum,
+               SUM(c) OVER (PARTITION BY l_returnflag) AS tot
+        FROM vcounts
+    ), exact AS (
+        SELECT l_returnflag, q_pct,
+               MIN(CASE WHEN 100 * cum >= q_pct * tot THEN v END)
+                   AS exact_cents
+        FROM vcum CROSS JOIN qs GROUP BY 1, 2
+    )
+    SELECT s.l_returnflag, s.q_pct, s.n_rows, s.sketch_cents, e.exact_cents,
+           (abs(s.sketch_cents - e.exact_cents) * 1000000) // e.exact_cents
+               AS err_ppm
+    FROM sketch s JOIN exact e
+      ON s.l_returnflag = e.l_returnflag AND s.q_pct = e.q_pct
+    """
+
+
+def dds_buckets(df: DataFrame, group: str, cents: Column) -> DataFrame:
+    """(group, bucket, rep, c) log-linear bucket-count frame — the sketch
+    state. Bucket counts SUM-merge across disjoint splits (pinned in
+    tests/test_properties.py), so the sketch composes across partitions,
+    epochs, and streaming micro-batches like q88c's CMS cells and q88f's
+    HLL registers."""
+    bl = bitlen_sql("v")
+    bucket, rep = _dds_bucket_rep_sql("v", "bl", "DIV")
+    return (
+        df.select(F.col(group), cents.alias("v"))
+        .select(group, "v", F.expr(bl).alias("bl"))
+        .select(group, F.expr(bucket).alias("bucket"), F.expr(rep).alias("rep"))
+        .groupBy(group, "bucket", "rep")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+@register(
+    "q88g_ddsketch_quantiles",
+    oracle=_dds_oracle(),
+    tags=("agg", "approx", "sketch", "quantile", "diagnostics"),
+)
+def q88g_ddsketch_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic relative-error quantile sketch (DDSketch's log-linear
+    bucket map, integer-only), FULLY hash-checked — per l_returnflag, the
+    p25/p50/p75/p95 of extended price in cents from the sketch next to the
+    exact rank-crossing answer and the ppm error, all BIGINT.
+
+    Completes the deterministic-sketch trilogy (q88c CMS, q88f HLL): q87's
+    Greenwald-Khanna summary is Spark-internal, so the driver can only
+    rows-check it — but the QUANTILE-SKETCH class itself is oracle-
+    checkable once the bucket map is portable. Buckets come from integer
+    comparisons alone (bitlen_sql ladder + next-4-bits sub-bucket =
+    a base-2^(1/16) log with no libm), giving the DDSketch guarantee:
+    reported value within 1/17 (~5.9%) of the true discrete quantile,
+    exact below 16 cents. The crossing test 100*cum >= q*tot is cross-
+    multiplied BIGINT — no rank division anywhere.
+
+    Scale: the sketch state is <= ~700 buckets per group REGARDLESS of
+    input size (one map-side-combinable pass), so the per-group window
+    that orders buckets sorts a bounded frame — this is precisely what
+    q66b's exact median cannot do (it sorts all n rows per group) and why
+    a 100 TB pipeline ships bucket counts, SUM-merged across partitions
+    and micro-batches, then extracts quantiles driver-side from hundreds
+    of rows. The exact branch here prices the sketch's error in the
+    output (the q47c/q88f audit shape); production omits it."""
+    prep(spark)
+    li = load(spark, sf_dir, "lineitem")
+    qspec = F.explode(F.array(*[F.lit(q) for q in DDS_QS])).alias("q_pct")
+
+    buckets = dds_buckets(li, "l_returnflag", F.expr(_DDS_CENTS))
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    bcum = buckets.select(
+        "l_returnflag",
+        "rep",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    sketch = (
+        bcum.select("*", qspec)
+        .groupBy("l_returnflag", "q_pct")
+        .agg(
+            F.min(
+                F.when(100 * F.col("cum") >= F.col("q_pct") * F.col("tot"), F.col("rep"))
+            ).alias("sketch_cents"),
+            F.min("tot").cast("bigint").alias("n_rows"),
+        )
+    )
+
+    vcounts = (
+        li.select("l_returnflag", F.expr(_DDS_CENTS).alias("v"))
+        .groupBy("l_returnflag", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    vcum = vcounts.select(
+        "l_returnflag",
+        "v",
+        F.sum("c").over(vw).alias("cum"),
+        F.sum("c").over(wtot).alias("tot"),
+    )
+    exact = (
+        vcum.select("*", qspec)
+        .groupBy("l_returnflag", "q_pct")
+        .agg(
+            F.min(
+                F.when(100 * F.col("cum") >= F.col("q_pct") * F.col("tot"), F.col("v"))
+            ).alias("exact_cents")
+        )
+    )
+    return sketch.join(F.broadcast(exact), ["l_returnflag", "q_pct"]).select(
+        "l_returnflag",
+        "q_pct",
+        "n_rows",
+        "sketch_cents",
+        "exact_cents",
+        F.expr(
+            "(abs(sketch_cents - exact_cents) * 1000000) DIV exact_cents"
         ).alias("err_ppm"),
     )

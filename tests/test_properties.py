@@ -516,3 +516,93 @@ def test_q88f_rho_ladder_exact_bit_positions(spark):
     got = {r.w: r.rho for r in df.collect()}
     for w, want in cases:
         assert got[w] == want, f"rho({w}) = {got[w]}, want {want}"
+
+
+# ---------------------------------------------------------------------------
+# q88g deterministic DDSketch quantiles: guarantee, mergeability, bucket map
+# ---------------------------------------------------------------------------
+
+
+def test_q88g_ddsketch_error_within_guarantee(spark, sf_dir):
+    """Every reported quantile must honor the log-linear map's relative-
+    error guarantee: bucket edges ratio <= 17/16 ⇒ err < 1/17 (58824 ppm),
+    with the sketch value never above the exact one (it reports the lower
+    edge of the bucket containing the exact crossing value)."""
+    from parquet_modular_encryption_spark.operators.relational import (
+        q88g_ddsketch_quantiles,
+    )
+
+    rows = q88g_ddsketch_quantiles(spark, sf_dir).collect()
+    assert len(rows) >= 4, "expected >= 1 group x 4 quantiles"
+    for r in rows:
+        assert r.sketch_cents <= r.exact_cents, (
+            f"{r.l_returnflag} p{r.q_pct}: sketch {r.sketch_cents} above "
+            f"exact {r.exact_cents}"
+        )
+        assert r.err_ppm <= 58824, (
+            f"{r.l_returnflag} p{r.q_pct}: err {r.err_ppm} ppm breaks the "
+            f"1/17 guarantee"
+        )
+
+
+def test_q88g_ddsketch_buckets_merge_by_sum(spark, sf_dir):
+    """Bucket counts from two disjoint halves of lineitem SUM-merge into
+    the whole-corpus bucket frame exactly — the composition property that
+    lets the sketch ship per-partition/per-micro-batch state."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.operators.relational import (
+        _DDS_CENTS,
+        dds_buckets,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    li = load(spark, sf_dir, "lineitem")
+    cents = F.expr(_DDS_CENTS)
+    whole = dds_buckets(li, "l_returnflag", cents)
+    halves = [
+        dds_buckets(li.filter(F.col("l_orderkey") % 2 == i), "l_returnflag", cents)
+        for i in (0, 1)
+    ]
+    merged = (
+        halves[0]
+        .unionByName(halves[1])
+        .groupBy("l_returnflag", "bucket", "rep")
+        .agg(F.sum("c").alias("c"))
+    )
+    diff = whole.exceptAll(merged).unionByName(merged.exceptAll(whole))
+    assert diff.count() == 0, "SUM-merge of split buckets != whole-corpus buckets"
+
+
+def test_q88g_bucket_map_matches_python_reference(spark):
+    """The generated bucket/rep SQL must agree with a transparent python
+    reference on the boundary-heavy cases: the exact region's edge (15,
+    16), octave edges (31/32, 2^k, 2^k - 1), and mid-bucket values."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.operators.relational import (
+        DDS_EXACT,
+        DDS_SUB,
+        _dds_bucket_rep_sql,
+        bitlen_sql,
+    )
+
+    def ref(v: int) -> tuple[int, int]:
+        if v < DDS_EXACT:
+            return v, v
+        k = v.bit_length() - 1
+        m = (v >> (k - 4)) - DDS_SUB
+        return DDS_SUB * k + m, (DDS_SUB + m) << (k - 4)
+
+    cases = [0, 1, 15, 16, 17, 31, 32, 33, 255, 256, 257, 1023, 1024,
+             (1 << 20) - 1, 1 << 20, (1 << 20) + (1 << 16), (1 << 39) - 1,
+             1 << 39, 9_999_999, 10_000_001]
+    bucket, rep = _dds_bucket_rep_sql("v", "bl", "DIV")
+    df = (
+        spark.createDataFrame([(v,) for v in cases], "v long")
+        .select("v", F.expr(bitlen_sql("v")).alias("bl"))
+        .select("v", F.expr(bucket).alias("bucket"), F.expr(rep).alias("rep"))
+    )
+    got = {r.v: (r.bucket, r.rep) for r in df.collect()}
+    for v in cases:
+        assert got[v] == ref(v), f"bucket_map({v}) = {got[v]}, want {ref(v)}"
