@@ -407,10 +407,19 @@ Q55_BAND_TARGET = 2048
 Q55_MAX_EXTRA_BITS = 8
 
 
-def q55_extra_band_bits(n: int) -> int:
-    """Smallest x in [0, 8] with n <= TARGET * 2^x."""
+def q55_extra_band_bits(n: int, per_doubling: float = 1.0) -> int:
+    """Smallest x in [0, 8] with n <= TARGET * 2^(x / per_doubling).
+
+    ``per_doubling`` is the linearity knob the constant block documents:
+    extra key bits added per corpus doubling. 1.0 (the registered
+    operator's setting, where 2^(x/1.0) is exact so this reduces to the
+    integer ladder the oracle mirrors) gives measured ~n^1.36 candidate
+    growth on this corpus; ~1.6 compensates the real ~0.64 per-bit
+    pruning (0.64^1.6 ≈ 0.5) for strictly linear candidates at the cost
+    of mid-cosine recall — measured, not argued, in
+    scripts/q55_recall_experiment.py / Q55_RECALL_r09.json."""
     x = 0
-    while x < Q55_MAX_EXTRA_BITS and n > Q55_BAND_TARGET * (1 << x):
+    while x < Q55_MAX_EXTRA_BITS and n > Q55_BAND_TARGET * 2.0 ** (x / per_doubling):
         x += 1
     return x
 
@@ -1066,7 +1075,9 @@ NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # corpora use ~0.9+.
 
 
-def q55_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def q55_corpus_bands(
+    emb: DataFrame, per_doubling: float = 1.0
+) -> tuple[DataFrame, DataFrame]:
     """(e, bands) for q55's whole-corpus banding join: e = (vec_id, ee),
     bands = (vec_id, band_id, band_key) with corpus-scaled key width
     (:func:`q55_extra_band_bits`). Factored out of the operator so the
@@ -1076,7 +1087,7 @@ def q55_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     re-run the sign-plane projections per side (~1.5 s of 3.7 s at
     sf0.1)."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    x = q55_extra_band_bits(emb.count())
+    x = q55_extra_band_bits(emb.count(), per_doubling)
     dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
 
     def _weight_fn(plane: int):
