@@ -604,3 +604,47 @@ def test_encrypted_stream_ingest(spark, tmp_path):
         for f in glob.glob(f"{out}/batch_id=*/*.parquet")
     )
     assert b"late-arriving confidential" not in raw2
+
+
+def test_streaming_hll_and_ddsketch_equal_batch(spark, tmp_path):
+    """The round-9 sketch twins compose in streaming exactly like q88c's
+    CMS cells: HLL registers MAX-merge and DDSketch bucket counts
+    SUM-merge across micro-batches, so the operators' own register/bucket
+    builders (hll_registers / dds_buckets) run unmodified on a streaming
+    frame in complete mode and must equal the batch-built state
+    row-for-row — the property that lets an ingest pipeline maintain
+    distinct-count and quantile structures without reprocessing."""
+    from parquet_modular_encryption_spark.operators.relational import (
+        _DDS_CENTS,
+        dds_buckets,
+        hll_registers,
+    )
+
+    src = str(tmp_path / "li_src")
+    li = spark.read.parquet(f"{SF}/lineitem.parquet").select(
+        "l_returnflag", "l_partkey", "l_extendedprice", "l_orderkey"
+    )
+    li.repartition(4).write.parquet(src)
+
+    key = F.concat(F.lit("pk:"), F.col("l_partkey").cast("string"))
+    stream = (
+        spark.readStream.schema(li.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+
+    got_regs = run_to_memory(
+        hll_registers(stream, "l_returnflag", key), "t_hll", output_mode="complete"
+    )
+    batch_regs = hll_registers(li, "l_returnflag", key)
+    assert {(r.l_returnflag, r.bucket): r.reg for r in got_regs.collect()} == {
+        (r.l_returnflag, r.bucket): r.reg for r in batch_regs.collect()
+    }
+
+    got_buckets = run_to_memory(
+        dds_buckets(stream, "l_returnflag", F.expr(_DDS_CENTS)),
+        "t_dds",
+        output_mode="complete",
+    )
+    batch_buckets = dds_buckets(li, "l_returnflag", F.expr(_DDS_CENTS))
+    assert {(r.l_returnflag, r.bucket): (r.rep, r.c) for r in got_buckets.collect()} == {
+        (r.l_returnflag, r.bucket): (r.rep, r.c) for r in batch_buckets.collect()
+    }
