@@ -1406,17 +1406,25 @@ _HLL_EST_SQL = (
 )
 
 
-def hll_rho_sql(w: str) -> str:
-    """Portable rho(w) = leading zeros of the {HLL_WBITS}-bit value + 1, as
-    a generated integer CASE ladder — no log2()/bit-length builtins, which
-    are not portably available (DuckDB lacks conv(), Spark lacks printf
-    '%b') and float log2 risks boundary rounding at exact powers of two.
-    The ladder is a single whole-stage-codegen'd expression."""
+def bitlen_sql(v: str, bits: int) -> str:
+    """Portable integer bit-length of a non-negative BIGINT expression
+    below 2^bits, as a generated comparison ladder (0 for v = 0). The
+    one ladder generator serves both sketch twins (HLL rho, DDSketch
+    octaves): no cross-engine log2/bit-length builtin exists (DuckDB
+    lacks conv(), Spark lacks printf '%b') and float log2 risks boundary
+    rounding exactly at the powers of two the buckets hinge on. The
+    ladder is a single whole-stage-codegen'd expression."""
     branches = " ".join(
-        f"WHEN {w} >= {1 << (HLL_WBITS - 1 - i)} THEN {i + 1}"
-        for i in range(HLL_WBITS)
+        f"WHEN {v} >= {1 << (bits - 1 - i)} THEN {bits - i}" for i in range(bits)
     )
-    return f"CASE {branches} ELSE {HLL_RMAX} END"
+    return f"CASE {branches} ELSE 0 END"
+
+
+def hll_rho_sql(w: str) -> str:
+    """rho(w) = leading zeros of the 50-bit value + 1, i.e.
+    HLL_RMAX - bitlen(w) — derived from the shared comparison ladder so
+    the two sketch twins cannot drift on boundary semantics."""
+    return f"({HLL_RMAX} - ({bitlen_sql(w, HLL_WBITS)}))"
 
 
 def hll_registers(df: DataFrame, group: str, key: Column) -> DataFrame:
@@ -1558,18 +1566,6 @@ DDS_BITS = 40  # bit-length ladder width (cents up to 2^40 ~ $10B)
 DDS_QS = (25, 50, 75, 95)  # percentiles reported
 
 
-def bitlen_sql(v: str) -> str:
-    """Portable integer bit-length of a non-negative BIGINT expression as
-    a generated comparison ladder (same rationale as hll_rho_sql: no
-    cross-engine log2/bit-length builtin, and float log2 is untrustworthy
-    exactly at the power-of-two boundaries the buckets hinge on)."""
-    branches = " ".join(
-        f"WHEN {v} >= {1 << (DDS_BITS - 1 - i)} THEN {DDS_BITS - i}"
-        for i in range(DDS_BITS)
-    )
-    return f"CASE {branches} ELSE 0 END"
-
-
 def _dds_bucket_rep_sql(v: str, bl: str, divop: str) -> tuple[str, str]:
     """(bucket, rep) SQL for the log-linear map. For v >= 16: octave
     k = bl-1, sub-bucket m = (v div 2^(k-4)) - 16 in [0,16), bucket id
@@ -1594,7 +1590,7 @@ _DDS_CENTS = "CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT)"
 
 
 def _dds_oracle() -> str:
-    bl = bitlen_sql("v")
+    bl = bitlen_sql("v", DDS_BITS)
     bucket, rep = _dds_bucket_rep_sql("v", "bl", "//")
     qvals = ", ".join(f"({q})" for q in DDS_QS)
     return f"""
@@ -1650,7 +1646,7 @@ def dds_buckets(df: DataFrame, group: str, cents: Column) -> DataFrame:
     tests/test_properties.py), so the sketch composes across partitions,
     epochs, and streaming micro-batches like q88c's CMS cells and q88f's
     HLL registers."""
-    bl = bitlen_sql("v")
+    bl = bitlen_sql("v", DDS_BITS)
     bucket, rep = _dds_bucket_rep_sql("v", "bl", "DIV")
     return (
         df.select(F.col(group), cents.alias("v"))

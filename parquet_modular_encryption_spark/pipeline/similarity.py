@@ -386,8 +386,10 @@ LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2), (3, 4, 5))
 #: same quadratic family the r9 scale experiment caught in q55b. The
 #: standard LSH remedy is hash width that grows with corpus size: each
 #: band key gains x extra sign-plane bits, x the smallest value with
-#: n <= TARGET * 2^x (integer-exact ladder, mirrored in SQL — no float
-#: log2). Under the idealized random-sign model each extra bit halves
+#: n <= TARGET * 2^x (at the operator's unit knob this is the exact
+#: integer ladder mirrored in SQL — no float log2; see
+#: q55_extra_band_bits for the experiment-only non-unit knob).
+#: Under the idealized random-sign model each extra bit halves
 #: collisions (candidates ~n * TARGET / 2^(base_bits+1) per band); the
 #: r9 scale measurement shows the REAL per-bit pruning on this corpus is
 #: ~0.64 (pairs at cosine c survive a sign plane with prob 1 - θ(c)/π >
@@ -407,16 +409,19 @@ Q55_BAND_TARGET = 2048
 Q55_MAX_EXTRA_BITS = 8
 
 
-def q55_extra_band_bits(n: int, per_doubling: float = 1.0) -> int:
+def q55_extra_band_bits(n: int, *, per_doubling: float = 1.0) -> int:
     """Smallest x in [0, 8] with n <= TARGET * 2^(x / per_doubling).
 
     ``per_doubling`` is the linearity knob the constant block documents:
-    extra key bits added per corpus doubling. 1.0 (the registered
-    operator's setting, where 2^(x/1.0) is exact so this reduces to the
-    integer ladder the oracle mirrors) gives measured ~n^1.36 candidate
-    growth on this corpus; ~1.6 compensates the real ~0.64 per-bit
-    pruning (0.64^1.6 ≈ 0.5) for strictly linear candidates at the cost
-    of mid-cosine recall — measured, not argued, in
+    extra key bits added per corpus doubling. At the default 1.0 — the
+    ONLY setting the registered q55 operator and its DuckDB oracle use —
+    2.0**(x/1.0) is an exact power-of-two double, so this reduces
+    bit-for-bit to the integer ladder `_sql_bands_cte_scaled` mirrors.
+    Non-unit knobs are EXPERIMENT-ONLY (keyword-only on purpose): the
+    oracle has no matching ladder, so threading one into the registered
+    path would silently break parity. ~1.6 compensates the real ~0.64
+    per-bit pruning (0.64^1.6 ≈ 0.5) for strictly linear candidates at
+    the cost of mid-cosine recall — measured, not argued, in
     scripts/q55_recall_experiment.py / Q55_RECALL_r09.json."""
     x = 0
     while x < Q55_MAX_EXTRA_BITS and n > Q55_BAND_TARGET * 2.0 ** (x / per_doubling):
@@ -1076,7 +1081,7 @@ NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 
 
 def q55_corpus_bands(
-    emb: DataFrame, per_doubling: float = 1.0
+    emb: DataFrame, *, per_doubling: float = 1.0
 ) -> tuple[DataFrame, DataFrame]:
     """(e, bands) for q55's whole-corpus banding join: e = (vec_id, ee),
     bands = (vec_id, band_id, band_key) with corpus-scaled key width
@@ -1087,7 +1092,7 @@ def q55_corpus_bands(
     re-run the sign-plane projections per side (~1.5 s of 3.7 s at
     sf0.1)."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    x = q55_extra_band_bits(emb.count(), per_doubling)
+    x = q55_extra_band_bits(emb.count(), per_doubling=per_doubling)
     dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
 
     def _weight_fn(plane: int):

@@ -67,11 +67,14 @@ def exact_pairs(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     out_pairs, out_cos = [], []
     n = m.shape[0]
     for s in range(0, n, BLOCK):
-        g = m[s : s + BLOCK] @ m.T  # (block, n)
+        # Columns j < s can only form lower-triangle pairs with this
+        # block's rows — skip them up front (halves the dominant
+        # O(n^2 d) cost) and keep only the strict upper triangle.
+        g = m[s : s + BLOCK] @ m[s:].T  # (block, n - s); col j = s + bj
         bi, bj = np.nonzero(g >= NEARDUP_COSINE)
-        keep = (s + bi) < bj  # upper triangle, strict
+        keep = bi < bj  # global (s + bi) < (s + bj)
         bi, bj = bi[keep], bj[keep]
-        out_pairs.append(np.stack([ids[s + bi], ids[bj]], axis=1))
+        out_pairs.append(np.stack([ids[s + bi], ids[s + bj]], axis=1))
         out_cos.append(g[bi, bj])
     return np.concatenate(out_pairs), np.concatenate(out_cos)
 
@@ -79,7 +82,11 @@ def exact_pairs(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
 def main() -> int:
     out_path = "Q55_RECALL_r09.json"
     if "--out" in sys.argv:
-        out_path = sys.argv[sys.argv.index("--out") + 1]
+        i = sys.argv.index("--out")
+        if i + 1 >= len(sys.argv):
+            print("usage: q55_recall_experiment.py [--out FILE]", file=sys.stderr)
+            return 2
+        out_path = sys.argv[i + 1]
 
     spark = get_spark("q55-recall", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     prep(spark)
@@ -94,8 +101,8 @@ def main() -> int:
         n = emb.count()
         row: dict = {"n_vectors": n, "exact_qualifying_pairs": int(len(pairs))}
         for knob in KNOBS:
-            x = q55_extra_band_bits(n, knob)
-            _, bands = q55_corpus_bands(emb, knob)
+            x = q55_extra_band_bits(n, per_doubling=knob)
+            _, bands = q55_corpus_bands(emb, per_doubling=knob)
             n_cand = q55_corpus_candidates(bands).count()
             keys: dict[int, dict[int, int]] = {}
             for r in bands.collect():

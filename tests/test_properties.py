@@ -581,6 +581,7 @@ def test_q88g_bucket_map_matches_python_reference(spark):
     from pyspark.sql import functions as F
 
     from parquet_modular_encryption_spark.operators.relational import (
+        DDS_BITS,
         DDS_EXACT,
         DDS_SUB,
         _dds_bucket_rep_sql,
@@ -600,7 +601,7 @@ def test_q88g_bucket_map_matches_python_reference(spark):
     bucket, rep = _dds_bucket_rep_sql("v", "bl", "DIV")
     df = (
         spark.createDataFrame([(v,) for v in cases], "v long")
-        .select("v", F.expr(bitlen_sql("v")).alias("bl"))
+        .select("v", F.expr(bitlen_sql("v", DDS_BITS)).alias("bl"))
         .select("v", F.expr(bucket).alias("bucket"), F.expr(rep).alias("rep"))
     )
     got = {r.v: (r.bucket, r.rep) for r in df.collect()}
