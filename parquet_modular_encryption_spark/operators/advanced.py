@@ -512,10 +512,14 @@ def q39d_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     reader that mis-classifies any line hash-mismatches. FAILFAST (the
     third mode) aborts by design and is pinned in pytest instead.
 
-    The PERMISSIVE frame is cached before filtering on the corrupt
-    column — Spark disallows plans referencing ONLY the internal corrupt
-    record column of an unmaterialized CSV scan (documented limitation);
-    the fixture is bounded so the cache is too."""
+    The PERMISSIVE frame is materialized (localCheckpoint) before
+    filtering on the corrupt column — Spark disallows plans referencing
+    ONLY the internal corrupt record column of an unmaterialized CSV
+    scan (documented limitation). localCheckpoint, not cache: the
+    returned frame keeps the blocks alive until the caller collects, and
+    the ContextCleaner reclaims them on GC — a bare cache() here was the
+    same leak class VERDICT r8 flagged in q47 (blocks accumulate across
+    bench min-of-3 / driver registry re-runs)."""
     prep(spark)
     path = _malformed_csv_fixture(spark, sf_dir)
     ddl = "c_custkey bigint, c_name string, c_acctbal double"
@@ -525,7 +529,7 @@ def q39d_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt")
         .csv(path)
-        .cache()
+        .localCheckpoint(eager=True)
     )
     p_counts = permissive.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -50,6 +50,29 @@ ANTIPATTERNS = [
 ]
 
 
+#: A `.persist()`/`.cache()` with no release path leaks executor blocks
+#: for the session's lifetime (bench runs min-of-3, the driver re-runs
+#: the whole registry) — the class VERDICT r8 flagged in q47/q47b and r9
+#: fixed again in q39d. Every pin site must either release in-scope
+#: (`unpersist` within the window below — finally-block or forwarded,
+#: both count) or use `localCheckpoint(eager=True)`, which the
+#: ContextCleaner reclaims on GC.
+PIN_RELEASE_WINDOW = 25
+
+
+def _scan_unreleased_pins(src: str) -> list[int]:
+    import re
+
+    lines = src.split("\n")
+    hits = []
+    for i, ln in enumerate(lines):
+        if re.search(r"\.(persist|cache)\(", ln) and "#" not in ln.split(".")[0]:
+            window = "\n".join(lines[i : i + PIN_RELEASE_WINDOW])
+            if "unpersist" not in window:
+                hits.append(i + 1)
+    return hits
+
+
 def scan_antipatterns() -> list[str]:
     import re
 
@@ -66,6 +89,15 @@ def scan_antipatterns() -> list[str]:
                     line = src.count("\n", 0, m.start()) + 1
                     rel = os.path.relpath(path, REPO)
                     findings.append(f"{rel}:{line}: {why}")
+            rel = os.path.relpath(path, REPO)
+            for line in _scan_unreleased_pins(src):
+                findings.append(
+                    f"{rel}:{line}: .persist()/.cache() with no unpersist "
+                    f"within {PIN_RELEASE_WINDOW} lines — leaks blocks "
+                    "across repeated invocations; release in a finally "
+                    "block or use localCheckpoint(eager=True) (see "
+                    "dedup.py q49b)."
+                )
     return findings
 
 
