@@ -61,16 +61,49 @@ PIN_RELEASE_WINDOW = 25
 
 
 def _scan_unreleased_pins(src: str) -> list[int]:
-    import re
+    """Pin lines (1-based) whose `.persist(`/`.cache(` call has no
+    code-level `unpersist` within the release window.
 
-    lines = src.split("\n")
-    hits = []
-    for i, ln in enumerate(lines):
-        if re.search(r"\.(persist|cache)\(", ln) and "#" not in ln.split(".")[0]:
-            window = "\n".join(lines[i : i + PIN_RELEASE_WINDOW])
-            if "unpersist" not in window:
-                hits.append(i + 1)
-    return hits
+    Token-based (ADVICE r9): the old line heuristic flagged pin calls
+    quoted inside docstrings/string literals, and an 'unpersist' anywhere
+    in the window — including `# TODO unpersist` comments — silently
+    released a genuinely leaky pin. Tokenizing skips STRING/COMMENT
+    tokens entirely, so only real attribute-call pins trigger and only a
+    real code reference to `unpersist` (a call OR the forwarded-release
+    assignment `out.unpersist = pinned.unpersist`) suppresses."""
+    import io
+    import tokenize
+
+    toks: list[tokenize.TokenInfo] = []
+    try:
+        for tok in tokenize.generate_tokens(io.StringIO(src).readline):
+            toks.append(tok)
+    except (tokenize.TokenError, IndentationError):
+        pass  # scan whatever tokenized before the error
+    pin_lines: list[int] = []
+    release_lines: set[int] = set()
+    for i, tok in enumerate(toks):
+        if tok.type != tokenize.NAME:
+            continue
+        if tok.string == "unpersist":
+            release_lines.add(tok.start[0])
+        elif tok.string in ("persist", "cache"):
+            prev = toks[i - 1] if i else None
+            nxt = toks[i + 1] if i + 1 < len(toks) else None
+            if (
+                prev is not None
+                and prev.type == tokenize.OP
+                and prev.string == "."
+                and nxt is not None
+                and nxt.type == tokenize.OP
+                and nxt.string == "("
+            ):
+                pin_lines.append(tok.start[0])
+    return [
+        ln
+        for ln in pin_lines
+        if not any(ln <= r < ln + PIN_RELEASE_WINDOW for r in release_lines)
+    ]
 
 
 def scan_antipatterns() -> list[str]:

@@ -107,17 +107,22 @@ def main() -> int:
             keys: dict[int, dict[int, int]] = {}
             for r in bands.collect():
                 keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
-            hit = np.array(
-                [
-                    any(
-                        ka[band] == keys[int(b)].get(band)
-                        for band in ka
-                    )
-                    for a, b in pairs
-                    for ka in (keys[int(a)],)
-                ],
-                dtype=bool,
-            )
+            # A vec_id missing from the bands frame (filtered/null
+            # embedding) counts as a MISS rather than aborting the whole
+            # multi-scale run with a KeyError (ADVICE r9).
+            hits = []
+            n_missing = 0
+            for a, b in pairs:
+                ka, kb = keys.get(int(a)), keys.get(int(b))
+                if ka is None or kb is None:
+                    n_missing += 1
+                    hits.append(False)
+                    continue
+                hits.append(any(ka[band] == kb.get(band) for band in ka))
+            hit = np.array(hits, dtype=bool)
+            if n_missing:
+                print(f"# {sf_name}: {n_missing} exact-pair vec_ids missing "
+                      "from the bands frame (counted as misses)", flush=True)
             strata = {}
             for lo, hi in zip(COS_STRATA, COS_STRATA[1:]):
                 mask = (cos >= lo) & (cos < hi)
@@ -130,6 +135,7 @@ def main() -> int:
                 "candidates": int(n_cand),
                 "recall": float(hit.mean()) if len(pairs) else None,
                 "recall_by_cosine": strata,
+                **({"missing_band_ids": n_missing} if n_missing else {}),
             }
             print(
                 f"{sf_name} knob={knob}: n={n} x={x} cand={n_cand} "

@@ -97,8 +97,12 @@ def run_phase(phase: str, out_path: str) -> None:
             )
             res["q55c_prefix_candidates"] = allpairs_candidates(tf, nrm).count()
     else:
-        qs = load_all()
-        qs[phase].builder(spark, SF10).write.format("noop").mode("overwrite").save()
+        # resolve the builder BEFORE resetting t0 so every phase times only
+        # the Spark job, never registry import/registration (ADVICE r9 —
+        # the candidate phases already reset after docs.count())
+        builder = load_all()[phase].builder
+        t0 = time.time()
+        builder(spark, SF10).write.format("noop").mode("overwrite").save()
     res[f"{phase}_sec"] = round(time.time() - t0, 1)
 
     with open(out_path, "w") as f:

@@ -69,6 +69,32 @@ def test_unreleased_pin_scanner_accepts_forwarded_release():
     assert lint._scan_unreleased_pins(forwarded) == []
 
 
+def test_unreleased_pin_scanner_ignores_strings_and_comments():
+    # ADVICE r9: a pin call QUOTED in a docstring/string literal is not a
+    # pin, and an 'unpersist' that only appears in a comment or docstring
+    # is not a release.
+    doc_only = (
+        'def f():\n'
+        '    """Uses df.persist() under the hood — see notes."""\n'
+        '    return 1\n'
+    )
+    assert lint._scan_unreleased_pins(doc_only) == []
+    string_only = 'MSG = "call .cache() and later .unpersist()"\n'
+    assert lint._scan_unreleased_pins(string_only) == []
+    comment_release = (
+        "pinned = df.persist()\n"
+        "# TODO unpersist this eventually\n"
+        "return pinned.count()\n"
+    )
+    assert lint._scan_unreleased_pins(comment_release) == [1]
+    docstring_release = (
+        "pinned = df.cache()\n"
+        'helper.__doc__ = "remember to unpersist"\n'
+        "return pinned\n"
+    )
+    assert lint._scan_unreleased_pins(docstring_release) == [1]
+
+
 def test_unreleased_pin_scanner_ignores_local_checkpoint():
     # the sanctioned pattern needs no release: ContextCleaner reclaims on GC
     ok = "sh = frame.localCheckpoint(eager=True)\nreturn sh\n"
