@@ -92,6 +92,97 @@ def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
     return subtrees
 
 
+def _stage_list(spark) -> list:
+    """Every stage the app status store retains (the UI's stage table)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = spark._jvm
+    stages = store.stageList(
+        jvm.java.util.ArrayList(),
+        False,
+        False,
+        sc._gateway.new_array(jvm.double, 0),
+        jvm.java.util.ArrayList(),
+    )
+    out = []
+    it = stages.iterator()
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+def stage_keys_snapshot(spark) -> set[tuple[int, int]]:
+    """(stage_id, attempt) pairs currently in the status store. Snapshot
+    before a query and pass to :func:`stage_task_dispersion` as `since`
+    to scope the meter to exactly the stages that query submitted."""
+    return {(st.stageId(), st.attemptId()) for st in _stage_list(spark)}
+
+
+def stage_task_dispersion(
+    spark, since: set[tuple[int, int]] | None = None, min_tasks: int = 2
+) -> list[dict]:
+    """Per-stage task wall-time dispersion: [{stage_id, attempt, n_tasks,
+    median_ms, p75_ms, max_ms, ratio}] with ratio = max/median.
+
+    THE straggler meter: a salted/prefix-filtered plan keeps max/median
+    near 1 even when the key distribution is Zipfian, while a hot
+    unsalted reducer shows up as one task N× the stage median — the
+    failure mode that decides whether an operator survives a skewed
+    100 TB corpus, invisible to wall-clock totals on a 32-thread box.
+    Reads task-duration quantiles from the JVM AppStatusStore (the same
+    numbers as the UI's stage summary table), so it measures REAL task
+    times, not plan-shape proxies.
+
+    Caveats: stages with < min_tasks completed tasks are skipped (a
+    1-task stage has ratio 1 by construction), and with far more shuffle
+    partitions than data the median lands on a near-empty task, inflating
+    the ratio — AQE partition coalescing keeps production stages out of
+    that regime; p75_ms is reported so such stages are recognizable
+    (tiny median + tiny p75 = empty-partition artifact, not a hot key).
+    Callers diffing across many queries should raise
+    ``spark.ui.retainedStages`` (the scale experiment sets 20000)."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = spark._jvm
+    rows = []
+    for st in _stage_list(spark):
+        key = (st.stageId(), st.attemptId())
+        if since is not None and key in since:
+            continue
+        n = st.numCompleteTasks()
+        if n < min_tasks:
+            continue
+        q = sc._gateway.new_array(jvm.double, 3)
+        q[0], q[1], q[2] = 0.5, 0.75, 1.0
+        opt = store.taskSummary(st.stageId(), st.attemptId(), q)
+        if not opt.isDefined():
+            continue
+        dur = opt.get().duration()
+        median_ms, p75_ms, max_ms = dur.apply(0), dur.apply(1), dur.apply(2)
+        rows.append(
+            {
+                "stage_id": st.stageId(),
+                "attempt": st.attemptId(),
+                "n_tasks": n,
+                "median_ms": round(median_ms, 1),
+                "p75_ms": round(p75_ms, 1),
+                "max_ms": round(max_ms, 1),
+                "ratio": round(max_ms / max(median_ms, 1.0), 2),
+            }
+        )
+    return rows
+
+
+def worst_straggler(
+    spark, since: set[tuple[int, int]] | None = None, min_tasks: int = 8
+) -> dict | None:
+    """The stage with the worst max/median task-time ratio among stages
+    submitted since the snapshot — one number per query for the skew
+    scale experiment. None if no stage had >= min_tasks tasks."""
+    rows = stage_task_dispersion(spark, since=since, min_tasks=min_tasks)
+    return max(rows, key=lambda r: r["ratio"]) if rows else None
+
+
 def cumulative_shuffle_bytes(spark) -> tuple[int, int]:
     """(shuffle_write_bytes, shuffle_read_bytes) summed over every stage
     the app status store retains — snapshot before/after a query and the
@@ -103,20 +194,8 @@ def cumulative_shuffle_bytes(spark) -> tuple[int, int]:
     raise ``spark.ui.retainedStages`` so eviction between snapshots
     cannot shrink the cumulative sums (the scale experiment sets 20000).
     """
-    sc = spark.sparkContext
-    store = sc._jsc.sc().statusStore()
-    jvm = spark._jvm
-    stages = store.stageList(
-        jvm.java.util.ArrayList(),
-        False,
-        False,
-        sc._gateway.new_array(jvm.double, 0),
-        jvm.java.util.ArrayList(),
-    )
     written = read = 0
-    it = stages.iterator()
-    while it.hasNext():
-        st = it.next()
+    for st in _stage_list(spark):
         written += st.shuffleWriteBytes()
         read += st.shuffleReadBytes()
     return written, read

@@ -525,3 +525,64 @@ def test_cumulative_shuffle_bytes_counts_real_shuffles(spark):
     ).mode("overwrite").save()
     w2, _ = cumulative_shuffle_bytes(spark)
     assert w2 == w1, "map-only query must not shuffle"
+
+
+def test_stage_task_dispersion_sees_hot_reducer(spark):
+    """The skew scale experiment's straggler meter: a deliberately hot
+    key (one reducer doing ~90% of the work) must surface as a stage
+    whose max task time dwarfs the stage median, scoped via the
+    stage-keys snapshot to exactly the stages this query submitted."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.plans.explain import (
+        stage_keys_snapshot,
+        stage_task_dispersion,
+        worst_straggler,
+    )
+
+    # 90% of rows share key 0; repartition("k") pins them to ONE task.
+    # Per-row sha2 gives tasks real CPU work so the hot task's duration
+    # is dominated by work, not scheduler overhead. AQE partition
+    # coalescing is disabled for the query: at test scale it folds the
+    # whole reducer stage into ONE task (ratio 1 by construction) —
+    # production reducer stages keep many tasks, which is the regime the
+    # meter exists for.
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prior = spark.conf.get(coalesce_key, "true")
+    spark.conf.set(coalesce_key, "false")
+    try:
+        def q():
+            return (
+                spark.range(0, 300_000)
+                .select(
+                    F.when(F.col("id") % 100 < 90, F.lit(0))
+                    .otherwise(F.pmod(F.col("id"), F.lit(50)) + 1)
+                    .alias("k"),
+                    F.col("id"),
+                )
+                .repartition("k")
+                .withColumn("h", F.sha2(F.concat_ws("-", "k", "id"), 256))
+                .groupBy("k")
+                .agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("mx"))
+            )
+
+        # warm-up run first: at test scale the first execution's task walls
+        # are dominated by a ~0.5-0.8 s per-thread codegen/JIT floor that
+        # swamps the skew signal (measured: empty task 432 ms cold, 75 ms
+        # warm) — the same reason the skew experiment snapshots around a
+        # warmed repeat
+        q().write.format("noop").mode("overwrite").save()
+        before = stage_keys_snapshot(spark)
+        q().write.format("noop").mode("overwrite").save()
+    finally:
+        spark.conf.set(coalesce_key, prior)
+
+    rows = stage_task_dispersion(spark, since=before, min_tasks=4)
+    assert rows, "meter saw no multi-task stages for the query"
+    for r in rows:
+        assert r["max_ms"] >= r["p75_ms"] >= r["median_ms"] >= 0
+        assert (r["stage_id"], r["attempt"]) not in before, "since-scoping leak"
+    worst = worst_straggler(spark, since=before, min_tasks=4)
+    assert worst is not None and worst["ratio"] > 3, (
+        f"hot reducer invisible to the meter: {worst}"
+    )
