@@ -28,6 +28,8 @@ from pyspark.sql import functions as F  # noqa: E402
 
 from parquet_modular_encryption_spark.plans.explain import (  # noqa: E402
     cumulative_shuffle_bytes,
+    stage_keys_snapshot,
+    worst_straggler,
 )
 from parquet_modular_encryption_spark.registry import load_all  # noqa: E402
 from parquet_modular_encryption_spark.session import get_spark, prep  # noqa: E402
@@ -83,6 +85,22 @@ def _time(fn, repeats: int) -> float:
         fn()
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
+
+
+def _time_with_straggler(spark, fn, repeats: int) -> tuple[float, dict | None]:
+    """Min-of-N wall clock plus the worst per-stage max/median task-time
+    ratio of the LAST repeat (the warmed one — first-run task walls carry
+    a per-thread codegen/JIT floor that swamps the skew signal; see
+    tests/test_plans.py::test_stage_task_dispersion_sees_hot_reducer)."""
+    best = float("inf")
+    snap: set = set()
+    for i in range(repeats):
+        if i == repeats - 1:
+            snap = stage_keys_snapshot(spark)
+        t0 = time.perf_counter()
+        fn()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3), worst_straggler(spark, since=snap, min_tasks=8)
 
 
 def candidate_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
@@ -259,10 +277,12 @@ def main() -> int:
         }
         times: dict[str, float] = entry.get("times", {})
         shuffle: dict[str, int] = entry.get("shuffle_write_bytes", {})
+        stragglers: dict[str, dict] = entry.get("stragglers", {})
         for name in run_list:
             q = registry[name]
             w0, _ = cumulative_shuffle_bytes(spark)
-            times[name] = _time(
+            times[name], worst = _time_with_straggler(
+                spark,
                 lambda q=q: q.builder(spark, sf_dir)
                 .write.format("noop")
                 .mode("overwrite")
@@ -272,13 +292,17 @@ def main() -> int:
             w1, _ = cumulative_shuffle_bytes(spark)
             # deterministic replans shuffle identical volume each repeat
             shuffle[name] = (w1 - w0) // repeats
+            if worst is not None:
+                stragglers[name] = worst
             print(
                 f"# {label} {name}: {times[name]:.3f}s"
-                f" shuffleW={shuffle[name]}",
+                f" shuffleW={shuffle[name]}"
+                f" straggler={worst and worst['ratio']}",
                 file=sys.stderr,
             )
         entry["times"] = times
         entry["shuffle_write_bytes"] = shuffle
+        entry["stragglers"] = stragglers
         if all(n in times for n in HEADLINE):
             entry["headline_total"] = round(sum(times[n] for n in HEADLINE), 3)
         if all(n in times for n in HEAVY):
