@@ -1080,8 +1080,15 @@ NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # corpora use ~0.9+.
 
 
+#: LCG plane-index base for the base planes of EXPERIMENT-ONLY extra
+#: bands (n_bands > len(LSH_BANDS) in q55_corpus_bands): band b uses
+#: planes EXTRA_BAND_PLANE_BASE + b*16 + i, disjoint from the 8 base
+#: planes and from the widening extras at N_PLANES + b*MAX_EXTRA + j.
+Q55_EXTRA_BAND_PLANE_BASE = 200
+
+
 def q55_corpus_bands(
-    emb: DataFrame, *, per_doubling: float = 1.0
+    emb: DataFrame, *, per_doubling: float = 1.0, n_bands: int | None = None
 ) -> tuple[DataFrame, DataFrame]:
     """(e, bands) for q55's whole-corpus banding join: e = (vec_id, ee),
     bands = (vec_id, band_id, band_key) with corpus-scaled key width
@@ -1090,7 +1097,18 @@ def q55_corpus_bands(
     (round-9 instrumentation discipline). bands is localCheckpointed:
     both sides of the bucket self-join consume it, which would otherwise
     re-run the sign-plane projections per side (~1.5 s of 3.7 s at
-    sf0.1)."""
+    sf0.1).
+
+    ``n_bands`` is EXPERIMENT-ONLY (keyword-only, like ``per_doubling``):
+    the registered operator and its oracle use exactly the
+    len(LSH_BANDS) = 2 bands. The round-10 planted-cosine measurement
+    (Q55_RECALL_r10 / tests/test_pipeline.py planted-cosine pin) showed
+    band COUNT is the recall limiter at the production 0.9+ regime — at
+    x = 2 widening, 2 bands hold only ~0.81 recall at cosine 0.95
+    (matching 1-(1-s^5)^2 with per-plane survival s = 1-theta/pi), while
+    8 bands restore ~0.999 at ~4x the candidate volume. Extra bands draw
+    their base planes from a disjoint LCG index range, so every band
+    stays plane-independent and the knob composes with the widening."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     x = q55_extra_band_bits(emb.count(), per_doubling=per_doubling)
     dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
@@ -1098,14 +1116,19 @@ def q55_corpus_bands(
     def _weight_fn(plane: int):
         return lambda d: _plane_weights(plane, d)
 
-    plane_ids = set(range(N_PLANES)) | {
+    bands_spec: list[tuple[int, ...]] = list(LSH_BANDS)
+    for b in range(len(LSH_BANDS), n_bands or 0):
+        bands_spec.append(
+            tuple(Q55_EXTRA_BAND_PLANE_BASE + b * 16 + i for i in range(3))
+        )
+    plane_ids = {p for band in bands_spec for p in band} | {
         N_PLANES + b * Q55_MAX_EXTRA_BITS + j
-        for b in range(len(LSH_BANDS))
+        for b in range(len(bands_spec))
         for j in range(x)
     }
     projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in plane_ids}
     band_structs = []
-    for b, band in enumerate(LSH_BANDS):
+    for b, band in enumerate(bands_spec):
         key = None
         for i, p in enumerate(band):
             bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))

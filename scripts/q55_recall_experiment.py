@@ -47,14 +47,72 @@ from parquet_modular_encryption_spark.pipeline.similarity import (  # noqa: E402
 from parquet_modular_encryption_spark.session import get_spark, prep  # noqa: E402
 from parquet_modular_encryption_spark.sources.datasets import load  # noqa: E402
 
+def _first_existing(*paths: str) -> str:
+    for p in paths:
+        if os.path.isdir(p):
+            return p
+    return paths[0]
+
+
+_BT = os.path.join(REPO, "build", "testdata")
 SFS = [
     ("sf0.1", "/root/testdata/sf0.1"),
-    ("sf1", os.path.join(REPO, "build", "testdata", "sf1")),
-    ("sf3", os.path.join(REPO, "build", "testdata", "sf3")),
+    # embeddings are IDENTICAL between the tiled sfN and zipfN corpora
+    # (the per-copy vector roll is unaffected by --zipf, which only
+    # regenerates documents.text), so either directory serves
+    ("sf1", _first_existing(f"{_BT}/sf1", f"{_BT}/zipf1")),
+    ("sf3", _first_existing(f"{_BT}/sf3", f"{_BT}/zipf3")),
 ]
 KNOBS = (1.0, 1.6)
 BLOCK = 4096
 COS_STRATA = [0.35, 0.40, 0.45, 0.50, 1.01]
+
+# ------------------------------------------------------- planted pairs
+#
+# VERDICT r9 "What's missing" #2: the natural corpus is random-ish, so
+# its qualifying pairs cluster at cosine 0.35-0.55 and the claim that
+# band widening preserves recall at the PRODUCTION near-dup regime
+# (0.9+) rested on the 1 - theta/pi per-plane survival argument. These
+# constants plant pairs at controlled cosines so that claim is measured.
+PLANT_COSINES = (0.80, 0.90, 0.95, 0.99)
+PLANT_PER_STRATUM = 200
+PLANT_SEED = 55
+
+
+def plant_pairs(
+    mat: "np.ndarray",
+    cosines: tuple[float, ...] = PLANT_COSINES,
+    k: int = PLANT_PER_STRATUM,
+    seed: int = PLANT_SEED,
+) -> tuple["np.ndarray", list[tuple[int, int, float]]]:
+    """Append, per target cosine c, k partner vectors at EXACTLY cosine c
+    to deterministically spaced base rows. partner = |a| * (c*a_hat +
+    sqrt(1-c^2)*w_hat) with w_hat a seeded random unit vector orthogonal
+    to a_hat (Gram-Schmidt), so the pair's cosine is c by construction
+    and the partner keeps the base vector's norm (float32 storage
+    rounding perturbs the realized cosine by ~1e-7 — far inside a
+    stratum). Returns (partner_rows[k*len(cosines), d], pairs) with
+    pairs = (base_row_index, partner_row_index_within_output, c)."""
+    rng = np.random.default_rng(seed)
+    n, d = mat.shape
+    k = max(1, min(k, n // max(1, len(cosines))))
+    stride = max(1, n // (k * len(cosines)))
+    partners = np.empty((k * len(cosines), d), dtype=np.float64)
+    pairs: list[tuple[int, int, float]] = []
+    out = 0
+    for si, c in enumerate(cosines):
+        for j in range(k):
+            base = ((si * k + j) * stride) % n
+            u = mat[base].astype(np.float64)
+            nu = np.linalg.norm(u)
+            u_hat = u / max(nu, 1e-30)
+            w = rng.standard_normal(d)
+            w -= (w @ u_hat) * u_hat
+            w_hat = w / max(np.linalg.norm(w), 1e-30)
+            partners[out] = nu * (c * u_hat + np.sqrt(1.0 - c * c) * w_hat)
+            pairs.append((base, out, c))
+            out += 1
+    return partners, pairs
 
 
 def exact_pairs(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
@@ -79,18 +137,131 @@ def exact_pairs(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     return np.concatenate(out_pairs), np.concatenate(out_cos)
 
 
+def planted_corpus(sf_name: str, sf_dir: str) -> tuple[str, list, int]:
+    """Write build/testdata/planted_{sf}/embeddings.parquet = the scale
+    corpus plus the planted partners (same arrow schema), returning
+    (path, pairs as (base_vec_id, partner_vec_id, cosine), n_total)."""
+    import pyarrow as pa
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet")
+    ids = np.asarray(t.column("vec_id"))
+    mat = np.stack(t.column("embedding").to_pylist())
+    partners, raw_pairs = plant_pairs(mat)
+    base_id = int(ids.max()) + 1
+    new_ids = np.arange(base_id, base_id + len(partners), dtype=np.int64)
+    pairs = [(int(ids[b]), int(new_ids[o]), c) for b, o, c in raw_pairs]
+    emb_type = t.schema.field("embedding").type
+    value_np = emb_type.value_type.to_pandas_dtype()
+    planted = pa.table(
+        {
+            "vec_id": pa.concat_arrays(
+                [t.column("vec_id").combine_chunks(), pa.array(new_ids, pa.int64())]
+            ),
+            "embedding": pa.concat_arrays(
+                [
+                    t.column("embedding").combine_chunks().cast(emb_type),
+                    pa.array(
+                        [row.astype(value_np) for row in partners], emb_type
+                    ),
+                ]
+            ),
+            "label": pa.concat_arrays(
+                [
+                    t.column("label").combine_chunks(),
+                    pa.array(np.full(len(partners), -1, dtype=np.int32)),
+                ]
+            ),
+        }
+    )
+    dst = os.path.join(REPO, "build", "testdata", f"planted_{sf_name}")
+    os.makedirs(dst, exist_ok=True)
+    path = os.path.join(dst, "embeddings.parquet")
+    pq.write_table(planted, path)
+    return dst, pairs, planted.num_rows
+
+
+def run_planted(spark, result: dict) -> None:
+    """Planted-cosine recall: for each scale and knob, the fraction of
+    pairs planted at cosine c that share >= 1 widened band key — the
+    production-regime (0.9+) measurement VERDICT r9 asked for."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.sources.datasets import load as _load
+
+    result["planted"] = {
+        "cosines": list(PLANT_COSINES),
+        "per_stratum": PLANT_PER_STRATUM,
+        "sfs": {},
+    }
+    for sf_name, sf_dir in SFS:
+        if not os.path.isdir(sf_dir):
+            print(f"planted {sf_name}: {sf_dir} missing, skipping", flush=True)
+            continue
+        dst, pairs, n_total = planted_corpus(sf_name, sf_dir)
+        emb = _load(spark, dst, "embeddings")
+        involved = sorted({v for a, b, _ in pairs for v in (a, b)})
+        row: dict = {"n_vectors": n_total}
+        for knob in KNOBS:
+            for n_bands in (None, 8):
+                x = q55_extra_band_bits(n_total, per_doubling=knob)
+                _, bands = q55_corpus_bands(
+                    emb, per_doubling=knob, n_bands=n_bands
+                )
+                n_cand = q55_corpus_candidates(bands).count()
+                keys: dict[int, dict[int, int]] = {}
+                for r in bands.filter(F.col("vec_id").isin(involved)).collect():
+                    keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
+                strata: dict[str, dict] = {}
+                for c in PLANT_COSINES:
+                    sub = [(a, b) for a, b, cc in pairs if cc == c]
+                    hits = 0
+                    for a, b in sub:
+                        ka, kb = keys.get(a), keys.get(b)
+                        if ka and kb and any(
+                            ka[band] == kb.get(band) for band in ka
+                        ):
+                            hits += 1
+                    strata[f"{c:.2f}"] = {
+                        "pairs": len(sub),
+                        "recall": round(hits / len(sub), 4) if sub else None,
+                    }
+                tag = f"knob_{knob}" + ("" if n_bands is None else f"_bands{n_bands}")
+                row[tag] = {
+                    "extra_bits": x,
+                    "n_bands": n_bands or 2,
+                    "candidates": int(n_cand),
+                    "recall_by_planted_cosine": strata,
+                }
+                print(f"planted {sf_name} knob={knob} bands={n_bands or 2}: "
+                      f"n={n_total} x={x} cand={n_cand} "
+                      f"{ {k: v['recall'] for k, v in strata.items()} }",
+                      flush=True)
+        result["planted"]["sfs"][sf_name] = row
+
+
 def main() -> int:
     out_path = "Q55_RECALL_r09.json"
     if "--out" in sys.argv:
         i = sys.argv.index("--out")
         if i + 1 >= len(sys.argv):
-            print("usage: q55_recall_experiment.py [--out FILE]", file=sys.stderr)
+            print("usage: q55_recall_experiment.py [--out FILE] [--plant]",
+                  file=sys.stderr)
             return 2
         out_path = sys.argv[i + 1]
 
     spark = get_spark("q55-recall", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     prep(spark)
     result: dict = {"threshold": NEARDUP_COSINE, "knobs": list(KNOBS), "sfs": {}}
+
+    if "--plant" in sys.argv:
+        # planted-cosine mode ONLY: the natural-strata brute force was
+        # measured in Q55_RECALL_r09.json and is unchanged by planting
+        run_planted(spark, result)
+        del result["sfs"]
+        with open(out_path, "w") as f:
+            json.dump(result, f, indent=1)
+        print(f"wrote {out_path}", flush=True)
+        return 0
 
     for sf_name, sf_dir in SFS:
         if not os.path.isdir(sf_dir):

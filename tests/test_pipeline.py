@@ -1021,6 +1021,93 @@ def test_embedding_neardup_band_widening_at_scale(spark, tmp_path):
     assert got == orows
 
 
+def test_band_widening_recall_at_planted_cosines(spark):
+    """VERDICT r9 item 2: recall at the PRODUCTION near-dup regime,
+    measured — not argued from the 1 - theta/pi per-plane survival.
+    Pairs planted at exact cosines 0.90/0.95/0.99 into a corpus large
+    enough to force x = 2 extra band bits (the registered per_doubling =
+    1.0 widening) must survive the widened banding at near-unit recall;
+    the planted 0.80 stratum documents the intended mid-cosine decay.
+    Fully deterministic: fixed corpus seed, fixed LCG planes, fixed x.
+    Mirrors scripts/q55_recall_experiment.py --plant (Q55_RECALL_r10)."""
+    import importlib.util
+    import os
+
+    import numpy as np
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q55_corpus_bands,
+        q55_extra_band_bits,
+    )
+
+    spec = importlib.util.spec_from_file_location(
+        "q55_recall_experiment",
+        os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                     "scripts", "q55_recall_experiment.py"),
+    )
+    exp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(exp)
+
+    rng = np.random.default_rng(5510)
+    n_base, dims = 5000, 32
+    mat = rng.standard_normal((n_base, dims))
+    partners, raw_pairs = exp.plant_pairs(mat, k=100)
+    full = np.vstack([mat, partners]).astype(np.float32)
+    # realized cosine is the target to float32 rounding
+    for b, o, c in raw_pairs[:20]:
+        u, v = full[b].astype(np.float64), full[n_base + o].astype(np.float64)
+        realized = (u @ v) / (np.linalg.norm(u) * np.linalg.norm(v))
+        assert abs(realized - c) < 1e-6, (c, realized)
+
+    n_total = n_base + len(partners)
+    x = q55_extra_band_bits(n_total)
+    assert x == 2, f"fixture no longer forces the widening under test: x={x}"
+
+    emb = spark.createDataFrame(
+        [(i, [float(v) for v in full[i]]) for i in range(n_total)],
+        "vec_id bigint, embedding array<float>",
+    ).coalesce(8)
+
+    def measure(n_bands=None):
+        _, bands = q55_corpus_bands(emb, n_bands=n_bands)
+        keys: dict[int, dict[int, int]] = {}
+        for r in bands.collect():
+            keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
+        recall = {}
+        for c in exp.PLANT_COSINES:
+            sub = [(b, n_base + o) for b, o, cc in raw_pairs if cc == c]
+            hits = sum(
+                1
+                for a, b in sub
+                if any(keys[a][band] == keys[b].get(band) for band in keys[a])
+            )
+            recall[c] = hits / len(sub)
+        return recall
+
+    # Registered config: 2 bands of (3 + x) = 5 bits. Per-plane survival
+    # s = 1 - acos(c)/pi, recall = 1 - (1 - s^5)^2 -> 0.923 @0.99,
+    # 0.829 @0.95, 0.707 @0.90, 0.475 @0.80. Measured (deterministic):
+    # 0.92 / 0.81 / 0.71 / 0.50 — the survival MODEL is validated, and
+    # the pin documents the round-10 finding that band COUNT, not plane
+    # quality, limits recall at the production 0.9+ regime.
+    registered = measure()
+    assert 0.75 <= registered[0.95] <= 0.92, registered
+    assert registered[0.99] >= 0.85, registered
+    assert registered[0.90] >= 0.60, registered
+
+    # The banding knob: 8 plane-disjoint bands restore near-unit recall
+    # at the production regime (theory 0.9993 @0.95, 0.993 @0.90) for
+    # ~4x the candidate volume — the measured trade a 100 TB near-dup
+    # deployment budgets (Q55_RECALL_r10).
+    wide = measure(n_bands=8)
+    assert wide[0.95] >= 0.99, wide
+    assert wide[0.99] >= 0.99, wide
+    assert wide[0.90] >= 0.97, wide
+    # 0.80 is outside the production regime; theory 0.953, measured 0.89
+    # on this 100-pair stratum (plane-lattice correlation at the margin)
+    assert wide[0.80] >= 0.85, wide
+
+
 def test_chunking_coverage_and_overlap(spark):
     """q43b invariants on a synthetic doc: chunk i starts at token
     i*stride, consecutive chunks share exactly size-stride tokens, every
