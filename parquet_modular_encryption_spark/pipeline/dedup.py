@@ -1823,13 +1823,22 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
     tf = shingle_tf(docs)
     nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
     cand = allpairs_candidates(tf, nrm)
-    # Per-pair verification re-joins candidates against the posting rows:
-    # the first join fans out |candidates| x |doc_a grams|, the second
-    # keeps only shared grams, and the pair-keyed agg folds the dot. A
-    # map-typed-vector variant (map_zip_with + aggregate over broadcast
-    # per-doc maps) was measured equal-or-slower at sf0.1 — the HOF fold
-    # per pair costs what the row explosion costs, without the benefit of
-    # whole-stage-codegen hash aggregation — so the row form stays.
+    return allpairs_verify(tf, nrm, cand)
+
+
+def allpairs_verify(tf: DataFrame, nrm: DataFrame, cand: DataFrame) -> DataFrame:
+    """q55c's exact verification stage, factored out of
+    :func:`allpairs_cosine` so the bounded-spill chunked execution path
+    (:func:`verify_chunk` + scripts/sf10_chunked_experiment.py) runs the
+    IDENTICAL plan on a candidate subset.
+
+    Per-pair verification re-joins candidates against the posting rows:
+    the first join fans out |candidates| x |doc_a grams|, the second
+    keeps only shared grams, and the pair-keyed agg folds the dot. A
+    map-typed-vector variant (map_zip_with + aggregate over broadcast
+    per-doc maps) was measured equal-or-slower at sf0.1 — the HOF fold
+    per pair costs what the row explosion costs, without the benefit of
+    whole-stage-codegen hash aggregation — so the row form stays."""
     ta = tf.select(F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa"))
     tb = tf.select(F.col("doc_id").alias("doc_b"), "g", F.col("w").alias("wb"))
     dots = (
@@ -1857,6 +1866,25 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
             F.expr(_ALLPAIRS_COSINE).alias("cosine_sim"),
         )
     )
+
+
+def verify_chunk(cand: DataFrame, chunk: int, n_chunks: int) -> DataFrame:
+    """One bounded-spill verify chunk: the candidate pairs whose doc_a
+    falls in residue class ``chunk`` mod ``n_chunks``.
+
+    Residue classes partition the candidate frame EXACTLY (each pair has
+    one doc_a), so the union of per-chunk verify outputs equals the
+    monolithic verify row-for-row — pinned by
+    tests/test_pipeline.py::test_chunked_verify_equals_monolithic. The
+    point is spill bounding: the exact joins' verify stage shuffles the
+    pair-token incidence (~5e9 rows at sf10 — ~70 GB of compressed spill,
+    more than this VM's free disk, SF10_r09.json), and running chunks in
+    SEPARATE sessions caps concurrent spill at ~1/n_chunks of that. This
+    is the grouped-execution pattern a real cluster uses to bound
+    per-stage disk: candidates are cheap to rescan/materialize; only the
+    verify fan-out needs grouping. doc_ids are dense, so residue classes
+    balance chunk sizes without a hash."""
+    return cand.filter(F.pmod(F.col("doc_a"), F.lit(n_chunks)) == F.lit(chunk))
 
 
 @register(
@@ -2087,13 +2115,21 @@ def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     toks, cand = ppjoin_candidates(docs)
+    return ppjoin_verify(toks, cand)
+
+
+def ppjoin_verify(toks: DataFrame, cand: DataFrame) -> DataFrame:
+    """q49c's exact verification stage, factored out (like
+    :func:`allpairs_verify`) so the bounded-spill chunked execution path
+    runs the identical plan on a :func:`verify_chunk` subset.
+
+    Verify by COUNTING shared tokens through the posting rows (only
+    shared tokens survive the second join) and derive the union from
+    the set sizes: U = ma + mb - I. Shipping shingle ARRAYS to every
+    candidate pair and running array_intersect measured ~3x slower at
+    sf0.1 — the token join stays in whole-stage-codegen hash
+    aggregation and moves ids, never payloads."""
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
-    # Verify by COUNTING shared tokens through the posting rows (only
-    # shared tokens survive the second join) and derive the union from
-    # the set sizes: U = ma + mb - I. Shipping shingle ARRAYS to every
-    # candidate pair and running array_intersect measured ~3x slower at
-    # sf0.1 — the token join stays in whole-stage-codegen hash
-    # aggregation and moves ids, never payloads.
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
     inter = (

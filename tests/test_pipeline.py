@@ -2694,3 +2694,71 @@ def test_ppjoin_incremental_bruteforce_exactness(spark):
             if PPJOIN_T_DEN * i >= PPJOIN_T_NUM * u:
                 want[(a, b)] = i / u
     assert got == want
+
+
+def test_chunked_verify_equals_monolithic(spark):
+    """VERDICT r9 item 3: the bounded-spill chunked verify must be
+    EXACTLY the monolithic exact join. verify_chunk partitions the
+    candidate frame by doc_a residue class, each chunk runs the
+    identical factored verify stage (ppjoin_verify / allpairs_verify),
+    and the union of chunk outputs must equal the one-shot result
+    row-for-row — the correctness lemma that lets the sf10 experiment
+    (scripts/sf10_chunked_experiment.py) run each chunk in its own
+    session to cap concurrent shuffle spill at ~1/n_chunks."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        allpairs_candidates,
+        allpairs_cosine,
+        allpairs_verify,
+        ppjoin_candidates,
+        ppjoin_verify,
+        shingle_tf,
+        verify_chunk,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    docs = load(spark, SF, "documents")
+    n_chunks = 4
+
+    # --- q49c (PPJoin Jaccard) ---
+    toks, cand = ppjoin_candidates(docs)
+    n_cand = cand.count()
+    assert n_cand > 0, "fixture has no candidates — test is vacuous"
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ppjoin_verify(toks, cand).collect()
+    }
+    assert full, "fixture has no verified pairs — test is vacuous"
+    chunked: set = set()
+    chunk_sizes = []
+    for c in range(n_chunks):
+        part = verify_chunk(cand, c, n_chunks)
+        chunk_sizes.append(part.count())
+        got = {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in ppjoin_verify(toks, part).collect()
+        }
+        assert not (got & chunked), "chunks overlap"
+        chunked |= got
+    assert sum(chunk_sizes) == n_cand, "residue classes must partition candidates"
+    assert chunked == full
+
+    # --- q55c (Bayardo all-pairs cosine) ---
+    tf = shingle_tf(docs)
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    cand2 = allpairs_candidates(tf, nrm)
+    full2 = {
+        (r.doc_a, r.doc_b, r.dot_ab, r.norm2_a, r.norm2_b)
+        for r in allpairs_cosine(docs).collect()
+    }
+    assert full2, "fixture has no qualifying cosine pairs — test is vacuous"
+    chunked2: set = set()
+    for c in range(n_chunks):
+        chunked2 |= {
+            (r.doc_a, r.doc_b, r.dot_ab, r.norm2_a, r.norm2_b)
+            for r in allpairs_verify(
+                tf, nrm, verify_chunk(cand2, c, n_chunks)
+            ).collect()
+        }
+    assert chunked2 == full2
