@@ -51,6 +51,7 @@ def incremental_dedup_ingest(
     source_dir: str,
     work_dir: str,
     max_files_per_trigger: int = 1,
+    fail_after_sink=None,
 ) -> None:
     """Run the ingest stream to completion over the files currently in
     ``source_dir`` (documents-shaped parquet), writing accepted documents
@@ -63,6 +64,12 @@ def incremental_dedup_ingest(
     the deterministic contract the dedup semantics (and the tests) pin:
     a document is accepted iff its fingerprint never appeared in an
     earlier batch nor on an earlier doc_id within its own batch.
+
+    ``fail_after_sink`` is TEST-ONLY fault injection: called with the
+    batch_id after both sink writes and before foreachBatch returns
+    (i.e. before the checkpoint commits the offset) — raising there
+    simulates a crash at the worst possible point, outputs on disk but
+    the batch uncommitted, which forces a replay on restart.
     """
     corpus_dir = f"{work_dir}/corpus"
     index_dir = f"{work_dir}/index"
@@ -70,15 +77,36 @@ def incremental_dedup_ingest(
 
     def per_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = _batch_earliest(fingerprinted(batch_df))
-        # anti-join against the index as of the PREVIOUS batch: listing
-        # happens here, inside the sequential foreachBatch, so this
-        # batch's own append is never visible to its own read
-        if os.path.isdir(index_dir) and any(
-            f.endswith(".parquet")
-            for _, _, fs in os.walk(index_dir)
-            for f in fs
-        ):
-            seen = spark.read.parquet(index_dir).select("fp")
+        # anti-join against the index as of the PREVIOUS batch — listing
+        # happens here, inside the sequential foreachBatch, and MUST
+        # exclude this batch's own batch_id directory: after a crash
+        # between the sink writes and the checkpoint commit, the REPLAYED
+        # batch finds its own fingerprints from the failed attempt on
+        # disk, and an unfiltered index read would anti-join every one of
+        # its documents away, overwriting the batch directory as empty
+        # (silent data loss — caught by the round-10 failure-injection
+        # test, tests/test_streaming.py::
+        # test_incremental_dedup_ingest_crash_replay).
+        prior = (
+            [
+                os.path.join(index_dir, d)
+                for d in sorted(os.listdir(index_dir))
+                if d.startswith("batch_id=") and d != f"batch_id={batch_id}"
+            ]
+            if os.path.isdir(index_dir)
+            else []
+        )
+        prior = [
+            p
+            for p in prior
+            if any(f.endswith(".parquet") for f in os.listdir(p))
+        ]
+        if prior:
+            seen = (
+                spark.read.option("basePath", index_dir)
+                .parquet(*prior)
+                .select("fp")
+            )
             batch = batch.join(seen, "fp", "left_anti")
         # one deterministic pass feeds both sinks: materialize the
         # survivors once, then write text and index from the same rows
@@ -92,6 +120,8 @@ def incremental_dedup_ingest(
             )
         finally:
             batch.unpersist()
+        if fail_after_sink is not None:
+            fail_after_sink(batch_id)
 
     stream = (
         spark.readStream.schema(schema)
@@ -122,6 +152,7 @@ def encrypted_stream_ingest(
     kms_url: str | None = None,
     max_files_per_trigger: int = 1,
     checkpoint_dir: str | None = None,
+    fail_after_sink=None,
 ) -> None:
     """Continuous ENCRYPTED ingestion: micro-batches land directly as
     PME-encrypted parquet — plaintext never touches the sink, so the
@@ -153,6 +184,10 @@ def encrypted_stream_ingest(
         sub = f"{out_dir}/batch_id={batch_id}"
         shutil.rmtree(sub, ignore_errors=True)
         write_encrypted(batch_df, sub, policy, kms_url=kms_url)
+        # test-only fault injection (see incremental_dedup_ingest): crash
+        # with ciphertext on disk but the offset uncommitted
+        if fail_after_sink is not None:
+            fail_after_sink(batch_id)
 
     stream = (
         spark.readStream.schema(schema)
