@@ -222,10 +222,30 @@ def main() -> None:
     # line (BENCH_r08.json lost the head), so the gated fields — metric /
     # value / headline_complete / sf — come LAST and survive truncation
     # no matter how the detail dicts grow.
+    def _median(name: str) -> float:
+        s = sorted(raw_times.get(name, []))
+        return round((s[len(s) // 2] + s[(len(s) - 1) // 2]) / 2, 3) if s else 0.0
+
+    def _spread(name: str) -> float:
+        s = raw_times.get(name, [])
+        return round(max(s) - min(s), 3) if s else 0.0
+
+    # Dispersion for the heavy tiers (VERDICT r9 item 4): q49c's min-of-3
+    # spread 4.8-10.7 s within ONE session, so round-over-round deltas of
+    # heavy rows below ~2x are invisible to min alone. Median is the
+    # robust round-over-round comparator; spread (max-min of the repeats)
+    # flags which rows' mins are noise-picked. The gated headline `value`
+    # stays min-of-N for continuity with BASELINE/r1.
+    core_median = {n: _median(n) for n in core}
+    core_spread = {n: _spread(n) for n in core}
     result = {
         "queries": timings,
+        "queries_median": {n: _median(n) for n in timings},
         "extended_core_queries": core,
+        "extended_core_median": core_median,
+        "extended_core_spread": core_spread,
         "extended_core_total": round(sum(core.values()), 3),
+        "extended_core_total_median": round(sum(core_median.values()), 3),
         "fast_tier_total": round(sum(fast.values()), 3),
         "fast_tier_n": len(fast),
         "extended_total": round(sum(core.values()) + sum(fast.values()), 3),
