@@ -162,6 +162,10 @@ def stage_task_dispersion(
         rows.append(
             {
                 "stage_id": st.stageId(),
+                # first line of the stage name — lets a flagged row
+                # self-identify (a scan stage with near-empty input
+                # splits reads very differently from a hot reducer)
+                "name": str(st.name()).split("\n")[0][:88],
                 "attempt": st.attemptId(),
                 "n_tasks": n,
                 "median_ms": round(median_ms, 1),
