@@ -123,6 +123,19 @@ def run_phase(phase: str, out_path: str, n_chunks: int, sf_dir: str) -> None:
             )
         out.write.mode("overwrite").parquet(f"{wdir}/out/chunk_{i}")
         res.setdefault(f"{op}_chunk_sec", {})[str(i)] = round(time.time() - t0, 1)
+        # per-chunk straggler reading (fresh session, so no snapshot
+        # scoping needed): chunks run disk-light, which separates real
+        # key skew from the IO interference a disk-saturated monolithic
+        # verify suffers — the attribution evidence for the zipf3 q55c
+        # monolith's 6.4x outlier task (hash partitions measured balanced
+        # at 1.28x; see NOTES_r10)
+        from parquet_modular_encryption_spark.plans.explain import (
+            worst_straggler,
+        )
+
+        w = worst_straggler(spark, min_tasks=8)
+        if w is not None:
+            res.setdefault(f"{op}_chunk_straggler", {})[str(i)] = w
     else:  # reduce
         out = spark.read.parquet(f"{wdir}/out/chunk_*")
         # order-independent fingerprint: bit_xor never overflows under
