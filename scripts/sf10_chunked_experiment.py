@@ -130,12 +130,20 @@ def run_phase(phase: str, out_path: str, n_chunks: int, sf_dir: str) -> None:
         # monolith's 6.4x outlier task (hash partitions measured balanced
         # at 1.28x; see NOTES_r10)
         from parquet_modular_encryption_spark.plans.explain import (
-            worst_straggler,
+            stage_task_dispersion,
         )
 
-        w = worst_straggler(spark, min_tasks=8)
-        if w is not None:
-            res.setdefault(f"{op}_chunk_straggler", {})[str(i)] = w
+        rows = stage_task_dispersion(spark, min_tasks=8)
+        if rows:
+            # the HEAVIEST stage's ratio is the skew-relevant reading: a
+            # fresh session's worst RATIO is reliably a few-row-group
+            # parquet scan whose tasks are mostly empty (median ~40 ms),
+            # an input-split artifact, while the verify join/agg stage —
+            # the one whose balance the chunking must preserve — is the
+            # one with the largest max task time
+            res.setdefault(f"{op}_chunk_straggler", {})[str(i)] = max(
+                rows, key=lambda r: r["max_ms"]
+            )
     else:  # reduce
         out = spark.read.parquet(f"{wdir}/out/chunk_*")
         # order-independent fingerprint: bit_xor never overflows under
