@@ -87,10 +87,19 @@ def run_phase(phase: str, out_path: str, n_chunks: int, sf_dir: str) -> None:
     res.setdefault("sf_dir", sf_dir)
     res.setdefault("n_chunks", n_chunks)
     op = phase.split("_")[1]
-    wdir = os.path.join(WORK, op)
+    # work dir keyed by CORPUS: a shared dir let one corpus's reduce read
+    # another's leftover chunk outputs (caught when a zipf1 run reported
+    # nearly zipf3's pair count — the contaminated artifacts were
+    # discarded and re-run)
+    wdir = os.path.join(WORK, os.path.basename(sf_dir.rstrip("/")), op)
 
     t0 = time.time()
     if phase.startswith("materialize_"):
+        import shutil
+
+        # stale chunk outputs from a prior run with a larger n_chunks
+        # would survive the per-chunk overwrites and poison the reduce
+        shutil.rmtree(f"{wdir}/out", ignore_errors=True)
         docs = load(spark, sf_dir, "documents")
         res["n_docs"] = docs.count()
         t0 = time.time()
@@ -145,7 +154,11 @@ def run_phase(phase: str, out_path: str, n_chunks: int, sf_dir: str) -> None:
                 rows, key=lambda r: r["max_ms"]
             )
     else:  # reduce
-        out = spark.read.parquet(f"{wdir}/out/chunk_*")
+        # explicit chunk list (never a glob): robust against any leftover
+        # directory a historical run might have left behind
+        out = spark.read.parquet(
+            *[f"{wdir}/out/chunk_{i}" for i in range(n_chunks)]
+        )
         # order-independent fingerprint: bit_xor never overflows under
         # ANSI mode (a sum of xxhash64 does) and (doc_a, doc_b) rows are
         # unique, so XOR cancellation cannot hide a discrepancy
