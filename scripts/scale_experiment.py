@@ -29,7 +29,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from parquet_modular_encryption_spark.plans.explain import (  # noqa: E402
     cumulative_shuffle_bytes,
     stage_keys_snapshot,
-    worst_straggler,
 )
 from parquet_modular_encryption_spark.registry import load_all  # noqa: E402
 from parquet_modular_encryption_spark.session import get_spark, prep  # noqa: E402
@@ -91,7 +90,17 @@ def _time_with_straggler(spark, fn, repeats: int) -> tuple[float, dict | None]:
     """Min-of-N wall clock plus the worst per-stage max/median task-time
     ratio of the LAST repeat (the warmed one — first-run task walls carry
     a per-thread codegen/JIT floor that swamps the skew signal; see
-    tests/test_plans.py::test_stage_task_dispersion_sees_hot_reducer)."""
+    tests/test_plans.py::test_stage_task_dispersion_sees_hot_reducer).
+
+    The reported straggler is the worst ratio among MATERIAL stages
+    (max task >= 1 s): a 40 ms task that is 80x a 0.5 ms median is the
+    empty-partition artifact the meter's docstring warns about, not a
+    scale risk. If the query had no material stage, the worst minor
+    stage is returned flagged {"minor": true} so nothing is hidden."""
+    from parquet_modular_encryption_spark.plans.explain import (
+        stage_task_dispersion,
+    )
+
     best = float("inf")
     snap: set = set()
     for i in range(repeats):
@@ -100,7 +109,15 @@ def _time_with_straggler(spark, fn, repeats: int) -> tuple[float, dict | None]:
         t0 = time.perf_counter()
         fn()
         best = min(best, time.perf_counter() - t0)
-    return round(best, 3), worst_straggler(spark, since=snap, min_tasks=8)
+    rows = stage_task_dispersion(spark, since=snap, min_tasks=8)
+    if not rows:
+        return round(best, 3), None
+    material = [r for r in rows if r["max_ms"] >= 1000.0]
+    if material:
+        return round(best, 3), max(material, key=lambda r: r["ratio"])
+    worst = dict(max(rows, key=lambda r: r["ratio"]))
+    worst["minor"] = True
+    return round(best, 3), worst
 
 
 def candidate_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
@@ -143,6 +160,25 @@ def candidate_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
         toks, cand = ppjoin_candidates(docs)
         out["q49c_shingle_postings"] = toks.count()
         out["q49c_prefix_candidates"] = cand.count()
+
+    if "naive_sharing_pairs" not in out:
+        # The defense denominator: sum over shingles of C(df, 2) = the
+        # pair-hits an UNPROTECTED posting-list self-join would generate.
+        # On a Zipfian corpus the hot shingles make this explode (~df^2
+        # on each boilerplate/common shingle); the prefix filters' whole
+        # job is the gap between this number and the candidate counts.
+        toks, _ = ppjoin_candidates(docs)
+        dfreq = (
+            toks.select("doc_id", "tok")
+            .distinct()
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        out["naive_sharing_pairs"] = int(
+            dfreq.agg(
+                F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("bigint")
+            ).collect()[0][0]
+        )
 
     if "q55c_prefix_candidates" not in out:
         # q55c: Bayardo prefix-filtered candidates
@@ -254,6 +290,16 @@ def main() -> int:
     # high stage retention so cumulative_shuffle_bytes snapshots never
     # shrink from eviction between the before/after reads of one query
     extra_conf["spark.ui.retainedStages"] = "20000"
+    # zstd shuffle compression (the sf10 lesson): a long-lived session
+    # retains every query's shuffle files until exit, and on this VM the
+    # cumulative spill is disk-bound before it is time-bound — zstd's
+    # ~2x ratio over lz4 is the difference between finishing a 30x run
+    # and ENOSPC (the zipf3 q55c abort). Shuffle-write ratios across
+    # scales are unaffected (same codec at every point).
+    extra_conf.setdefault(
+        "spark.io.compression.codec",
+        os.environ.get("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"),
+    )
     spark = get_spark("pme-scale", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
                       extra_conf=extra_conf)
     registry = load_all()
@@ -300,6 +346,15 @@ def main() -> int:
                 f" straggler={worst and worst['ratio']}",
                 file=sys.stderr,
             )
+            # crash-safe: persist after EVERY query — a disk-full abort
+            # hours in must not lose the completed measurements (the
+            # zipf3 q55c lesson)
+            entry["times"] = times
+            entry["shuffle_write_bytes"] = shuffle
+            entry["stragglers"] = stragglers
+            report["scales"][label] = entry
+            with open(out_path, "w") as fh:
+                json.dump(report, fh, indent=1)
         entry["times"] = times
         entry["shuffle_write_bytes"] = shuffle
         entry["stragglers"] = stragglers
@@ -319,6 +374,9 @@ def main() -> int:
                     3,
                 )
             print(f"# {label} candidates: {entry['candidates']}", file=sys.stderr)
+            report["scales"][label] = entry
+            with open(out_path, "w") as fh:
+                json.dump(report, fh, indent=1)
         if do_encryption:
             entry["encryption"] = encryption_scale(spark, sf_dir, repeats)
             print(f"# {label} encryption: {entry['encryption']}", file=sys.stderr)
