@@ -309,11 +309,24 @@ def main() -> int:
         "l_returnflag"
     ).count().write.format("noop").mode("overwrite").save()
 
-    report: dict = {"repeats": repeats, "scales": {}}
+    codec = extra_conf["spark.io.compression.codec"]
+    report: dict = {"repeats": repeats, "scales": {}, "shuffle_codec": codec}
     if merge and os.path.exists(out_path):
         with open(out_path) as fh:
             report = json.load(fh)
         report.setdefault("scales", {})
+        # shuffle_write_bytes under different codecs are incomparable
+        # (zstd ~halves lz4's byte counts): refuse to mix them in one
+        # artifact. Pre-r10 reports carry no codec field — treat those
+        # as lz4-era and refuse unless the codecs match explicitly.
+        prior = report.get("shuffle_codec")
+        if prior != codec:
+            raise SystemExit(
+                f"--merge refused: existing report recorded shuffle codec "
+                f"{prior!r} but this run resolves {codec!r}; shuffle byte "
+                f"counts would be incomparable. Use a fresh --out or set "
+                f"SPARK_GRAFT_SHUFFLE_CODEC={prior}."
+            )
     run_list = only if only is not None else HEADLINE + HEAVY
     for sf_dir in sfs:
         label = os.path.basename(sf_dir.rstrip("/"))
@@ -340,6 +353,11 @@ def main() -> int:
             shuffle[name] = (w1 - w0) // repeats
             if worst is not None:
                 stragglers[name] = worst
+            else:
+                # a merged/resumed run must not keep a PRIOR round's
+                # straggler attributed to THIS run's times: a query that
+                # now has no material multi-task stage gets no entry
+                stragglers.pop(name, None)
             print(
                 f"# {label} {name}: {times[name]:.3f}s"
                 f" shuffleW={shuffle[name]}"

@@ -155,10 +155,29 @@ def run_phase(phase: str, out_path: str, n_chunks: int, sf_dir: str) -> None:
             )
     else:  # reduce
         # explicit chunk list (never a glob): robust against any leftover
-        # directory a historical run might have left behind
-        out = spark.read.parquet(
-            *[f"{wdir}/out/chunk_{i}" for i in range(n_chunks)]
-        )
+        # directory a historical run might have left behind. A chunk
+        # whose verify survived zero pairs leaves a directory with only
+        # _SUCCESS (no part files) — spark.read.parquet fails schema
+        # inference on those, so skip them (the union is unaffected:
+        # they contribute no rows) and log the skip.
+        chunk_dirs = []
+        for i in range(n_chunks):
+            d = f"{wdir}/out/chunk_{i}"
+            if any(
+                f.endswith(".parquet")
+                for f in (os.listdir(d) if os.path.isdir(d) else [])
+            ):
+                chunk_dirs.append(d)
+            else:
+                print(f"# reduce: skipping empty chunk dir {d}", flush=True)
+        if not chunk_dirs:
+            res[f"{op}_verified_pairs"] = 0
+            res[f"{op}_fingerprint"] = 0
+            res[f"{phase}_sec"] = round(time.time() - t0, 1)
+            _save_res(out_path, res)
+            spark.stop()
+            return
+        out = spark.read.parquet(*chunk_dirs)
         # order-independent fingerprint: bit_xor never overflows under
         # ANSI mode (a sum of xxhash64 does) and (doc_a, doc_b) rows are
         # unique, so XOR cancellation cannot hide a discrepancy
