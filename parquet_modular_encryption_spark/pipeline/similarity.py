@@ -429,6 +429,36 @@ def q55_extra_band_bits(n: int, *, per_doubling: float = 1.0) -> int:
     return x
 
 
+#: Upper bound of the registered band-count ladder: q55_band_count(8) = 10.
+Q55_MAX_BANDS = 10
+
+
+def q55_band_count(x: int) -> int:
+    """Registered band-COUNT ladder: B = 2 + 2*ceil(x/2) bands for x
+    widening bits — 2, 4, 4, 6, 6, 8, 8, 10, 10 at x = 0..8.
+
+    Why the count must scale with the width (the round-10 lesson,
+    Q55_RECALL_r10): widening keeps CANDIDATES ~linear by lowering each
+    band's collision probability, but it lowers it for TRUE pairs too —
+    per-band survival of a cosine-0.95 pair is s^(3+x) with s =
+    1 - theta/pi ~ 0.899, so the registered fixed-2-band recall decayed
+    0.885 -> 0.71 -> 0.66 as the corpus grew sf0.1 -> sf1 -> sf3. OR-ing
+    more plane-independent bands is the standard LSH compensation:
+    recall = 1 - (1 - s^(3+x))^B. This ladder holds the theory value
+    >= 0.97 at cosine 0.95 for every x (worst cell x=8, B=10: 0.975),
+    leaving ~5 points of margin over the >= 0.9 production target for
+    the measured theory-vs-planted gap at high B (~0.02-0.05,
+    unlucky-pair correlation across bands). Candidate cost is linear in
+    B: at x=5 (sf3) the ladder spends B=8 — the ~3.4x budget the
+    round-10 sweep measured restoring 0.94-1.00.
+
+    x = 0 at the driver (sf0.01) and bench (sf0.1) scales, so B = 2
+    there and those results stay byte-identical to the historic
+    fixed-2-band operator. The DuckDB oracle mirrors this exact ladder
+    as a CASE over the same integer x (:func:`_sql_bands_cte_scaled`)."""
+    return 2 + 2 * ((x + 1) // 2)
+
+
 def _sql_bands_cte() -> str:
     """Oracle fragment: per-vector banded LSH keys (same planes as q51)."""
     projs = ", ".join(
@@ -452,19 +482,34 @@ def _sql_bands_cte() -> str:
     """
 
 
+def _q55_band_planes(b: int) -> tuple[int, ...]:
+    """Base sign-plane ids for band ``b`` of the corpus-scaled banding:
+    the two historic LSH_BANDS, then plane-disjoint triples from the
+    EXTRA_BAND base range — shared by the Spark operator and the oracle
+    so the two sides band on identical planes by construction."""
+    if b < len(LSH_BANDS):
+        return LSH_BANDS[b]
+    return tuple(Q55_EXTRA_BAND_PLANE_BASE + b * 16 + i for i in range(3))
+
+
 def _sql_bands_cte_scaled() -> str:
     """Oracle fragment for the CORPUS-SCALED bands (q55 only): the base
-    3-bit band keys extended by x extra sign-plane bits, x from the
-    integer ladder over COUNT(*) — the exact mirror of the Spark-side
-    :func:`q55_extra_band_bits` widening. All MAX_EXTRA projections are
-    emitted and gated on ``j < x`` so the SQL stays static while the
-    effective width tracks corpus size."""
+    3-bit band keys extended by x extra sign-plane bits AND the band
+    COUNT grown on the same corpus-size ladder — the exact mirror of the
+    Spark-side :func:`q55_extra_band_bits` widening and
+    :func:`q55_band_count` OR-amplification. All MAX_BANDS bands and all
+    MAX_EXTRA projections are emitted statically; rows are gated on
+    ``b < nb`` and key bits on ``j < x`` so the SQL stays fixed while
+    the effective banding tracks COUNT(*)."""
     extra = {
         (b, j): N_PLANES + b * Q55_MAX_EXTRA_BITS + j
-        for b in range(len(LSH_BANDS))
+        for b in range(Q55_MAX_BANDS)
         for j in range(Q55_MAX_EXTRA_BITS)
     }
-    all_planes = sorted(set(range(N_PLANES)) | set(extra.values()))
+    bands_spec = [_q55_band_planes(b) for b in range(Q55_MAX_BANDS)]
+    all_planes = sorted(
+        {p for band in bands_spec for p in band} | set(extra.values())
+    )
     projs = ", ".join(
         f"list_dot_product(e.embedding::DOUBLE[], "
         f"list_transform(range(0, len(e.embedding)), d -> {_sql_plane_weight(p)})) AS proj_{p}"
@@ -474,8 +519,13 @@ def _sql_bands_cte_scaled() -> str:
         f"WHEN n <= {Q55_BAND_TARGET * (1 << x)} THEN {x}"
         for x in range(Q55_MAX_EXTRA_BITS)
     )
+    nb_ladder = " ".join(
+        f"WHEN x = {x} THEN {q55_band_count(x)}"
+        for x in range(Q55_MAX_EXTRA_BITS)
+    )
     band_rows = " UNION ALL ".join(
-        "SELECT vec_id, {b} AS band_id, {key} AS band_key FROM planes".format(
+        "SELECT vec_id, {b} AS band_id, {key} AS band_key FROM planes "
+        "WHERE {b} < (SELECT nb FROM nbands)".format(
             b=b,
             key=" + ".join(
                 [
@@ -490,13 +540,17 @@ def _sql_bands_cte_scaled() -> str:
                 ]
             ),
         )
-        for b, band in enumerate(LSH_BANDS)
+        for b, band in enumerate(bands_spec)
     )
     return f"""
     planes AS (SELECT e.vec_id, {projs} FROM embeddings e),
     xbits AS (
         SELECT CASE {ladder} ELSE {Q55_MAX_EXTRA_BITS} END AS x
         FROM (SELECT (SELECT COUNT(*) FROM embeddings) AS n)
+    ),
+    nbands AS (
+        SELECT CASE {nb_ladder} ELSE {q55_band_count(Q55_MAX_EXTRA_BITS)} END AS nb
+        FROM xbits
     ),
     bands AS ({band_rows})
     """
@@ -1080,10 +1134,12 @@ NEARDUP_COSINE = 0.35  # synthetic embeddings are pure random (max pairwise
 # corpora use ~0.9+.
 
 
-#: LCG plane-index base for the base planes of EXPERIMENT-ONLY extra
-#: bands (n_bands > len(LSH_BANDS) in q55_corpus_bands): band b uses
-#: planes EXTRA_BAND_PLANE_BASE + b*16 + i, disjoint from the 8 base
-#: planes and from the widening extras at N_PLANES + b*MAX_EXTRA + j.
+#: LCG plane-index base for the base planes of extra bands (bands 2+ of
+#: the registered corpus-scaled ladder, q55_band_count, and any
+#: experiment n_bands override in q55_corpus_bands): band b uses planes
+#: EXTRA_BAND_PLANE_BASE + b*16 + i, disjoint from the 8 base planes
+#: and — for n_bands <= 24, asserted — from the widening extras at
+#: N_PLANES + b*MAX_EXTRA + j.
 Q55_EXTRA_BAND_PLANE_BASE = 200
 
 
@@ -1099,28 +1155,36 @@ def q55_corpus_bands(
     re-run the sign-plane projections per side (~1.5 s of 3.7 s at
     sf0.1).
 
-    ``n_bands`` is EXPERIMENT-ONLY (keyword-only, like ``per_doubling``):
-    the registered operator and its oracle use exactly the
-    len(LSH_BANDS) = 2 bands. The round-10 planted-cosine measurement
-    (Q55_RECALL_r10 / tests/test_pipeline.py planted-cosine pin) showed
-    band COUNT is the recall limiter at the production 0.9+ regime — at
-    x = 2 widening, 2 bands hold only ~0.81 recall at cosine 0.95
-    (matching 1-(1-s^5)^2 with per-plane survival s = 1-theta/pi), while
-    8 bands restore ~0.999 at ~4x the candidate volume. Extra bands draw
-    their base planes from a disjoint LCG index range, so every band
-    stays plane-independent and the knob composes with the widening."""
+    ``n_bands=None`` — the ONLY setting the registered q55 operator and
+    its DuckDB oracle use — resolves to the corpus-scaled
+    :func:`q55_band_count` ladder (r11 fix for the round-10 measured
+    defect): the planted-cosine sweep (Q55_RECALL_r10) showed band
+    COUNT is the recall limiter at the production 0.9+ regime — at
+    x = 2 widening, a FIXED 2 bands hold only ~0.81 recall at cosine
+    0.95 (matching 1-(1-s^5)^2 with per-plane survival s = 1-theta/pi),
+    decaying to 0.66 at 30x corpus (x = 5), while OR-ing more
+    plane-independent bands restores it at a linear, measured candidate
+    cost (~3.4x at B = 8). An explicit ``n_bands`` is the experiment
+    override (recall/candidate sweeps). Extra bands draw their base
+    planes from a disjoint LCG index range, so every band stays
+    plane-independent and the count composes with the widening."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     x = q55_extra_band_bits(emb.count(), per_doubling=per_doubling)
+    if n_bands is None:
+        n_bands = q55_band_count(x)
+    # widening plane ids N_PLANES + b*MAX_EXTRA + j stay below the
+    # EXTRA_BAND base range (200) only while b <= 23 — beyond that a
+    # band's widening bit would silently reuse another band's base
+    # plane, correlating the bands (ADVICE r10).
+    assert n_bands <= 24, f"n_bands={n_bands} would collide widening/base plane ids"
     dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
 
     def _weight_fn(plane: int):
         return lambda d: _plane_weights(plane, d)
 
-    bands_spec: list[tuple[int, ...]] = list(LSH_BANDS)
-    for b in range(len(LSH_BANDS), n_bands or 0):
-        bands_spec.append(
-            tuple(Q55_EXTRA_BAND_PLANE_BASE + b * 16 + i for i in range(3))
-        )
+    bands_spec: list[tuple[int, ...]] = [
+        _q55_band_planes(b) for b in range(n_bands)
+    ]
     plane_ids = {p for band in bands_spec for p in band} | {
         N_PLANES + b * Q55_MAX_EXTRA_BITS + j
         for b in range(len(bands_spec))
@@ -1199,9 +1263,15 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     each band key gains sign-plane bits as the corpus grows — measured
     candidate growth 17.2x on 10x data (~n^1.36, vs 100x unwidened; see
     the constant block above for why the per-bit pruning is ~0.64, not
-    1/2). x = 0 at the driver (sf0.01) and bench (sf0.1) scales, so
-    results there are byte-identical to the fixed-width operator; the
-    oracle computes the same ladder from COUNT(*)."""
+    1/2) — AND the band COUNT grows on the same ladder
+    (:func:`q55_band_count`, r11): widening alone held candidates
+    linear but let planted 0.95-cosine recall decay 0.885 -> 0.66 as
+    the corpus grew 30x (Q55_RECALL_r10); OR-ing 2 + 2*ceil(x/2)
+    plane-independent bands holds theory recall >= 0.97 at every scale
+    for a linear-in-B candidate cost. x = 0 (hence B = 2) at the driver
+    (sf0.01) and bench (sf0.1) scales, so results there are
+    byte-identical to the historic fixed-2-band operator; the oracle
+    computes both ladders from COUNT(*)."""
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     e, bands = q55_corpus_bands(emb)

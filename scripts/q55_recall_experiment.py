@@ -40,6 +40,7 @@ import pyarrow.parquet as pq  # noqa: E402
 
 from parquet_modular_encryption_spark.pipeline.similarity import (  # noqa: E402
     NEARDUP_COSINE,
+    q55_band_count,
     q55_corpus_bands,
     q55_corpus_candidates,
     q55_extra_band_bits,
@@ -202,8 +203,12 @@ def run_planted(spark, result: dict) -> None:
         involved = sorted({v for a, b, _ in pairs for v in (a, b)})
         row: dict = {"n_vectors": n_total}
         for knob in KNOBS:
-            for n_bands in (None, 8):
+            # None = the REGISTERED corpus-scaled band-count ladder
+            # (r11); 2 = the historic fixed-2-band config whose recall
+            # decay motivated it; 8 = the OR-amplification headroom.
+            for n_bands in (None, 2, 8):
                 x = q55_extra_band_bits(n_total, per_doubling=knob)
+                resolved_bands = n_bands if n_bands is not None else q55_band_count(x)
                 _, bands = q55_corpus_bands(
                     emb, per_doubling=knob, n_bands=n_bands
                 )
@@ -228,11 +233,12 @@ def run_planted(spark, result: dict) -> None:
                 tag = f"knob_{knob}" + ("" if n_bands is None else f"_bands{n_bands}")
                 row[tag] = {
                     "extra_bits": x,
-                    "n_bands": n_bands or 2,
+                    "n_bands": resolved_bands,
+                    "registered_default": n_bands is None,
                     "candidates": int(n_cand),
                     "recall_by_planted_cosine": strata,
                 }
-                print(f"planted {sf_name} knob={knob} bands={n_bands or 2}: "
+                print(f"planted {sf_name} knob={knob} bands={resolved_bands}: "
                       f"n={n_total} x={x} cand={n_cand} "
                       f"{ {k: v['recall'] for k, v in strata.items()} }",
                       flush=True)

@@ -1084,21 +1084,35 @@ def test_band_widening_recall_at_planted_cosines(spark):
             recall[c] = hits / len(sub)
         return recall
 
-    # Registered config: 2 bands of (3 + x) = 5 bits. Per-plane survival
-    # s = 1 - acos(c)/pi, recall = 1 - (1 - s^5)^2 -> 0.923 @0.99,
-    # 0.829 @0.95, 0.707 @0.90, 0.475 @0.80. Measured (deterministic):
-    # 0.92 / 0.81 / 0.71 / 0.50 — the survival MODEL is validated, and
-    # the pin documents the round-10 finding that band COUNT, not plane
-    # quality, limits recall at the production 0.9+ regime.
-    registered = measure()
-    assert 0.75 <= registered[0.95] <= 0.92, registered
-    assert registered[0.99] >= 0.85, registered
-    assert registered[0.90] >= 0.60, registered
+    # Registered config (r11, the corpus-scaled band-count ladder): at
+    # x = 2 the default is B = q55_band_count(2) = 4 bands of
+    # (3 + x) = 5 bits. Per-plane survival s = 1 - acos(c)/pi, recall =
+    # 1 - (1 - s^5)^B -> 0.994 @0.99, 0.971 @0.95, 0.914 @0.90. The
+    # production-regime pin is the VERDICT-r10 target: >= 0.9 at cosine
+    # 0.95 under the REGISTERED default — the round-10 2-band default
+    # measured 0.81 here and decayed with corpus growth.
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q55_band_count,
+    )
 
-    # The banding knob: 8 plane-disjoint bands restore near-unit recall
-    # at the production regime (theory 0.9993 @0.95, 0.993 @0.90) for
-    # ~4x the candidate volume — the measured trade a 100 TB near-dup
-    # deployment budgets (Q55_RECALL_r10).
+    assert q55_band_count(x) == 4
+    registered = measure()
+    assert registered[0.95] >= 0.90, registered
+    assert registered[0.99] >= 0.95, registered
+    assert registered[0.90] >= 0.80, registered
+
+    # The historic fixed-2-band config, kept measurable via the
+    # experiment override: band COUNT, not plane quality, limits recall
+    # at the production 0.9+ regime (theory 0.829 @0.95; the round-10
+    # finding that motivated the ladder).
+    two_band = measure(n_bands=2)
+    assert 0.75 <= two_band[0.95] <= 0.92, two_band
+    assert two_band[0.95] < registered[0.95], (two_band, registered)
+
+    # OR-amplification headroom: 8 plane-disjoint bands reach near-unit
+    # recall (theory 0.9993 @0.95) for ~4x the 2-band candidate volume
+    # — the measured trade a 100 TB near-dup deployment budgets
+    # (Q55_RECALL_r10).
     wide = measure(n_bands=8)
     assert wide[0.95] >= 0.99, wide
     assert wide[0.99] >= 0.99, wide
