@@ -67,6 +67,7 @@ EXTENDED_CORE = [
     "q47c_minhash_error_audit",
     "q49b_ngram_jaccard_salted",
     "q49c_jaccard_ppjoin",
+    "q49e_jaccard_ppjoin_grouped",
     "q50c_mmr_rerank",
     "q52b_kmeans_refine",
     "q54e_ann_ivf_partitioned",
@@ -74,6 +75,7 @@ EXTENDED_CORE = [
     "q54g_ann_recall_report",
     "q55b_semdedup",
     "q55c_allpairs_sparse",
+    "q55d_allpairs_sparse_grouped",
     "q57_neardup_clusters",
     "q57b_pagerank",
     "q57c_triangle_count",

@@ -2068,9 +2068,12 @@ def ppjoin_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     return toks, cand
 
 
-@register(
-    "q49c_jaccard_ppjoin",
-    oracle=f"""
+def _ppjoin_oracle() -> str:
+    """Brute-force global Jaccard join — shared by q49c and its grouped
+    execution twin q49e (identical answer frame by the residue-class
+    partition lemma, tests/test_pipeline.py::
+    test_chunked_verify_equals_monolithic)."""
+    return f"""
     WITH tok AS (
         SELECT doc_id, {sql_tokens("text")} AS toks FROM documents
     ), sh AS (
@@ -2082,7 +2085,12 @@ def ppjoin_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE {PPJOIN_T_DEN} * len(list_intersect(a.shingles, b.shingles))
           >= {PPJOIN_T_NUM} * len(list_distinct(a.shingles || b.shingles))
-    """,
+    """
+
+
+@register(
+    "q49c_jaccard_ppjoin",
+    oracle=_ppjoin_oracle(),
     tags=("dedup", "jaccard", "ppjoin", "prefix-filter"),
 )
 def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2282,3 +2290,141 @@ def q49d_jaccard_ppjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         "doc_corpus",
         (F.col("i").cast("double") / union).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped (bounded-spill) execution of the exact similarity joins
+# (q49e / q55d) — the sf10 chunked-verify shape as a first-class operator
+# ---------------------------------------------------------------------------
+# VERDICT r10 item 2: verify_chunk + the chunk-union reduce proved out in
+# scripts/sf10_chunked_experiment.py (both sf10 exact joins finished inside
+# the disk that killed the monoliths; zipf3 chunked even BEAT the monolith,
+# 651 vs 948 s) but lived only as an experiment harness. These registered
+# twins make the scale-safe execution shape invocable through the registry:
+# materialize the candidate frame (and the posting/tf frames every chunk
+# re-reads) to scratch parquet ONCE, then run the factored verify stage
+# over one doc_a residue class at a time — n_chunks sequential jobs — and
+# return the union read back from the chunk outputs. The union equals the
+# monolithic join row-for-row (residue classes partition candidates
+# exactly; pinned by tests/test_pipeline.py::
+# test_chunked_verify_equals_monolithic), so q49e/q55d share q49c/q55c's
+# brute-force oracles unchanged.
+#
+# What this bounds: the verify stage's shuffle (the pair-token incidence —
+# ~5e9 rows at sf10) is split into n_chunks independent shuffles of ~1/n
+# the size each. On a cluster, that caps per-stage aggregate spill and
+# lets a dedup of arbitrary size run within fixed scratch capacity; the
+# single-VM extreme (one JVM per chunk so even COMPLETED shuffle files
+# free their disk between chunks) remains in the experiment script. The
+# price is re-reading the materialized postings per chunk — linear, cheap,
+# and parquet-compressed, vs the quadratic-prone verify fan-out it bounds.
+
+#: Default residue-class count for the registered grouped joins. Sized for
+#: the driver/bench scales (sf0.01/sf0.1), where the point is exercising
+#: the execution shape, not disk pressure; the sf10 experiment used 10.
+#: Override per-run with SPARK_GRAFT_GROUPED_CHUNKS.
+GROUPED_CHUNKS_DEFAULT = 4
+
+
+def grouped_exact_join(
+    spark: SparkSession, docs: DataFrame, op: str, n_chunks: int | None = None
+) -> DataFrame:
+    """Run q49c's or q55c's verify stage in ``n_chunks`` bounded-spill
+    groups (``op`` in {"q49c", "q55c"}) and return the union frame —
+    column-identical to the monolithic operator.
+
+    Stage layout (mirrors scripts/sf10_chunked_experiment.py's phases,
+    one session instead of one JVM per phase):
+
+    1. materialize: postings (q49c: toks; q55c: tf + norms) and the
+       prefix-filtered candidate frame to scratch parquet. Candidates
+       are cheap relative to verify and rescanned by every chunk, so
+       they are computed exactly once.
+    2. verify chunk i: the IDENTICAL factored verify plan
+       (:func:`ppjoin_verify` / :func:`allpairs_verify`) over
+       ``verify_chunk(cand, i, n_chunks)``, written to its own chunk
+       directory — one sequential Spark job per chunk, so at most one
+       chunk's pair-token shuffle is live at a time.
+    3. reduce: read the explicit chunk-directory list back with the
+       verify schema pinned (a chunk with zero surviving pairs leaves a
+       part-less directory; schema inference would fail on it — the
+       ADVICE-r10 lesson from the experiment script's reduce).
+    """
+    import os as _os
+
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+
+    if n_chunks is None:
+        n_chunks = int(
+            _os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS", str(GROUPED_CHUNKS_DEFAULT))
+        )
+    assert op in ("q49c", "q55c"), op
+    work = scratch_dir(f"pme_grouped_{op}_")
+    if op == "q49c":
+        toks, cand = ppjoin_candidates(docs)
+        toks.write.mode("overwrite").parquet(f"{work}/toks")
+        toks_m = spark.read.parquet(f"{work}/toks")
+
+        def _verify(part: DataFrame) -> DataFrame:
+            return ppjoin_verify(toks_m, part)
+
+    else:
+        tf = shingle_tf(docs)
+        nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        tf.write.mode("overwrite").parquet(f"{work}/tf")
+        nrm.write.mode("overwrite").parquet(f"{work}/nrm")
+        tf_m = spark.read.parquet(f"{work}/tf")
+        nrm_m = spark.read.parquet(f"{work}/nrm")
+        cand = allpairs_candidates(tf_m, nrm_m)
+
+        def _verify(part: DataFrame) -> DataFrame:
+            return allpairs_verify(tf_m, nrm_m, part)
+
+    cand.write.mode("overwrite").parquet(f"{work}/cand")
+    cand_m = spark.read.parquet(f"{work}/cand")
+
+    schema = None
+    chunk_dirs = []
+    for i in range(n_chunks):
+        out = f"{work}/out/chunk_{i}"
+        part = _verify(verify_chunk(cand_m, i, n_chunks))
+        schema = part.schema
+        part.write.mode("overwrite").parquet(out)
+        chunk_dirs.append(out)
+    return spark.read.schema(schema).parquet(*chunk_dirs)
+
+
+@register(
+    "q49e_jaccard_ppjoin_grouped",
+    oracle=_ppjoin_oracle(),
+    tags=("dedup", "jaccard", "ppjoin", "grouped-execution"),
+)
+def q49e_jaccard_ppjoin_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q49c (EXACT global Jaccard join, PPJoin prefix filtering) executed
+    in bounded-spill groups: same candidates, same verify plan, same
+    answer frame — but the verify fan-out runs one doc_a residue class
+    at a time over a materialized candidate/posting scratch, capping the
+    live pair-token shuffle at ~1/n_chunks of the monolith's. The shape
+    that finished sf10 in 920.5 s where the monolithic join overflowed
+    78 GB of scratch (SF10_r10.json); oracle and output identical to
+    q49c by the residue-partition lemma."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return grouped_exact_join(spark, docs, "q49c")
+
+
+@register(
+    "q55d_allpairs_sparse_grouped",
+    oracle=_allpairs_oracle(),
+    tags=("dedup", "similarity", "allpairs", "grouped-execution"),
+)
+def q55d_allpairs_sparse_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55c (EXACT all-pairs sparse cosine, Bayardo prefix filtering)
+    executed in bounded-spill groups — the q55c twin of q49e; see
+    :func:`grouped_exact_join`. Same integer verify arithmetic, same
+    answer frame, same brute-force oracle; at sf10 this shape finished
+    in 1057.5 s with pair fingerprints exactly equal to the q49c-family
+    monolith invariant (SF10_r10.json)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    return grouped_exact_join(spark, docs, "q55c")

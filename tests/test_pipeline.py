@@ -2776,3 +2776,34 @@ def test_chunked_verify_equals_monolithic(spark):
             ).collect()
         }
     assert chunked2 == full2
+
+
+def test_grouped_exact_joins_equal_monolith(spark, monkeypatch):
+    """The REGISTERED grouped operators (q49e/q55d, VERDICT r10 item 2)
+    must return the monolithic q49c/q55c answer frame exactly — same
+    columns, same rows — through the full materialize -> chunked verify
+    -> schema-pinned union-read path (not just the in-memory
+    verify_chunk lemma the sibling test pins). Runs with a chunk count
+    that does not divide the doc-id range evenly, and large enough that
+    at least one chunk plausibly writes zero pairs — the part-less
+    chunk directory must not break the reduce read (ADVICE r10)."""
+    from parquet_modular_encryption_spark.registry import load_all
+
+    monkeypatch.setenv("SPARK_GRAFT_GROUPED_CHUNKS", "7")
+    registry = load_all()
+    for grouped_name, mono_name, cols in [
+        ("q49e_jaccard_ppjoin_grouped", "q49c_jaccard_ppjoin",
+         ("doc_a", "doc_b", "jaccard")),
+        ("q55d_allpairs_sparse_grouped", "q55c_allpairs_sparse",
+         ("doc_a", "doc_b", "dot_ab", "norm2_a", "norm2_b", "cosine_sim")),
+    ]:
+        g = registry[grouped_name].builder(spark, SF)
+        m = registry[mono_name].builder(spark, SF)
+        assert g.columns == m.columns == list(cols)
+        canon = lambda df: sorted(
+            tuple(round(v, 12) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+        grows, mrows = canon(g), canon(m)
+        assert mrows, f"{mono_name}: fixture has no pairs — test is vacuous"
+        assert grows == mrows, grouped_name
