@@ -107,7 +107,13 @@ public class RestKmsClient implements KmsClient {
     try {
       resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString());
     } catch (IOException | InterruptedException e) {
-      throw new ParquetCryptoRuntimeException("KMS " + action + " request failed", e);
+      // Attributable outage surfacing: a task that cannot reach the KMS
+      // must name the endpoint and key, so a 1000-executor failure wave
+      // reads as "KMS down", not as an opaque parquet error.
+      throw new ParquetCryptoRuntimeException(
+          "KMS " + action + " request for key " + keyId + " to " + kmsUrl
+              + " failed (server unreachable or timed out after 5s)",
+          e);
     }
     if (resp.statusCode() == 403) {
       throw new KeyAccessDeniedException(

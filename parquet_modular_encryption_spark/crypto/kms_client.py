@@ -38,6 +38,15 @@ class KmsKeyShreddedError(RuntimeError):
     permanently unrecoverable, at ANY privilege level."""
 
 
+class KmsUnavailableError(ConnectionError):
+    """The KMS endpoint could not be reached (connection refused, DNS
+    failure, or no response within the 5 s timeout — reference
+    kms_client.py:35). Raised with the endpoint, action, and key id so a
+    scan task's failure is attributable to the outage, not to the data:
+    the engine-side twin of the reference's errors-surface-inside-the-
+    scan semantic (SURVEY.md §3)."""
+
+
 class RestKmsClient:
     """Minimal REST client for the wrap/unwrap protocol."""
 
@@ -70,6 +79,21 @@ class RestKmsClient:
                     f"key {key_id!r} crypto-shredded: {detail}"
                 ) from exc
             raise RuntimeError(f"KMS {action} failed ({exc.code}): {detail}") from exc
+        except urllib.error.URLError as exc:
+            if isinstance(exc.reason, ssl.SSLError):
+                # TLS trust rejection is a SECURITY refusal (the server
+                # is up but unverifiable) — do not reclassify it as an
+                # availability problem.
+                raise
+            raise KmsUnavailableError(
+                f"KMS {action} for key {key_id!r} at {self.base_url} "
+                f"unreachable: {exc.reason}"
+            ) from exc
+        except TimeoutError as exc:
+            raise KmsUnavailableError(
+                f"KMS {action} for key {key_id!r} at {self.base_url} "
+                f"timed out after {TIMEOUT_S:.0f}s"
+            ) from exc
 
     def wrap_key(self, key_bytes: bytes, master_key_identifier: str) -> str:
         return self._post("wrap", master_key_identifier, b64e(key_bytes))

@@ -16,6 +16,7 @@ from parquet_modular_encryption_spark.crypto.kms_server import KmsServer
 from parquet_modular_encryption_spark.crypto.policy import CUSTOMER_POLICY
 from parquet_modular_encryption_spark.session import get_spark
 from parquet_modular_encryption_spark.sources.encrypted import (
+    read_encrypted,
     read_encrypted_arrow,
     write_encrypted,
 )
@@ -584,6 +585,104 @@ def main() -> None:
         assert sorted(map(tuple, comp.collect())) == expected
         comp.unpersist(blocking=True)
         print("OK complete_column_encryption")
+
+        # 10. KMS OUTAGE INJECTION (VERDICT r10 item 5): a KMS that dies
+        # between write and read — the engine-side twin of the
+        # reference's 403-mid-scan semantic (SURVEY §3: errors surface
+        # inside the scan). Three behaviors pinned, in order:
+        #   a) within parquet.encryption.cache.lifetime.seconds (60 s),
+        #      a warm KEK read cache MASKS the outage — reads keep
+        #      working with zero KMS traffic (the availability half of
+        #      the double-wrapping design, §2A row 14);
+        #   b) once the cache is gone (flushed here — deterministic
+        #      stand-in for the 60 s expiry), the distributed JVM scan
+        #      fails FAST with an error that names the KMS endpoint and
+        #      the key — attributable to the outage, not the data;
+        #   c) the session survives: plaintext work continues after the
+        #      failed scan.
+        import time as _time
+
+        toolkit = spark.sparkContext._jvm.org.apache.parquet.crypto.keytools.KeyToolkit
+        # Fresh datasets for the outage probes: the KEK-version
+        # retirement check above deliberately bricked everything wrapped
+        # under the ORIGINAL master-key versions (scratch/native
+        # included), so outage behavior must be probed on files wrapped
+        # under the CURRENT versions.
+        write_encrypted_native(plain, f"{scratch}/outage", CUSTOMER_POLICY, kms_url)
+        write_encrypted(
+            plain,
+            f"{scratch}/outage_arrow",
+            CUSTOMER_POLICY,
+            kms_url=kms_url,
+            data_page_version="1.0",
+        )
+        # Flush first so the warm read below (re)populates the KEK read
+        # cache at a KNOWN time — entries from earlier checks could be
+        # within seconds of their 60 s expiry, making (a) flaky.
+        toolkit.removeCacheEntriesForAllTokens()
+        warm = read_encrypted_native(spark, f"{scratch}/outage", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, warm.collect())) == expected
+        warm.unpersist(blocking=True)
+        server.stop()
+
+        # (a) warm cache: DEK unwrap is local AES under the cached KEK.
+        masked = read_encrypted_native(spark, f"{scratch}/outage", kms_url, "RESTRICTED")
+        assert sorted(map(tuple, masked.collect())) == expected
+        masked.unpersist(blocking=True)
+        print("OK kms_outage_masked_by_warm_cache")
+
+        # (b) cold cache: every task needs an unwrap; the scan must fail
+        # attributably and fast (connection refused, not a 5 s-per-task
+        # timeout pile-up — and never a hang).
+        toolkit.removeCacheEntriesForAllTokens()
+        pinned_before = {
+            info.id() for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        }
+        t0 = _time.time()
+        try:
+            read_encrypted_native(spark, f"{scratch}/outage", kms_url, "RESTRICTED")
+            raise AssertionError("decrypting scan succeeded with the KMS down")
+        except AssertionError:
+            raise
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc)
+            assert "KMS unwrap request" in msg and kms_url in msg, msg[-800:]
+        assert _time.time() - t0 < 60, "outage must not hang the scan"
+        # The failed scan's error path unpersists its pin NON-blocking,
+        # and a task may have cached a block before the job aborted —
+        # poll briefly, then require no NEW pinned RDDs beyond the ones
+        # earlier checks legitimately still hold (back/pub/via_native).
+        for _ in range(40):
+            pinned_after = {
+                info.id() for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+            }
+            if pinned_after <= pinned_before:
+                break
+            _time.sleep(0.25)
+        assert pinned_after <= pinned_before, (
+            f"failed outage scan leaked pinned blocks: {pinned_after - pinned_before}"
+        )
+        print("OK kms_outage_cold_scan_fails_attributably")
+
+        # (b') the Python/Arrow distributed path (mapInArrow tasks build
+        # their own 5 s-timeout REST clients): same outage, same
+        # attributable surfacing — KmsUnavailableError names endpoint,
+        # action, and key inside the executor error.
+        try:
+            read_encrypted(
+                spark, f"{scratch}/outage_arrow", "RESTRICTED", kms_url=kms_url
+            ).collect()
+            raise AssertionError("arrow decrypting scan succeeded with the KMS down")
+        except AssertionError:
+            raise
+        except Exception as exc:  # noqa: BLE001
+            msg = str(exc)
+            assert "unreachable" in msg and kms_url in msg, msg[-800:]
+        print("OK kms_outage_arrow_scan_fails_attributably")
+
+        # (c) failure is contained to the encrypted scan.
+        assert spark.read.parquet(f"{SF}/customer.parquet").count() == len(expected)
+        print("OK kms_outage_session_survives")
 
         # 6. unpersist contract: releasing the returned frames (whose
         # .unpersist forwards to the internal pinned frame) drains every

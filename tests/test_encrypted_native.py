@@ -32,6 +32,10 @@ EXPECTED = [
     "OK gcm_ctr_tamper_semantics",
     "OK uniform_encryption",
     "OK complete_column_encryption",
+    "OK kms_outage_masked_by_warm_cache",
+    "OK kms_outage_cold_scan_fails_attributably",
+    "OK kms_outage_arrow_scan_fails_attributably",
+    "OK kms_outage_session_survives",
     "OK unpersist_releases_all",
 ]
 
