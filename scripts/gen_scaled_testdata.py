@@ -209,6 +209,104 @@ def _zipf_documents(tbl: pa.Table, copy_idx: int, vocab: list[str],
     )
 
 
+# ---------------------------------------------------------- dup-heavy mode
+#
+# VERDICT r10 "What's missing" #2: the zipf corpus's boilerplate is
+# deliberately calibrated BELOW the join thresholds (Jaccard ~0.14 <
+# 7/20), so it stresses the CANDIDATE path while the true answer set
+# stays tiny — the verify stage never runs under true-positive load and
+# connected components never see big clusters. Real pretraining corpora
+# are the opposite: template-heavy, with per-document duplicate counts
+# roughly CONSTANT as the corpus grows (answers ~linear). `--dup-heavy`
+# (composes with --zipf only) builds that regime on top of the Zipf
+# background: DUP_PCT% of documents have their text replaced by an
+# instance of a TEMPLATE — a fixed Zipf-drawn token sequence per
+# template group — with 1..DUP_EDITS_MAX per-doc token substitutions and
+# 0..DUP_TRUNC_MAX tokens truncated, so every within-group pair stays
+# ABOVE all three join thresholds (worst case ~J 0.5 vs thresholds
+# 7/20 Jaccard and 1/2 cosine; pinned by
+# tests/test_scaled_gen.py::test_dup_heavy_groups_above_threshold).
+#
+# Scaling invariants:
+# - template count ∝ corpus size (n_groups = dup docs / DUP_GROUP_MEAN),
+#   so group sizes are scale-CONSTANT (Poisson around the mean) and the
+#   true pair count grows ~linearly — per-doc dup count flat.
+# - DUP_MEGA_PCT% of groups carry DUP_MEGA_WEIGHT x the assignment
+#   weight: ~64-member clusters at every scale — large-cluster load for
+#   connected components and a true-positive hot spot for verify —
+#   while contributing only a bounded constant factor to the (still
+#   linear) pair mass.
+# - assignment and all edits are md5-seeded from the document's global
+#   identity + the corpus-wide group count, so any scale regenerates
+#   bit-identically.
+
+DUP_PCT = 20
+DUP_GROUP_MEAN = 8
+DUP_MEGA_PCT = 1
+DUP_MEGA_WEIGHT = 8
+DUP_TEMPLATE_LEN = 48
+DUP_EDITS_MAX = 2
+DUP_TRUNC_MAX = 2
+
+
+def _dup_heavy_documents(tbl: pa.Table, vocab: list[str], cum: "np.ndarray",
+                         n_docs_total: int) -> pa.Table:
+    """Replace DUP_PCT% of documents' text with a per-group template
+    instance (template + small seeded edits). ``n_docs_total`` is the
+    CORPUS-wide document count (all copies), so group count — and hence
+    expected group size — is consistent across the copies this is
+    called once per."""
+    import hashlib
+
+    def _frac(tag: str) -> float:
+        return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big") / 2**64
+
+    n_dup = n_docs_total * DUP_PCT / 100.0
+    n_groups = max(1, round(n_dup / DUP_GROUP_MEAN))
+    n_mega = max(1, n_groups * DUP_MEGA_PCT // 100)
+    weights = np.full(n_groups, 1.0)
+    weights[:n_mega] = DUP_MEGA_WEIGHT
+    wcum = np.cumsum(weights / weights.sum())
+
+    def _template(g: int) -> list[str]:
+        rng = np.random.default_rng(
+            int.from_bytes(hashlib.md5(f"dupt:{n_groups}:{g}".encode()).digest()[:8],
+                           "big")
+        )
+        return [vocab[i] for i in np.searchsorted(cum, rng.random(DUP_TEMPLATE_LEN))]
+
+    templates: dict[int, list[str]] = {}
+    texts = tbl.column("text").to_pylist()
+    doc_ids = tbl.column("doc_id").to_pylist()
+    out_text = []
+    for gid, text in zip(doc_ids, texts):
+        if _frac(f"duph:{gid}") * 100 >= DUP_PCT:
+            out_text.append(text)
+            continue
+        g = int(np.searchsorted(wcum, _frac(f"dupg:{n_groups}:{gid}")))
+        if g not in templates:
+            templates[g] = _template(g)
+        toks = list(templates[g])
+        rng = np.random.default_rng(
+            int.from_bytes(hashlib.md5(f"dupe:{gid}".encode()).digest()[:8], "big")
+        )
+        for _ in range(1 + rng.integers(0, DUP_EDITS_MAX)):
+            pos = int(rng.integers(0, len(toks)))
+            toks[pos] = vocab[int(np.searchsorted(cum, rng.random()))]
+        trunc = int(rng.integers(0, DUP_TRUNC_MAX + 1))
+        if trunc:
+            toks = toks[:-trunc]
+        out_text.append(" ".join(toks))
+    t = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(out_text, pa.string())
+    )
+    return t.set_column(
+        t.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([len(x) for x in out_text], pa.int64()),
+    )
+
+
 def _roll_embeddings(tbl: pa.Table, copy_idx: int) -> pa.Table:
     col = tbl.column("embedding").combine_chunks()
     arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
@@ -229,6 +327,11 @@ def _roll_embeddings(tbl: pa.Table, copy_idx: int) -> pa.Table:
 def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     zipf = "--zipf" in sys.argv
+    dup_heavy = "--dup-heavy" in sys.argv
+    if dup_heavy and not zipf:
+        print("--dup-heavy composes with --zipf only (it is a skew-corpus "
+              "mode: templates must share the global vocabulary)", file=sys.stderr)
+        return 2
     mult = int(args[0]) if args else 10
     dst = (
         args[1]
@@ -265,6 +368,8 @@ def main() -> int:
                 t = t.set_column(idx, col, pc.cast(shifted, src.schema.field(col).type))
             if name == "documents" and zipf:
                 t = _zipf_documents(t, i, vocab, cum)
+                if dup_heavy:
+                    t = _dup_heavy_documents(t, vocab, cum, len(src) * mult)
             elif i > 0 and name == "documents":
                 t = _rename_documents(t, i)
             if name == "embeddings":

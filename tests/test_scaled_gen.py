@@ -1,0 +1,167 @@
+"""Pins for scripts/gen_scaled_testdata.py's corpus modes — the scale
+experiments' ground truth generator. These tests are pure Python/Arrow
+(no Spark): they verify the GENERATOR's invariants, which the scale
+artifacts (SCALE_r*, SF10_r*) then lean on.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import importlib.util
+import itertools
+import os
+from collections import Counter, defaultdict
+
+import numpy as np
+import pyarrow as pa
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_spec = importlib.util.spec_from_file_location(
+    "gen_scaled_testdata", os.path.join(REPO, "scripts", "gen_scaled_testdata.py")
+)
+gen = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(gen)
+
+
+def _shingles(text: str, n: int = 3) -> set[tuple[str, ...]]:
+    toks = text.split()
+    return {tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _tf(text: str, n: int = 3) -> Counter:
+    toks = text.split()
+    return Counter(tuple(toks[i : i + n]) for i in range(len(toks) - n + 1))
+
+
+def _cosine(a: Counter, b: Counter) -> float:
+    dot = sum(w * b[g] for g, w in a.items())
+    na = sum(w * w for w in a.values())
+    nb = sum(w * w for w in b.values())
+    return dot / (na * nb) ** 0.5
+
+
+def _frac(tag: str) -> float:
+    return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big") / 2**64
+
+
+def _docs_table(n: int) -> pa.Table:
+    texts = [f"plain background document number {i} with some words" for i in range(n)]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(n), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+        }
+    )
+
+
+def _vocab_and_cum():
+    vocab = gen._zipf_vocab()
+    p = 1.0 / np.arange(1, len(vocab) + 1) ** gen.ZIPF_S
+    return vocab, np.cumsum(p / p.sum())
+
+
+def test_dup_heavy_groups_above_threshold():
+    """Every within-group pair the dup-heavy mode plants must clear ALL
+    THREE join thresholds — q49c/q47's Jaccard 7/20 and q55c's tf-cosine
+    1/2 — under the worst seeded edit/truncation draw, so the true
+    answer set is exactly the planted group structure (plus whatever the
+    Zipf background happens to contribute) and grows linearly with the
+    corpus. Also pins the dup fraction, the scale-constant group-size
+    design (mega groups included), and that non-dup documents pass
+    through untouched."""
+    n = 1200
+    vocab, cum = _vocab_and_cum()
+    tbl = _docs_table(n)
+    out = gen._dup_heavy_documents(tbl, vocab, cum, n)
+
+    texts = out.column("text").to_pylist()
+    orig = tbl.column("text").to_pylist()
+    n_chars = out.column("n_chars").to_pylist()
+    assert n_chars == [len(t) for t in texts]
+
+    n_dup = n * gen.DUP_PCT / 100.0
+    n_groups = max(1, round(n_dup / gen.DUP_GROUP_MEAN))
+    n_mega = max(1, n_groups * gen.DUP_MEGA_PCT // 100)
+    weights = np.full(n_groups, 1.0)
+    weights[:n_mega] = gen.DUP_MEGA_WEIGHT
+    wcum = np.cumsum(weights / weights.sum())
+
+    groups: dict[int, list[int]] = defaultdict(list)
+    n_dup_seen = 0
+    for gid in range(n):
+        if _frac(f"duph:{gid}") * 100 >= gen.DUP_PCT:
+            assert texts[gid] == orig[gid], f"non-dup doc {gid} was rewritten"
+            continue
+        n_dup_seen += 1
+        assert texts[gid] != orig[gid], f"dup doc {gid} kept its background text"
+        groups[int(np.searchsorted(wcum, _frac(f"dupg:{n_groups}:{gid}")))].append(gid)
+
+    # ~DUP_PCT% of docs carry a template instance (md5-uniform draw)
+    assert abs(n_dup_seen / n - gen.DUP_PCT / 100.0) < 0.05, n_dup_seen
+
+    # every within-group pair clears every join threshold
+    worst_j, worst_c, n_pairs = 1.0, 1.0, 0
+    for members in groups.values():
+        for a, b in itertools.combinations(members, 2):
+            sa, sb = _shingles(texts[a]), _shingles(texts[b])
+            j = len(sa & sb) / len(sa | sb)
+            c = _cosine(_tf(texts[a]), _tf(texts[b]))
+            worst_j, worst_c = min(worst_j, j), min(worst_c, c)
+            n_pairs += 1
+    assert n_pairs > 50, "fixture planted too few pairs to be meaningful"
+    assert worst_j >= 7 / 20, f"planted pair below the Jaccard threshold: {worst_j}"
+    assert worst_c >= 1 / 2, f"planted pair below the cosine threshold: {worst_c}"
+
+    # mega groups exist and dwarf the mean — the large-cluster CC load
+    sizes = sorted(len(m) for m in groups.values())
+    assert sizes[-1] >= 3 * gen.DUP_GROUP_MEAN, sizes[-5:]
+
+    # determinism: regenerating reproduces bit-identical text
+    again = gen._dup_heavy_documents(tbl, vocab, cum, n)
+    assert again.column("text").to_pylist() == texts
+
+
+def test_dup_heavy_group_count_scales_with_corpus():
+    """The linear-answer invariant rests on group COUNT ∝ corpus size at
+    scale-constant group sizes: the same table processed under a 10x
+    n_docs_total must spread its dup docs over ~10x as many templates,
+    keeping per-doc dup counts flat as the corpus grows."""
+    n = 1200
+    vocab, cum = _vocab_and_cum()
+    tbl = _docs_table(n)
+
+    def group_of(gid: int, n_total: int) -> tuple[int, int] | None:
+        if _frac(f"duph:{gid}") * 100 >= gen.DUP_PCT:
+            return None
+        n_groups = max(1, round(n_total * gen.DUP_PCT / 100.0 / gen.DUP_GROUP_MEAN))
+        n_mega = max(1, n_groups * gen.DUP_MEGA_PCT // 100)
+        weights = np.full(n_groups, 1.0)
+        weights[:n_mega] = gen.DUP_MEGA_WEIGHT
+        wcum = np.cumsum(weights / weights.sum())
+        return n_groups, int(np.searchsorted(wcum, _frac(f"dupg:{n_groups}:{gid}")))
+
+    small = {gid: group_of(gid, n) for gid in range(n)}
+    big = {gid: group_of(gid, 10 * n) for gid in range(n)}
+    # same docs are dup docs (membership depends only on identity) ...
+    assert {g for g, v in small.items() if v} == {g for g, v in big.items() if v}
+    # ... but the 10x corpus spreads them over ~10x the group ids
+    gs = {v[0] for v in small.values() if v}.pop()
+    gb = {v[0] for v in big.values() if v}.pop()
+    assert 9 <= gb / gs <= 11
+
+    # generated text under the bigger corpus still clears the thresholds
+    out_big = gen._dup_heavy_documents(tbl, vocab, cum, 10 * n)
+    texts = out_big.column("text").to_pylist()
+    by_group: dict[int, list[int]] = defaultdict(list)
+    for gid, v in big.items():
+        if v:
+            by_group[v[1]].append(gid)
+    checked = 0
+    for members in by_group.values():
+        for a, b in itertools.combinations(members, 2):
+            sa, sb = _shingles(texts[a]), _shingles(texts[b])
+            assert len(sa & sb) / len(sa | sb) >= 7 / 20
+            checked += 1
+    assert checked > 0, "10x spread left no within-group pair to check"
