@@ -39,7 +39,10 @@ region/nation stay fixed (as in real TPC-H at every SF). events offsets
 user_id, so per-user streams replicate rather than deepen — windows and
 sessionization scale by user count, the realistic axis.
 
-Output layout matches /root/testdata: one <table>.parquet FILE per table.
+Output layout: at MULT=1, one <table>.parquet FILE per table (matching
+/root/testdata); at MULT>1, <table>.parquet is a DIRECTORY of one part
+file per copy — row-group-aligned scan parallelism (see the layout note
+in main()).
 """
 
 from __future__ import annotations
@@ -357,9 +360,21 @@ def main() -> int:
         pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{dst}/{name}.parquet")
         print(f"{name}: copied verbatim")
 
+    # Layout (VERDICT r10 item 7): mult == 1 keeps /root/testdata's
+    # one-FILE-per-table layout; mult > 1 writes <table>.parquet as a
+    # DIRECTORY of one row-group-aligned part file per copy. A single
+    # multi-GB file at 30-100x forced Spark to carve empty byte-range
+    # splits (one row group, maxPartitionBytes-sized slices) — the
+    # median~40 ms scan-stage artifact every straggler reading had to
+    # explain away. Per-copy parts make scan parallelism honest, read
+    # identically through spark.read.parquet / pyarrow datasets, and
+    # drop peak generator memory from the whole corpus to one copy.
     for name, keycols in KEY_DOMAINS.items():
         src = pq.read_table(f"{SRC}/{name}.parquet")
-        copies = []
+        multi_file = mult > 1
+        if multi_file:
+            os.makedirs(f"{dst}/{name}.parquet", exist_ok=True)
+        n_out = 0
         for i in range(mult):
             t = src
             for col, dom in keycols.items():
@@ -374,10 +389,13 @@ def main() -> int:
                 t = _rename_documents(t, i)
             if name == "embeddings":
                 t = _roll_embeddings(t, i)
-            copies.append(t)
-        out = pa.concat_tables(copies)
-        pq.write_table(out, f"{dst}/{name}.parquet")
-        print(f"{name}: {len(src)} -> {len(out)} rows")
+            n_out += len(t)
+            if multi_file:
+                pq.write_table(t, f"{dst}/{name}.parquet/part-{i:05d}.parquet")
+            else:
+                pq.write_table(t, f"{dst}/{name}.parquet")
+        print(f"{name}: {len(src)} -> {n_out} rows"
+              + (f" in {mult} part files" if multi_file else ""))
     return 0
 
 

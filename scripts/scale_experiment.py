@@ -203,6 +203,45 @@ def candidate_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
     return out
 
 
+def answer_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
+    """TRUE-answer sizes for the heavy joins (r11, for the dup-heavy
+    corpus): candidates-per-ANSWER is the linearity judgment the
+    dup-heavy regime exists to test — candidates must track the planted
+    ~linear answer growth, and verify now runs under true-positive load.
+    Also records the cluster census (count / max size) for the
+    connected-components large-cluster story. Merge-guarded per key,
+    same as candidate_counts."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q47b_minhash_neardup_salted,
+        q49c_jaccard_ppjoin,
+        q55c_allpairs_sparse,
+        q57d_cc_two_phase,
+    )
+
+    prep(spark)
+    out: dict[str, int] = dict(have or {})
+    if "q49c_answer_pairs" not in out:
+        out["q49c_answer_pairs"] = q49c_jaccard_ppjoin(spark, sf_dir).count()
+    if "q55c_answer_pairs" not in out:
+        out["q55c_answer_pairs"] = q55c_allpairs_sparse(spark, sf_dir).count()
+    if "q47b_answer_pairs" not in out:
+        out["q47b_answer_pairs"] = q47b_minhash_neardup_salted(spark, sf_dir).count()
+    if "q57d_clusters" not in out:
+        rows = (
+            q57d_cc_two_phase(spark, sf_dir)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max("cluster_size").alias("mx"),
+                F.sum("cluster_size").alias("docs"),
+            )
+            .collect()[0]
+        )
+        out["q57d_clusters"] = int(rows["n"])
+        out["q57d_max_cluster"] = int(rows["mx"])
+        out["q57d_docs_in_clusters"] = int(rows["docs"])
+    return out
+
+
 def encryption_scale(spark, sf_dir: str, repeats: int) -> dict:
     """Encrypted-vs-plain scan at this scale, both ciphers, native path —
     does PME overhead stay a constant factor as data grows 10x? Uses the
@@ -274,6 +313,7 @@ def main() -> int:
     merge = "--merge" in args
     do_encryption = "--encryption" in args
     do_candidates = "--no-candidates" not in args
+    do_answers = "--answers" in args
     repeats = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "2"))
 
     extra_conf = {}
@@ -392,6 +432,15 @@ def main() -> int:
                     3,
                 )
             print(f"# {label} candidates: {entry['candidates']}", file=sys.stderr)
+            report["scales"][label] = entry
+            with open(out_path, "w") as fh:
+                json.dump(report, fh, indent=1)
+        if do_answers:
+            have = entry.get("answers") or {}
+            fresh = answer_counts(spark, sf_dir, have)
+            if fresh != have:
+                entry["answers"] = fresh
+            print(f"# {label} answers: {entry['answers']}", file=sys.stderr)
             report["scales"][label] = entry
             with open(out_path, "w") as fh:
                 json.dump(report, fh, indent=1)
