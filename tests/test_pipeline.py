@@ -2807,3 +2807,160 @@ def test_grouped_exact_joins_equal_monolith(spark, monkeypatch):
         grows, mrows = canon(g), canon(m)
         assert mrows, f"{mono_name}: fixture has no pairs — test is vacuous"
         assert grows == mrows, grouped_name
+
+
+def test_jpeg_codec_roundtrips_random_coefficients():
+    """The baseline-JPEG decoder is general over its stated profile, not
+    just the fixture's DC-only subspace: random dense coefficient blocks
+    (runs, ZRL, EOB, negative values, the full zigzag) encode and decode
+    to the same pixels an INDEPENDENT textbook O(N^4) IDCT produces from
+    the raw coefficients — so the entropy coding, zigzag order, EXTEND,
+    DC-difference chain, and fast matrix IDCT are each load-bearing."""
+    import numpy as np
+
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    def idct_ref(B):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = np.sqrt(0.5) if u == 0 else 1.0
+                        cv = np.sqrt(0.5) if v == 0 else 1.0
+                        s += (cu * cv / 4.0 * B[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[x, y] = s
+        return out
+
+    rng = np.random.RandomState(1234)
+    for trial in range(3):
+        n_by, n_bx = 2, 3
+        blocks = rng.randint(-200, 200, size=(n_by, n_bx, 8, 8))
+        # sparsify some blocks to exercise long runs / ZRL / early EOB
+        blocks[0, 0, :, :] = 0
+        blocks[0, 0, 0, 0] = rng.randint(-900, 900)
+        blocks[1, 2] *= rng.random(size=(8, 8)) < 0.1
+        w, h = n_bx * 8, n_by * 8
+        data = encode_jpeg_gray(w, h, blocks)
+        rw, rh, px = decode_jpeg_gray(data)
+        assert (rw, rh) == (w, h)
+        ref = np.zeros((h, w))
+        for by in range(n_by):
+            for bx in range(n_bx):
+                ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = idct_ref(
+                    blocks[by, bx]
+                )
+        ref = np.clip(np.round(ref) + 128, 0, 255).astype(np.uint8)
+        assert np.array_equal(px, ref), f"trial {trial} mismatch"
+
+
+def test_jpeg_codec_refusal_contract():
+    """Everything outside the stated profile raises rather than guessing:
+    progressive SOF2, restart intervals, color (3-component), 16-bit
+    quant tables, truncated entropy data, and a non-JPEG prefix."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_flat,
+    )
+
+    base = bytearray(encode_jpeg_gray_flat(16, 8, np.full((1, 2), 99)))
+
+    def mutated(find: bytes, repl: bytes) -> bytes:
+        i = bytes(base).find(find)
+        assert i >= 0
+        out = bytearray(base)
+        out[i:i + len(find)] = repl
+        return bytes(out)
+
+    with pytest.raises(ValueError, match="SOF2"):
+        decode_jpeg_gray(mutated(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError, match="single-component"):
+        # SOF0 ncomp byte: marker(2) len(2) precision(1) h(2) w(2) -> +9
+        i = bytes(base).find(b"\xff\xc0")
+        out = bytearray(base)
+        out[i + 9] = 3
+        with_color = bytes(out)
+        decode_jpeg_gray(with_color)
+    # DRI inserted before SOS
+    i = bytes(base).find(b"\xff\xda")
+    dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
+    with pytest.raises(ValueError, match="DRI"):
+        decode_jpeg_gray(bytes(base[:i]) + dri + bytes(base[i:]))
+    # 16-bit DQT precision nibble
+    i = bytes(base).find(b"\xff\xdb")
+    out = bytearray(base)
+    out[i + 4] = 0x10
+    with pytest.raises(ValueError, match="16-bit"):
+        decode_jpeg_gray(bytes(out))
+    with pytest.raises(ValueError, match="truncated"):
+        decode_jpeg_gray(bytes(base[:-12]))  # drop EOI + scan tail
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg_gray(b"\x89PNG" + bytes(base))
+
+
+def test_avi_mjpeg_roundtrip_and_refusals():
+    """q91h's container path: planted flat-block frames round-trip
+    BIT-EXACT through encode_jpeg_gray_flat + encode_avi_mjpeg +
+    decode_avi_mjpeg for every (nbx, nby, nf) the fixture uses; the MJPEG
+    decoder refuses BI_RGB containers (and the BI_RGB decoder refuses
+    MJPG ones), so neither path can silently mis-handle the other's
+    format; header-only parsers (q91c interop) still read the geometry."""
+    import numpy as np
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        encode_jpeg_gray_flat,
+    )
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        _avi_frame_pixels,
+        _avi_params,
+        _mjpeg_block_values,
+        _mjpeg_params,
+        decode_avi_bi_rgb,
+        decode_avi_mjpeg,
+        encode_avi_bi_rgb,
+        encode_avi_mjpeg,
+        sniff_video,
+    )
+
+    for mid in (0, 43, 86, 129, 172, 215):  # covers nbx 2..4 x nby 1..2
+        nbx, nby, nf = _mjpeg_params(mid)
+        w, h = nbx * 8, nby * 8
+        vals = [_mjpeg_block_values(mid, f, nbx, nby) for f in range(nf)]
+        blob = encode_avi_mjpeg(
+            w, h, [encode_jpeg_gray_flat(w, h, v) for v in vals]
+        )
+        rw, rh, frames = decode_avi_mjpeg(blob)
+        assert (rw, rh, len(frames)) == (w, h, nf)
+        for f, v in enumerate(vals):
+            exp = np.repeat(np.repeat(v, 8, 0), 8, 1).astype(np.uint8)
+            assert np.array_equal(frames[f], exp), f"media {mid} frame {f}"
+        fmt, sw, sh, sn = sniff_video(blob)
+        assert (fmt, sw, sh, sn) == ("avi", w, h, nf)
+
+    # cross-refusals: each decoder rejects the other's biCompression
+    w, h, nf = _avi_params(41)
+    rgb_blob = encode_avi_bi_rgb(
+        w, h, [_avi_frame_pixels(41, 0, w, h)]
+    )
+    with pytest.raises(ValueError, match="MJPG"):
+        decode_avi_mjpeg(rgb_blob)
+    nbx, nby, _ = _mjpeg_params(43)
+    mjpg_blob = encode_avi_mjpeg(
+        nbx * 8, nby * 8,
+        [encode_jpeg_gray_flat(nbx * 8, nby * 8,
+                               _mjpeg_block_values(43, 0, nbx, nby))],
+    )
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_avi_bi_rgb(mjpg_blob)
