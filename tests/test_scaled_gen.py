@@ -165,3 +165,55 @@ def test_dup_heavy_group_count_scales_with_corpus():
             assert len(sa & sb) / len(sa | sb) >= 7 / 20
             checked += 1
     assert checked > 0, "10x spread left no within-group pair to check"
+
+
+def test_dup_heavy_templates_cross_group_dissimilar():
+    """The planted-answer invariant's OTHER half: cross-group pairs must
+    stay BELOW every join threshold, so the PLANTED answer set is exactly
+    the within-group pairs. The generator enforces it structurally —
+    every 3rd template token is a group-salted tail draw, so no
+    word-3-gram window is free of group-specific tokens — and this pin
+    measures the result: across every cross-group representative pair,
+    shingle Jaccard and tf-cosine sit far under the thresholds, with real
+    margin. (Round-11 measurement note: the unsalted first cut happened
+    not to collide either at the measured scales — salted and unsalted
+    corpora produced identical q49c/q55c answer totals — but that was a
+    property of the draw, not of the design; the salt makes it a
+    guarantee at ANY scale and licenses the harness's planted-vs-
+    inherited decomposition. The corpus TOTALS still grow superlinearly
+    via the zipf background's own ~n^2 qualifying-pair mass, which is the
+    background's r10-measured property, not a planting defect.)"""
+    n = 3000
+    vocab, cum = _vocab_and_cum()
+    tbl = _docs_table(n)
+    out = gen._dup_heavy_documents(tbl, vocab, cum, n)
+    texts = out.column("text").to_pylist()
+
+    n_groups = max(1, round(n * gen.DUP_PCT / 100.0 / gen.DUP_GROUP_MEAN))
+    n_mega = max(1, n_groups * gen.DUP_MEGA_PCT // 100)
+    weights = np.full(n_groups, 1.0)
+    weights[:n_mega] = gen.DUP_MEGA_WEIGHT
+    wcum = np.cumsum(weights / weights.sum())
+
+    by_group: dict[int, list[int]] = defaultdict(list)
+    for gid in range(n):
+        if _frac(f"duph:{gid}") * 100 < gen.DUP_PCT:
+            by_group[int(np.searchsorted(wcum, _frac(f"dupg:{n_groups}:{gid}")))].append(gid)
+    reps = {g: members[0] for g, members in by_group.items()}
+    assert len(reps) > 40, "fixture too small to exercise cross-group pairs"
+
+    worst_j = worst_c = 0.0
+    n_checked = 0
+    rep_items = sorted(reps.items())
+    sh = {g: _shingles(texts[d]) for g, d in rep_items}
+    tf = {g: _tf(texts[d]) for g, d in rep_items}
+    for (ga, _), (gb, _) in itertools.combinations(rep_items, 2):
+        j = len(sh[ga] & sh[gb]) / len(sh[ga] | sh[gb])
+        c = _cosine(tf[ga], tf[gb])
+        worst_j, worst_c = max(worst_j, j), max(worst_c, c)
+        n_checked += 1
+    assert n_checked > 800
+    assert worst_j < 7 / 20, f"cross-group pair ABOVE Jaccard threshold: {worst_j}"
+    assert worst_c < 1 / 2, f"cross-group pair ABOVE cosine threshold: {worst_c}"
+    # not merely under the wire: the salting leaves a real margin
+    assert worst_j < 0.2, f"cross-group Jaccard margin eroded: {worst_j}"
