@@ -239,7 +239,87 @@ def answer_counts(spark, sf_dir: str, have: dict | None = None) -> dict:
         out["q57d_clusters"] = int(rows["n"])
         out["q57d_max_cluster"] = int(rows["mx"])
         out["q57d_docs_in_clusters"] = int(rows["docs"])
+
+    # Dup-heavy corpora: decompose answers into PLANTED (both endpoints
+    # in the same template group — the component the linear-growth design
+    # claim is about; the salting makes 'planted == within-group' exact)
+    # vs INHERITED (the zipf background's own qualifying pairs, which
+    # ride the background's r10-measured ~n^2 sharing mass). Without the
+    # split, background inheritance reads as a planting defect — the
+    # r11 mis-attribution this decomposition exists to prevent.
+    if os.path.basename(sf_dir.rstrip("/")).startswith("duph") and (
+        "q49c_planted_pairs" not in out
+        or "q55c_planted_pairs" not in out
+        or "q47b_planted_pairs" not in out
+    ):
+        gm = spark.createDataFrame(
+            _dup_group_rows(spark, sf_dir), "doc_id bigint, grp bigint"
+        )
+        ga = F.broadcast(gm.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("grp", "ga"))
+        gb = F.broadcast(gm.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("grp", "gb"))
+
+        def planted(pairs_df) -> int:
+            return (
+                pairs_df.select("doc_a", "doc_b")
+                .join(ga, "doc_a")
+                .join(gb, "doc_b")
+                .filter(F.col("ga") == F.col("gb"))
+                .count()
+            )
+
+        census = gm.groupBy("grp").count()
+        crow = census.agg(
+            F.count(F.lit(1)).alias("n"), F.max("count").alias("mx")
+        ).collect()[0]
+        out["planted_groups"] = int(crow["n"])
+        out["planted_max_group"] = int(crow["mx"])
+        out["planted_docs"] = gm.count()
+        if "q49c_planted_pairs" not in out:
+            out["q49c_planted_pairs"] = planted(q49c_jaccard_ppjoin(spark, sf_dir))
+        if "q55c_planted_pairs" not in out:
+            out["q55c_planted_pairs"] = planted(q55c_allpairs_sparse(spark, sf_dir))
+        if "q47b_planted_pairs" not in out:
+            out["q47b_planted_pairs"] = planted(
+                q47b_minhash_neardup_salted(spark, sf_dir)
+            )
     return out
+
+
+def _dup_group_rows(spark, sf_dir: str) -> list[tuple[int, int]]:
+    """Recompute the generator's seeded template-group assignment for a
+    dup-heavy corpus: (doc_id, group) for every templated document —
+    bit-identical to gen_scaled_testdata._dup_heavy_documents because it
+    reuses the module's own constants and md5 draws."""
+    import hashlib
+    import importlib.util
+
+    import numpy as np
+
+    spec = importlib.util.spec_from_file_location(
+        "gen_scaled_testdata", os.path.join(REPO, "scripts", "gen_scaled_testdata.py")
+    )
+    gen = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(gen)
+
+    doc_ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents").select("doc_id").collect()
+    ]
+    n_total = len(doc_ids)
+    n_groups = max(1, round(n_total * gen.DUP_PCT / 100.0 / gen.DUP_GROUP_MEAN))
+    n_mega = max(1, n_groups * gen.DUP_MEGA_PCT // 100)
+    weights = np.full(n_groups, 1.0)
+    weights[:n_mega] = gen.DUP_MEGA_WEIGHT
+    wcum = np.cumsum(weights / weights.sum())
+
+    def frac(tag: str) -> float:
+        return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big") / 2**64
+
+    return [
+        (int(gid), int(np.searchsorted(wcum, frac(f"dupg:{n_groups}:{gid}"))))
+        for gid in doc_ids
+        if frac(f"duph:{gid}") * 100 < gen.DUP_PCT
+    ]
 
 
 def encryption_scale(spark, sf_dir: str, repeats: int) -> dict:
@@ -309,7 +389,8 @@ def main() -> int:
         sfs = args[i + 1].split(",")
     only: list[str] | None = None
     if "--only" in args:
-        only = args[args.index("--only") + 1].split(",")
+        # empty string = time NOTHING (a pure candidates/answers merge pass)
+        only = [s for s in args[args.index("--only") + 1].split(",") if s]
     merge = "--merge" in args
     do_encryption = "--encryption" in args
     do_candidates = "--no-candidates" not in args
