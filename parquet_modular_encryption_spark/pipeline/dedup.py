@@ -57,6 +57,29 @@ ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.4
 SHINGLE_N = 3
 
+# 8 additional fixed permutations for the HIGH-RECALL config (q47d):
+# 16 perms = 8 bands × 2 rows. Same convention as MINHASH_PERMS —
+# arbitrary-but-fixed odd multipliers < P, identical literals in the SQL
+# oracle. Why a SECOND config instead of raising q47's default: at the
+# J≈0.55 planted regime the 4-band s-curve caps per-pair recall at
+# 1-(1-s²)⁴ ≈ 0.76 (the duph-measured 86-92% group recall,
+# SCALE_r11_dup.json), while 8 bands lift it to ≈ 0.94 at ~2× candidate
+# cost — the same measured-recall-vs-budget trade q55's band ladder
+# resolved, here exposed as an operator choice because q47's 4-band
+# shape is itself load-bearing for downstream oracles (q57's recursive
+# CTE re-derives it verbatim).
+MINHASH_PERMS_HR: tuple[tuple[int, int], ...] = MINHASH_PERMS + (
+    (122949823, 2741),
+    (86028121, 9973),
+    (67867967, 524287),
+    (49979687, 6700417),
+    (32452843, 1299721),
+    (23462467, 15485867),
+    (15485863, 32452867),
+    (10000019, 49979693),
+)
+N_BANDS_HR = 8
+
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, sig_0..sig_7): MinHash signature over distinct word shingles.
@@ -76,7 +99,7 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return sh.groupBy(id_col).agg(*aggs)
 
 
-def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
+def band_keys(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
     """Explode a signature into (id, band_id, band_key) LSH bucket rows."""
     bands = F.array(
         *[
@@ -90,7 +113,7 @@ def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
                     ],
                 ).alias("band_key"),
             )
-            for i in range(N_BANDS)
+            for i in range(n_bands)
         ]
     )
     return sig.select(F.col(id_col), F.explode(bands).alias("b")).select(
@@ -98,22 +121,27 @@ def band_keys(sig: DataFrame, id_col: str) -> DataFrame:
     )
 
 
-def _minhash_oracle() -> str:
+def _minhash_oracle(
+    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS, n_bands: int = N_BANDS
+) -> str:
     return f"""
-    WITH {_minhash_ctes()}
+    WITH {_minhash_ctes(perms, n_bands)}
     SELECT doc_a, doc_b, jaccard FROM verified
     """
 
 
-def _minhash_ctes() -> str:
+def _minhash_ctes(
+    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS, n_bands: int = N_BANDS
+) -> str:
     """The q47 MinHash+LSH pipeline as a WITH-clause body ending in a
     ``verified(doc_a, doc_b, jaccard)`` CTE — shared by the q47 oracle and
-    q57's recursive-CTE connected-components oracle."""
+    q57's recursive-CTE connected-components oracle. The defaults are the
+    q47 config; q47d passes its 16-perm/8-band high-recall ladder."""
     toks = sql_tokens("text")
     shingles = sql_word_shingles("toks", SHINGLE_N)
     hv = f"({sql_hash60('shingle')} % {P})"
     sig_cols = ", ".join(
-        f"MIN(({a} * {hv} + {b}) % {P}) AS sig_{j}" for j, (a, b) in enumerate(MINHASH_PERMS)
+        f"MIN(({a} * {hv} + {b}) % {P}) AS sig_{j}" for j, (a, b) in enumerate(perms)
     )
     band_selects = " UNION ALL ".join(
         "SELECT doc_id, {i} AS band_id, concat({cols}) AS band_key FROM sig".format(
@@ -122,7 +150,7 @@ def _minhash_ctes() -> str:
                 f"sig_{i * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
             ),
         )
-        for i in range(N_BANDS)
+        for i in range(n_bands)
     )
     return f"""
     tokenized AS (
@@ -170,8 +198,38 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verify(shingled, pairs)
 
 
-def minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """Shared q47/q47b front half: (shingled, bands).
+@register(
+    "q47d_minhash_high_recall",
+    oracle=_minhash_oracle(MINHASH_PERMS_HR, N_BANDS_HR),
+    tags=("dedup", "minhash", "lsh", "high-recall"),
+)
+def q47d_minhash_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's pipeline at the HIGH-RECALL operating point: 16 MinHash
+    permutations banded 8×2 instead of 8 banded 4×2. Same shingles, same
+    verification threshold, same output frame — only the s-curve moves:
+    at the planted J≈0.55 dedup regime per-pair candidate recall rises
+    from ≈0.76 to ≈0.94 (1-(1-s²)^B), at ~2× the band-bucket candidate
+    mass (still linear in corpus size — bands add, they don't multiply).
+    The full 16-perm/8-band pipeline is mirrored in the DuckDB oracle
+    exactly as q47's is, so the high-recall point is hash-checked, and
+    tests pin measured planted-pair recall STRICTLY above q47's on the
+    same corpus. This is the measured-recall-vs-budget ladder q55 got in
+    r11, exposed for the Jaccard LSH operator as a sibling operating
+    point rather than a default change (q47's 4-band shape is re-derived
+    verbatim inside downstream oracles, e.g. q57's recursive CTE)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingled, bands = minhash_bands(docs, MINHASH_PERMS_HR, N_BANDS_HR)
+    pairs = banded_pairs(bands).distinct()
+    return _jaccard_verify(shingled, pairs)
+
+
+def minhash_bands(
+    docs: DataFrame,
+    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS,
+    n_bands: int = N_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """Shared q47/q47b/q47d front half: (shingled, bands).
 
     The shingle sets feed both the signature pipeline and the Jaccard
     verification, and re-shingling (regex tokenize + n-gram assembly)
@@ -193,10 +251,10 @@ def minhash_bands(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
-            for j, (a, b) in enumerate(MINHASH_PERMS)
+            for j, (a, b) in enumerate(perms)
         ]
     )
-    return shingled, band_keys(sig, "doc_id")
+    return shingled, band_keys(sig, "doc_id", n_bands)
 
 
 def banded_pairs(bands: DataFrame) -> DataFrame:

@@ -1685,3 +1685,362 @@ def q91h_mjpeg_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, frame_index int, width int, height int, "
         "pixel_sum bigint, row_weighted_sum bigint, col_weighted_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# BI_RLE8 (run-length-encoded palettized DIB) frame PAYLOAD decode (q91i)
+# ---------------------------------------------------------------------------
+# The third and last mainstream AVI payload family that is decodable from
+# the spec with stdlib+numpy alone: 8-bit palettized video compressed with
+# the Windows DIB RLE8 scheme (biCompression=1). The entropy layer is two
+# byte-pair opcodes (run mode `nn vv`, absolute mode `00 nn literals...`)
+# plus three escapes (00 00 end-of-line, 00 01 end-of-bitmap, 00 02 delta)
+# — MSDN BITMAPINFOHEADER / "Bitmap Compression" is the whole spec. The
+# palette is load-bearing: gray output goes through the strf's 256-entry
+# RGBQUAD table, so a decoder that shortcuts index→gray fails the oracle.
+# BI_RGB (q91g) and MJPG (q91h) keep their own decoders and every decoder
+# still refuses the other two's biCompression — no guessing path anywhere.
+
+AVI_BI_COMPRESSION_RLE8 = 1  # BI_RLE8 per BITMAPINFOHEADER
+
+
+def _rle8_palette() -> bytes:
+    """The fixture's 256-entry RGBQUAD table (little-endian B,G,R,0):
+    entry i = (B=(i*7)%256, G=(i*5)%256, R=(i*3)%256). Deliberately NOT
+    the identity gray ramp, so palette lookup is observable in the
+    oracle's sums: gray(i) = ((i*3)%256 + (i*5)%256 + (i*7)%256) // 3."""
+    out = bytearray()
+    for i in range(256):
+        out += bytes(((i * 7) % 256, (i * 5) % 256, (i * 3) % 256, 0))
+    return bytes(out)
+
+
+def _rle8_gray_lut(palette: bytes) -> "np.ndarray":
+    """index→gray uint8 LUT from a 1024-byte RGBQUAD table: exact integer
+    mean of (R, G, B) — the same fold decode_avi_bi_rgb applies."""
+    quads = np.frombuffer(palette, dtype=np.uint8).reshape(256, 4).astype(np.int32)
+    return ((quads[:, 0] + quads[:, 1] + quads[:, 2]) // 3).astype(np.uint8)
+
+
+def rle8_encode_row(row: bytes) -> bytes:
+    """One pixel row → BI_RLE8 opcodes (no trailing EOL; the caller owns
+    line/bitmap terminators). Maximal repeats of >=3 become run mode;
+    shorter stretches accumulate into absolute-mode segments (which the
+    spec word-aligns with a pad byte) unless the segment is under the
+    3-literal minimum, in which case each literal ships as a count-1 run."""
+    out = bytearray()
+    lits = bytearray()
+
+    def flush() -> None:
+        while lits:
+            if len(lits) >= 3:
+                seg = lits[:255]
+                del lits[: len(seg)]
+                out.extend((0, len(seg)))
+                out.extend(seg)
+                if len(seg) % 2:
+                    out.append(0)  # absolute runs are word-aligned
+            else:
+                out.extend((1, lits.pop(0)))
+
+    i, n = 0, len(row)
+    while i < n:
+        j = i
+        while j < n and row[j] == row[i] and j - i < 255:
+            j += 1
+        if j - i >= 3:
+            flush()
+            out.extend((j - i, row[i]))
+        else:
+            lits.extend(row[i:j])
+            if len(lits) >= 255:
+                flush()
+        i = j
+    flush()
+    return bytes(out)
+
+
+def encode_avi_rle8(width: int, height: int, frames: list[bytes]) -> bytes:
+    """Spec-correct BI_RLE8 AVI: RIFF('AVI ') → hdrl with MainAVIHeader and
+    strl(strh 'vids'/'RLE8' + strf BITMAPINFOHEADER biBitCount=8,
+    biCompression=1, biClrUsed=256 + the 256-entry RGBQUAD palette) → movi
+    LIST of '00dc' chunks. Each input frame is a TOP-DOWN row-major grid
+    of PALETTE INDICES (len w*h); rows are RLE-encoded bottom-up with EOL
+    (00 00) between lines and EOB (00 01) closing the bitmap — so a
+    decoder that forgets the vertical flip, the absolute-mode pad byte, or
+    the palette produces different numbers."""
+    if any(len(f) != width * height for f in frames):
+        raise ValueError("every frame must be a width*height index grid")
+    palette = _rle8_palette()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) % 2 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(tag: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", tag + data)
+
+    encoded = []
+    for f in frames:
+        body = bytearray()
+        for y in range(height - 1, -1, -1):  # bottom-up line order
+            body += rle8_encode_row(f[y * width:(y + 1) * width])
+            body += b"\x00\x00" if y else b"\x00\x01"  # EOL / final EOB
+        encoded.append(chunk(b"00dc", bytes(body)))
+    max_size = max(len(e) - 8 for e in encoded)
+    avih = chunk(
+        b"avih",
+        struct.pack("<10I", 33333, 0, 0, 0, len(frames), 0, 1, max_size,
+                    width, height),
+    )
+    strh = chunk(
+        b"strh",
+        b"vids" + b"RLE8" + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0, 1, 30, 0,
+                                        len(frames), max_size, 0, 0, 0)
+        + struct.pack("<4H", 0, 0, width, height),
+    )
+    strf = chunk(
+        b"strf",
+        struct.pack("<IiiHHIIiiII", 40, width, height, 1, 8,
+                    AVI_BI_COMPRESSION_RLE8, 0, 0, 0, 256, 0) + palette,
+    )
+    body = b"AVI " + lst(b"hdrl", avih + lst(b"strl", strh + strf)) + lst(
+        b"movi", b"".join(encoded)
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def rle8_decode_frame(data: bytes, width: int, height: int) -> "np.ndarray":
+    """BI_RLE8 opcode stream → (height, width) uint8 INDEX grid, top-down.
+    Implements the full opcode set — run mode, absolute mode (word-
+    aligned), EOL, EOB, and delta (skipped pixels hold index 0, the
+    documented 'background' semantic) — with hard bounds checks: a run
+    that would cross the row end, a delta that leaves the bitmap, or a
+    stream that ends without EOB raises instead of guessing."""
+    grid = np.zeros((height, width), dtype=np.uint8)  # bottom-up rows
+    x = y = 0
+    i, n = 0, len(data)
+    while True:
+        if i + 2 > n:
+            raise ValueError("RLE8 stream ended without EOB")
+        b0, b1 = data[i], data[i + 1]
+        i += 2
+        if b0 > 0:  # run mode
+            if y >= height or x + b0 > width:
+                raise ValueError(f"RLE8 run overflows row (x={x}, n={b0}, w={width})")
+            grid[y, x:x + b0] = b1
+            x += b0
+        elif b1 == 0:  # EOL
+            x, y = 0, y + 1
+        elif b1 == 1:  # EOB
+            break
+        elif b1 == 2:  # delta: dx, dy (skipped pixels stay 0)
+            if i + 2 > n:
+                raise ValueError("RLE8 delta truncated")
+            dx, dy = data[i], data[i + 1]
+            i += 2
+            x, y = x + dx, y + dy
+            if x > width or y > height:
+                raise ValueError("RLE8 delta leaves the bitmap")
+        else:  # absolute mode: b1 literals, word-aligned
+            if y >= height or x + b1 > width:
+                raise ValueError(f"RLE8 absolute run overflows row (x={x}, n={b1})")
+            if i + b1 > n:
+                raise ValueError("RLE8 absolute run truncated")
+            grid[y, x:x + b1] = np.frombuffer(data, dtype=np.uint8, count=b1, offset=i)
+            x += b1
+            i += b1 + (b1 % 2)  # pad byte
+    return grid[::-1]  # bottom-up → top-down
+
+
+def decode_avi_rle8(b: bytes) -> tuple[int, int, list["np.ndarray"]]:
+    """(width, height, [gray uint8 (h, w) per frame]) from a BI_RLE8 AVI.
+    Asserts biCompression == 1/BI_RLE8 and biBitCount == 8 (BI_RGB belongs
+    at decode_avi_bi_rgb, MJPG at decode_avi_mjpeg — the q91g refusal
+    discipline), reads the strf's RGBQUAD palette, RLE-decodes every movi
+    chunk, and folds indices to gray THROUGH THE PALETTE with the exact
+    integer (R+G+B)//3 mean."""
+    if b[:4] != b"RIFF" or b[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI container")
+    width = height = None
+    lut = None
+    frames: list[np.ndarray] = []
+
+    def walk(lo: int, hi: int) -> None:
+        nonlocal width, height, lut
+        for tag, ps, pe in _riff_chunks(b, lo, hi):
+            if tag == b"LIST":
+                walk(ps + 4, pe)
+            elif tag == b"strf" and pe - ps >= 40:
+                (_size, w, h, _planes, bits, comp) = struct.unpack_from(
+                    "<IiiHHI", b, ps
+                )
+                if comp != AVI_BI_COMPRESSION_RLE8 or bits != 8:
+                    raise ValueError(
+                        f"decode_avi_rle8 handles biCompression=BI_RLE8 8-bit "
+                        f"only (got bits={bits}, compression={comp:#x}); "
+                        "BI_RGB is decode_avi_bi_rgb's job, MJPG is "
+                        "decode_avi_mjpeg's, and other codecs are out of scope"
+                    )
+                if pe - ps < 40 + 1024:
+                    raise ValueError("BI_RLE8 strf missing its 256-entry palette")
+                width, height = w, abs(h)
+                lut = _rle8_gray_lut(b[ps + 40:ps + 40 + 1024])
+            elif tag in AVI_FOURCC_UNCOMPRESSED:
+                if width is None:
+                    raise ValueError("RLE8 frame chunk before strf")
+                frames.append(
+                    lut[rle8_decode_frame(bytes(b[ps:pe]), width, height)]
+                )
+
+    walk(12, len(b))
+    if width is None:
+        raise ValueError("AVI missing strf BITMAPINFOHEADER")
+    return width, height, frames
+
+
+def _rle8_params(media_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) closed-form of media_id. Widths are prime
+    to the planted run length 9 so every row ends in a partial run, and
+    the absolute-mode stripe rows (y % 3 == 1) exist at every height."""
+    return 13 + (media_id % 5) * 6, 6 + (media_id % 4) * 3, 2 + (media_id % 3)
+
+
+def _rle8_frame_pixels(media_id: int, frame: int, width: int, height: int) -> bytes:
+    """Planted top-down palette-index grid, base = (media_id*59 + frame*23)
+    % 256. Rows alternate between the two encoded modes by construction:
+    y % 3 == 1 rows step by 5 per pixel (no repeats → absolute mode), all
+    other rows are constant over 9-pixel blocks (→ run mode), so one
+    fixture exercises runs, literals, pad bytes, EOL, and EOB together."""
+    base = media_id * 59 + frame * 23
+    out = bytearray()
+    for y in range(height):
+        for x in range(width):
+            v = base + y * 7 + (x * 5 if y % 3 == 1 else (x // 9) * 11)
+            out.append(v % 256)
+    return bytes(out)
+
+
+def _rle8_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Loose .avi BI_RLE8 files for the q91i ids (memoized per session+sf)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, f"q91i:{sf_dir}")
+    cached = _MEDIA_FIXTURE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 47 == 0)
+        .select("doc_id")
+        .collect()  # fixture write only; the decode read is distributed
+    ]
+    path = scratch_dir("pme_q91i_")
+    for mid in ids:
+        w, h, nf = _rle8_params(mid)
+        frames = [_rle8_frame_pixels(mid, f, w, h) for f in range(nf)]
+        with open(f"{path}/{mid}.avi", "wb") as fh:
+            fh.write(encode_avi_rle8(w, h, frames))
+    _MEDIA_FIXTURE_CACHE[key] = path
+    return path
+
+
+@register(
+    "q91i_rle8_frame_decode",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               13 + (doc_id % 5) * 6 AS w,
+               6 + (doc_id % 4) * 3 AS h,
+               2 + (doc_id % 3) AS nf
+        FROM documents WHERE doc_id % 47 = 0
+    ), fr AS (
+        SELECT media_id, w, h, s.g AS frame_index,
+               (media_id * 59 + s.g * 23) AS base
+        FROM media JOIN (SELECT g FROM generate_series(0, 7) AS t(g)) s
+          ON s.g < nf
+    ), px AS (
+        SELECT media_id, frame_index, w, h, y.g AS y, x.g AS x,
+               (base + y.g * 7 + CASE WHEN y.g % 3 = 1 THEN x.g * 5
+                                      ELSE (x.g // 9) * 11 END) % 256 AS idx
+        FROM fr
+        JOIN (SELECT g FROM generate_series(0, 31) AS t(g)) y ON y.g < h
+        JOIN (SELECT g FROM generate_series(0, 63) AS t(g)) x ON x.g < w
+    ), gp AS (
+        SELECT media_id, frame_index, w, h, y, x,
+               ((idx * 3) % 256 + (idx * 5) % 256 + (idx * 7) % 256) // 3 AS v
+        FROM px
+    )
+    SELECT media_id, frame_index,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(v) AS BIGINT) AS pixel_sum,
+           CAST(SUM((y + 1) * v) AS BIGINT) AS row_weighted_sum,
+           CAST(SUM((x + 1) * v) AS BIGINT) AS col_weighted_sum
+    FROM gp
+    GROUP BY media_id, frame_index
+    """,
+    tags=("multimodal", "video", "binary", "pandas-udf"),
+)
+def q91i_rle8_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL palettized compressed-video decode end-to-end: BI_RLE8 AVIs
+    (movi chunks of run-mode/absolute-mode opcodes with EOL/EOB, planted
+    index grids whose rows alternate between run-friendly 9-blocks and
+    literal-only stripes) are ingested distributed via binaryFile and
+    decoded executor-side in Arrow-batched mapInPandas — RIFF walk, strf
+    BI_RLE8 assertion, RLE opcode interpreter with bounds checks, bottom-
+    up un-flip, and the load-bearing RGBQUAD palette fold (the fixture
+    palette is non-monotone, so skipping the lookup mismatches). Per frame
+    it emits pixel / row-weighted / column-weighted sums; the DuckDB
+    oracle recomputes all three from ids alone through the same palette
+    closed form. With q91g (BI_RGB) and q91h (MJPEG) this completes the
+    spec-decodable AVI payload family triple — each decoder refuses the
+    other two's biCompression, so there is still no guessing path.
+
+    Scale: one mapInPandas pass; frame decode parallelizes with files,
+    payload bytes never touch the driver; binaryFile partitions by
+    maxPartitionBytes exactly as q91g documents."""
+    prep(spark)
+    avi_dir = _rle8_fixture_dir(spark, sf_dir)
+    blobs = spark.read.format("binaryFile").load(f"{avi_dir}/*.avi")
+    media = blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.avi$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "frame_index": [], "width": [], "height": [],
+                "pixel_sum": [], "row_weighted_sum": [], "col_weighted_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, frames = decode_avi_rle8(bytes(payload))
+                for fi, arr in enumerate(frames):
+                    arr = arr.astype(np.int64)
+                    rows = arr.sum(axis=1)
+                    cols = arr.sum(axis=0)
+                    out["media_id"].append(mid)
+                    out["frame_index"].append(fi)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["pixel_sum"].append(int(rows.sum()))
+                    out["row_weighted_sum"].append(
+                        int((rows * (np.arange(h, dtype=np.int64) + 1)).sum())
+                    )
+                    out["col_weighted_sum"].append(
+                        int((cols * (np.arange(w, dtype=np.int64) + 1)).sum())
+                    )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        per_batch,
+        "media_id bigint, frame_index int, width int, height int, "
+        "pixel_sum bigint, row_weighted_sum bigint, col_weighted_sum bigint",
+    )

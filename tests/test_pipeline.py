@@ -2964,3 +2964,116 @@ def test_avi_mjpeg_roundtrip_and_refusals():
     )
     with pytest.raises(ValueError, match="BI_RGB"):
         decode_avi_bi_rgb(mjpg_blob)
+
+
+def test_avi_rle8_roundtrip_opcodes_and_refusals():
+    """q91i's codec: planted index grids (run-stripe + literal-stripe rows)
+    round-trip through encode_avi_rle8 + decode_avi_rle8 to the exact
+    palette-folded grays for every (w, h, nf) the fixture uses; the full
+    opcode set (delta with zero-fill, absolute-mode pad byte, EOL, EOB,
+    truncation/overflow guards) is pinned directly on rle8_decode_frame;
+    and the three AVI decoders refuse each other's biCompression, so none
+    can silently mis-handle another's format."""
+    import numpy as np
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.multimodal import (
+        _avi_frame_pixels,
+        _avi_params,
+        _rle8_frame_pixels,
+        _rle8_gray_lut,
+        _rle8_palette,
+        _rle8_params,
+        decode_avi_bi_rgb,
+        decode_avi_mjpeg,
+        decode_avi_rle8,
+        encode_avi_bi_rgb,
+        encode_avi_rle8,
+        rle8_decode_frame,
+        rle8_encode_row,
+        sniff_video,
+    )
+
+    lut = _rle8_gray_lut(_rle8_palette())
+    assert not np.array_equal(lut, np.arange(256, dtype=np.uint8)), (
+        "fixture palette must be non-identity or the lookup is unobservable"
+    )
+    for mid in (0, 47, 94, 141, 188, 235):  # covers w 13..37 x h 6..15
+        w, h, nf = _rle8_params(mid)
+        frames = [_rle8_frame_pixels(mid, f, w, h) for f in range(nf)]
+        blob = encode_avi_rle8(w, h, frames)
+        rw, rh, back = decode_avi_rle8(blob)
+        assert (rw, rh, len(back)) == (w, h, nf)
+        for f, src in enumerate(frames):
+            exp = lut[np.frombuffer(src, dtype=np.uint8).reshape(h, w)]
+            assert np.array_equal(back[f], exp), f"media {mid} frame {f}"
+        fmt, sw, sh, sn = sniff_video(blob)
+        assert (fmt, sw, sh, sn) == ("avi", w, h, nf)
+
+    # opcode semantics on a hand-built stream: run, EOL, delta (skipped
+    # pixels are background index 0), run, EOB — bottom-up, so decoded
+    # row 0 of the stream lands on the LAST top-down row
+    data = bytes([2, 5, 0, 2, 3, 1, 2, 7, 0, 1])
+    g = rle8_decode_frame(data, 8, 3)
+    exp = np.zeros((3, 8), np.uint8)
+    exp[2, 0:2] = 5
+    exp[1, 5:7] = 7  # delta moved (x 2->5, y 0->1)
+    assert np.array_equal(g, exp)
+    # absolute mode word-aligns odd literal counts
+    enc = rle8_encode_row(bytes([1, 2, 3, 4, 5]))
+    assert enc[:2] == bytes([0, 5]) and len(enc) % 2 == 0
+    # guards: overflow and missing EOB raise, never guess
+    with pytest.raises(ValueError, match="overflows"):
+        rle8_decode_frame(bytes([9, 1, 0, 1]), 8, 3)
+    with pytest.raises(ValueError, match="EOB"):
+        rle8_decode_frame(bytes([2, 5, 0, 0]), 8, 3)
+
+    # cross-refusals: RLE8 rejects BI_RGB; BI_RGB and MJPEG reject RLE8
+    w, h, _nf = _avi_params(41)
+    rgb_blob = encode_avi_bi_rgb(w, h, [_avi_frame_pixels(41, 0, w, h)])
+    with pytest.raises(ValueError, match="BI_RLE8"):
+        decode_avi_rle8(rgb_blob)
+    w, h, _nf = _rle8_params(47)
+    rle8_blob = encode_avi_rle8(w, h, [_rle8_frame_pixels(47, 0, w, h)])
+    with pytest.raises(ValueError, match="BI_RGB"):
+        decode_avi_bi_rgb(rle8_blob)
+    with pytest.raises(ValueError, match="MJPG"):
+        decode_avi_mjpeg(rle8_blob)
+
+
+def test_minhash_high_recall_ladder_on_planted_groups(spark, tmp_path):
+    """q47c's measured planted recall sits STRICTLY above q47's on the
+    same corpus, at the s-curve-predicted levels. The corpus is fully
+    deterministic: 60 groups x 4 docs of 40 tokens sharing a group prefix
+    of m in {26,28,30,32} tokens with per-doc disjoint tails and per-group
+    disjoint vocabularies, so the TRUE qualifying set is exactly the 360
+    within-group pairs (shingle Jaccard (m-2)/(76-(m-2)) = 0.46..0.65, all
+    >= the 0.4 threshold; cross-group Jaccard identically 0) and each
+    operator's recall is its row count / 360 — the verify stage already
+    guarantees precision 1.0. Expected per-pair candidate recall at these
+    strata: 1-(1-J^2)^4 averages ~0.76 for q47's 4 bands, ~0.93 for
+    q47c's 8; measured (fixed hashes, fully deterministic): 276/360 and
+    337/360."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        q47_minhash_neardup,
+        q47d_minhash_high_recall,
+    )
+
+    rows = []
+    n_tokens, prefix_lens = 40, (26, 28, 30, 32)
+    for g in range(60):
+        m = prefix_lens[g % 4]
+        prefix = [f"g{g}t{k}" for k in range(m)]
+        for j in range(4):
+            tail = [f"g{g}d{j}x{k}" for k in range(n_tokens - m)]
+            rows.append((g * 4 + j, " ".join(prefix + tail)))
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    d = str(tmp_path / "corpus")
+    df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
+
+    base = q47_minhash_neardup(spark, d).count()
+    high = q47d_minhash_high_recall(spark, d).count()
+    assert base == 276 and high == 337, (base, high)  # fully deterministic
+    assert high / 360 >= 0.90, "high-recall config must hold >=0.90 here"
+    assert 0.70 <= base / 360 <= 0.85, "q47 baseline moved — re-derive pins"
+    assert high > base
