@@ -70,6 +70,14 @@ def main() -> int:
     # chunked-experiment reduce fingerprints in SF10_r10.json, which use
     # the identical bit_xor(xxhash64(doc_a, doc_b)) convention.
     grouped_only = "--grouped-only" in args
+    # --ops q49e[,q55d]: restrict to named grouped ops so each sf10 join
+    # can run in its OWN JVM (shuffle files of a finished query are only
+    # guaranteed released at session exit; one join per session halves
+    # peak disk, the same isolation the chunked experiment used per phase)
+    ops = OPS
+    if "--ops" in args:
+        wanted = set(args[args.index("--ops") + 1].split(","))
+        ops = tuple((m, g) for m, g in OPS if m in wanted or g in wanted)
     n_chunks = int(os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS", "10"))
     os.environ["SPARK_GRAFT_GROUPED_CHUNKS"] = str(n_chunks)
 
@@ -104,7 +112,7 @@ def main() -> int:
     for sf_dir in sfs:
         key = os.path.basename(sf_dir.rstrip("/"))
         out = report["scales"].setdefault(key, {"sf_dir": sf_dir})
-        for mono_name, grp_name in OPS:
+        for mono_name, grp_name in ops:
             mono = getattr(D, f"{mono_name}_jaccard_ppjoin" if mono_name == "q49c" else f"{mono_name}_allpairs_sparse")
             grp = getattr(D, f"{grp_name}_jaccard_ppjoin_grouped" if grp_name == "q49e" else f"{grp_name}_allpairs_sparse_grouped")
             if not grouped_only and f"{mono_name}_fingerprint" not in out:
