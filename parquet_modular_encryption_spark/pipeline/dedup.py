@@ -224,6 +224,72 @@ def q47d_minhash_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _jaccard_verify(shingled, pairs)
 
 
+#: per-(app, sf) memo of the q47e encrypted-documents fixture directory
+_ENC_DOCS_CACHE: dict[tuple[str, str], str] = {}
+
+
+def _encrypted_docs_dir(spark: SparkSession, sf_dir: str) -> str:
+    """documents written PME-encrypted once per session+sf: text is the
+    sensitive column (CONFIDENTIAL), doc_id stays plaintext so catalog
+    operations need no key — the reference's id-column convention."""
+    import os as _os
+
+    key = (spark.sparkContext.applicationId, f"q47e:{sf_dir}")
+    cached = _ENC_DOCS_CACHE.get(key)
+    if cached is not None and _os.path.isdir(cached):
+        return cached
+    from parquet_modular_encryption_spark.crypto.policy import (
+        EncryptionPolicy,
+        Privilege,
+    )
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+    from parquet_modular_encryption_spark.sources.encrypted import write_encrypted
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text").coalesce(4)
+    path = scratch_dir("pme_q47e_")
+    write_encrypted(
+        docs,
+        path,
+        EncryptionPolicy(
+            column_levels={"text": Privilege.CONFIDENTIAL}, name="documents"
+        ),
+    )
+    _ENC_DOCS_CACHE[key] = path
+    return path
+
+
+@register(
+    "q47e_minhash_encrypted",
+    oracle=_minhash_oracle(),
+    tags=("dedup", "minhash", "lsh", "encryption"),
+)
+def q47e_minhash_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's MinHash+LSH near-dup dedup over an ENCRYPTED document lake —
+    the text-pipeline twin of q91f's encrypted media dedup, closing the
+    composition the engine's two halves promise: document text is written
+    AES-GCM-encrypted under the CONFIDENTIAL key (doc_id plaintext for
+    keyless catalog ops), then the IDENTICAL shingle → signature → band →
+    verify pipeline runs on the decrypting scan with a CONFIDENTIAL
+    token. Sharing q47's plaintext oracle makes the claim hash-checkable:
+    encryption at rest changes NOTHING about the dedup on top — same
+    shingles, same signatures, same verified pairs.
+
+    Scale: the encrypted write is one file per partition executor-side;
+    the decrypting scan is file-granular parallel with per-task KMS
+    clients and the 60 s key cache, so the KMS cost is per-file-per-key,
+    amortized over row groups — dedup's shuffle structure is untouched.
+    tests pin the negative side (keyless/insufficient tokens cannot touch
+    text; doc_id stays readable without any key)."""
+    prep(spark)
+    from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
+
+    enc_path = _encrypted_docs_dir(spark, sf_dir)
+    docs = read_encrypted(spark, enc_path, token="CONFIDENTIAL")
+    shingled, bands = minhash_bands(docs)
+    pairs = banded_pairs(bands).distinct()
+    return _jaccard_verify(shingled, pairs)
+
+
 def minhash_bands(
     docs: DataFrame,
     perms: tuple[tuple[int, int], ...] = MINHASH_PERMS,

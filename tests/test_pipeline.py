@@ -3077,3 +3077,33 @@ def test_minhash_high_recall_ladder_on_planted_groups(spark, tmp_path):
     assert high / 360 >= 0.90, "high-recall config must hold >=0.90 here"
     assert 0.70 <= base / 360 <= 0.85, "q47 baseline moved — re-derive pins"
     assert high > base
+
+
+def test_minhash_encrypted_lake_access_matrix(spark, sf_dir):
+    """q47e's negative side: the encrypted document lake denies text to
+    keyless and under-privileged readers while doc_id (plaintext column)
+    stays readable with no token at all; the CONFIDENTIAL token runs the
+    identical q47 pipeline (positive side is the shared hash-checked
+    oracle, re-pinned here as q47e == q47 row counts)."""
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        _encrypted_docs_dir,
+        q47_minhash_neardup,
+        q47e_minhash_encrypted,
+    )
+    from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
+
+    enc = _encrypted_docs_dir(spark, sf_dir)
+    # keyless catalog op on the plaintext id column succeeds
+    n_ids = read_encrypted(spark, enc, token=None, columns=["doc_id"]).count()
+    assert n_ids > 0
+    # keyless and INTERNAL (< CONFIDENTIAL) reads of text fail closed
+    for tok in (None, "INTERNAL"):
+        with pytest.raises(Exception, match="(?i)unwrap|denied|authoriz|403|key"):
+            read_encrypted(spark, enc, token=tok, columns=["doc_id", "text"]).collect()
+    # positive side: same pairs as the plaintext pipeline
+    assert (
+        q47e_minhash_encrypted(spark, sf_dir).count()
+        == q47_minhash_neardup(spark, sf_dir).count()
+    )
