@@ -216,11 +216,17 @@ def q47d_minhash_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     same corpus. This is the measured-recall-vs-budget ladder q55 got in
     r11, exposed for the Jaccard LSH operator as a sibling operating
     point rather than a default change (q47's 4-band shape is re-derived
-    verbatim inside downstream oracles, e.g. q57's recursive CTE)."""
+    verbatim inside downstream oracles, e.g. q57's recursive CTE).
+
+    Candidate generation goes through ``banded_pairs_salted`` (q47b's
+    skew hardening — output-identical, hot buckets spread over the
+    reducer grid): a production high-recall point doubles band-bucket
+    mass, which is exactly when a Zipfian boilerplate bucket putting
+    k² pairs on one reducer hurts most."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     shingled, bands = minhash_bands(docs, MINHASH_PERMS_HR, N_BANDS_HR)
-    pairs = banded_pairs(bands).distinct()
+    pairs = banded_pairs_salted(bands).distinct()
     return _jaccard_verify(shingled, pairs)
 
 
