@@ -329,10 +329,34 @@ def minhash_bands(
     return shingled, band_keys(sig, "doc_id", n_bands)
 
 
+def _pinned(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition by join keys with an EXPLICIT partition count — the
+    explosive-self-join guard. AQE sizes a stage by its shuffle-READ
+    bytes, and an LSH bands frame is tiny (a few MB for 10^5 docs) even
+    when its self-join OUTPUT is 10^7-10^8 pairs, so AQE coalesces the
+    pair-generating stage down to ONE task and the whole join serializes
+    — measured on a planted 6k-member bucket: 83 of 86 s wall on a single
+    task, in the salted variant too (key salting cannot help a stage that
+    has one task). An explicit numPartitions is exempt from AQE
+    coalescing, so pinning to the session's shuffle-partition count
+    restores the parallelism the input-bytes heuristic threw away; both
+    self-join sides derive from the one repartitioned frame, so the
+    exchange is computed once and reused."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)
+
+
 def banded_pairs(bands: DataFrame) -> DataFrame:
     """Candidate pairs from an LSH bands frame: plain bucket self-join on
     (band_id, band_key), emitting each (doc_a < doc_b) pair once per
-    bucket they co-occur in (callers dedup across bands with distinct)."""
+    bucket they co-occur in (callers dedup across bands with distinct).
+    The input is key-repartition-pinned — see :func:`_pinned` for why
+    letting AQE size this stage serializes explosive joins."""
+    bands = _pinned(bands, "band_id", "band_key")
     return (
         bands.alias("a")
         .join(
@@ -368,6 +392,7 @@ def _block_pairs(
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     if extra_cond is not None:
         cond = cond & extra_cond
+    df = _pinned(df, *block_keys)  # explosive-join guard (see _pinned)
     return (
         df.alias("a")
         .join(df.alias("b"), cond)
@@ -422,10 +447,24 @@ def salted_block_self_join(
 
     cold_pairs = _block_pairs(cold, keys, id_col, out_a, out_b)
 
-    cells = F.array(*[F.lit(g) for g in range(grid)])
+    # cell ids as BIGINT to match pmod(xxhash64)'s type: a type mismatch
+    # here makes the join keys cast(__col as bigint)/cast(__row as bigint),
+    # which no longer match the pinned repartition columns below — the
+    # planner then inserts its own ENSURE_REQUIREMENTS exchange, and AQE
+    # coalesces THAT by input bytes, re-serializing the very stage the
+    # grid exists to spread (measured: 60 s single task on a planted 6k
+    # bucket with the casts; balanced without them).
+    cells = F.array(*[F.lit(g).cast("long") for g in range(grid)])
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid))
-    ha = hot.withColumn("__row", salt).withColumn("__col", F.explode(cells))
-    hb = hot.withColumn("__col", salt).withColumn("__row", F.explode(cells))
+    keys_and_cells = [*keys, "__row", "__col"]
+    ha = _pinned(
+        hot.withColumn("__row", salt).withColumn("__col", F.explode(cells)),
+        *keys_and_cells,
+    )
+    hb = _pinned(
+        hot.withColumn("__col", salt).withColumn("__row", F.explode(cells)),
+        *keys_and_cells,
+    )
     grid_cond = (F.col("a.__row") == F.col("b.__row")) & (
         F.col("a.__col") == F.col("b.__col")
     )
@@ -599,6 +638,7 @@ def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the lazy tokenize+shingle construction per joined PAIR
     # on both sides — measured 4.2 s -> ~1.5 s at sf0.1 (round 9).
     sh = _ngram_blocked_shingles(docs).localCheckpoint(eager=True)
+    sh = _pinned(sh, "source", "len_bucket")  # explosive-join guard (see _pinned)
     a = sh.alias("a")
     b = sh.alias("b")
     jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
@@ -1485,7 +1525,10 @@ def q57c_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("ddeg"),
         )
     ).localCheckpoint(eager=True)  # reused 3x (two wedge legs + closing edge)
-    a, b = oe.alias("a"), oe.alias("b")
+    # wedge join explodes on high-degree apexes while the edge list's
+    # bytes stay small — pin its parallelism (see _pinned)
+    oe_src = _pinned(oe, "src")
+    a, b = oe_src.alias("a"), oe_src.alias("b")
     wedge_order = (F.col("a.ddeg") < F.col("b.ddeg")) | (
         (F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst"))
     )

@@ -1058,6 +1058,12 @@ def phash_neardup_pairs(hashes: DataFrame) -> DataFrame:
     bands = hashes.select(
         "media_id", "ahash", F.explode(F.array(*band_structs)).alias("bk")
     ).select("media_id", "ahash", "bk.band_id", "bk.band_key")
+    # explosive-join guard: pin the bucket self-join's parallelism (AQE
+    # sizes the stage by the tiny bands bytes, not the pair output — see
+    # dedup._pinned for the measured failure)
+    from parquet_modular_encryption_spark.pipeline.dedup import _pinned
+
+    bands = _pinned(bands, "band_id", "band_key")
     a = bands.select(
         F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"),
         "band_id", "band_key",

@@ -1213,7 +1213,14 @@ def q55_corpus_bands(
 
 def q55_corpus_candidates(bands: DataFrame) -> DataFrame:
     """Distinct (vec_a < vec_b) candidate pairs from the band-bucket
-    self-join — the frame whose linearity the widened keys guarantee."""
+    self-join — the frame whose linearity the widened keys guarantee.
+    The input is key-repartition-pinned: AQE sizes the join stage by the
+    bands frame's (tiny) bytes, blind to the pair output, and will
+    serialize an explosive self-join onto one task (see dedup._pinned,
+    measured there on a planted 6k-member bucket)."""
+    from parquet_modular_encryption_spark.pipeline.dedup import _pinned
+
+    bands = _pinned(bands, "band_id", "band_key")
     return (
         bands.alias("a")
         .join(
