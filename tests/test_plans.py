@@ -586,3 +586,30 @@ def test_stage_task_dispersion_sees_hot_reducer(spark):
     assert worst is not None and worst["ratio"] > 3, (
         f"hot reducer invisible to the meter: {worst}"
     )
+
+
+def test_explosive_self_joins_pin_parallelism(spark, sf_dir):
+    """The block/band self-joins must carry a user-specified
+    (REPARTITION_BY_NUM) exchange on their join keys: AQE sizes those
+    stages by the bands frame's bytes — a few MB even at 1e5 docs — and
+    without the pin it coalesces the pair-GENERATING stage to one task
+    (measured 83 of 86 s wall on a planted 6k-member bucket, salted
+    variant included, since key salting cannot help a one-task stage).
+    An explicit-numPartitions repartition is exempt from AQE coalescing;
+    this pins that every guarded join keeps it."""
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        banded_pairs,
+        banded_pairs_salted,
+        minhash_bands,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    docs = load(spark, sf_dir, "documents")
+    _, bands = minhash_bands(docs)
+    for builder in (banded_pairs, banded_pairs_salted):
+        df = builder(bands)
+        df.count()  # executed (AQE-final) plan, not the pre-execution guess
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "REPARTITION_BY_NUM" in plan, (
+            f"{builder.__name__} lost its explosive-join parallelism pin"
+        )
