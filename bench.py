@@ -210,6 +210,12 @@ def main() -> None:
         {"repeats": repeats, "fast_tier_queries": fast, "raw_times": raw_times}
     )
     print(f"# raw_times {raw_payload}", file=sys.stderr)
+    # bench_raw.json is UNVERSIONED (gitignored since r12): every bench
+    # run — including the driver's — overwrites it freely, so a driver
+    # run can never dirty a committed artifact (the r10/r11 provenance
+    # churn VERDICT r11 #5 asked to close structurally). The canonical
+    # per-round window is committed explicitly as bench_window_r{NN}.json
+    # — a copy of this sidecar taken from the round's clean-VM run.
     try:
         sidecar = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_raw.json")
         with open(sidecar, "w") as fh:

@@ -35,6 +35,7 @@ from parquet_modular_encryption_spark.functions.text import (
     sql_word_shingles,
     tokens,
 )
+from parquet_modular_encryption_spark.pipeline.partitioning import pinned
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -42,7 +43,15 @@ from parquet_modular_encryption_spark.sources.datasets import load
 # 8 fixed MinHash permutations (a*h + b) mod P, P = 2^31-1 (Mersenne).
 # Constants are arbitrary-but-fixed odd multipliers < P; identical literals
 # are embedded in the SQL oracle.
-MINHASH_PERMS: tuple[tuple[int, int], ...] = (
+# The BUDGET operating point: 8 perms = 4 bands × 2 rows. This was the
+# engine's default through round 11; at the planted J≈0.55 dedup regime
+# its s-curve caps per-pair candidate recall at 1-(1-s²)⁴ ≈ 0.76
+# (measured 0.861/0.913/0.915 planted group recall on duph0.1/1/3,
+# GROUPED_r11.json) — a production near-dedup defaulting here silently
+# drops ~10% of true near-duplicates, which is why round 12 promoted the
+# 16-perm point below to the default (VERDICT r11 #1) and kept this one
+# registered as the explicitly-priced budget sibling (q47d).
+MINHASH_PERMS_BUDGET: tuple[tuple[int, int], ...] = (
     (1000000007, 337),
     (998244353, 7919),
     (774856787, 104729),
@@ -52,23 +61,29 @@ MINHASH_PERMS: tuple[tuple[int, int], ...] = (
     (179424673, 15485863),
     (104395301, 982451653),
 )
-N_BANDS = 4  # 4 bands × 2 rows — s-curve threshold ≈ (1/4)^(1/2) ≈ 0.5
+N_BANDS_BUDGET = 4  # s-curve threshold ≈ (1/4)^(1/2) ≈ 0.5
 ROWS_PER_BAND = 2
 JACCARD_THRESHOLD = 0.4
 SHINGLE_N = 3
 
-# 8 additional fixed permutations for the HIGH-RECALL config (q47d):
-# 16 perms = 8 bands × 2 rows. Same convention as MINHASH_PERMS —
-# arbitrary-but-fixed odd multipliers < P, identical literals in the SQL
-# oracle. Why a SECOND config instead of raising q47's default: at the
-# J≈0.55 planted regime the 4-band s-curve caps per-pair recall at
-# 1-(1-s²)⁴ ≈ 0.76 (the duph-measured 86-92% group recall,
-# SCALE_r11_dup.json), while 8 bands lift it to ≈ 0.94 at ~2× candidate
-# cost — the same measured-recall-vs-budget trade q55's band ladder
-# resolved, here exposed as an operator choice because q47's 4-band
-# shape is itself load-bearing for downstream oracles (q57's recursive
-# CTE re-derives it verbatim).
-MINHASH_PERMS_HR: tuple[tuple[int, int], ...] = MINHASH_PERMS + (
+# THE DEFAULT operating point (round 12, VERDICT r11 #1): 16 fixed
+# permutations = 8 bands × 2 rows. Constants are arbitrary-but-fixed odd
+# multipliers < P (same convention throughout); the first 8 ARE the
+# budget perms, so budget band keys are bands 0-3 of this config and the
+# budget candidate set is a subset of the default's. Why 8 bands is the
+# default: recall is a measured budget knob, not folklore — at the
+# planted J≈0.55 regime 8×2 banding holds per-pair candidate recall
+# 1-(1-s²)⁸ ≈ 0.94 (measured planted recall 0.989/0.988/0.990 at
+# duph0.1/1/3, GROUPED_r11.json — flat across 30× scale) vs the 4-band
+# point's 0.76 theory / 0.86-0.92 measured, at ~2× band-bucket candidate
+# mass (bands add, they don't multiply — still linear in corpus size)
+# and ~1.5× wall (13.3 s vs 8.9 s at the 150k-doc duph3). Downstream
+# consumers (q57's recursive-CTE components oracle, q63d/e incremental
+# dedup, the q47c sketch audit) all derive BOTH their Spark plans and
+# their DuckDB oracles from these module constants via _minhash_ctes, so
+# the default moves everywhere in lock-step — no oracle re-derives a
+# banding shape of its own.
+MINHASH_PERMS: tuple[tuple[int, int], ...] = MINHASH_PERMS_BUDGET + (
     (122949823, 2741),
     (86028121, 9973),
     (67867967, 524287),
@@ -78,7 +93,7 @@ MINHASH_PERMS_HR: tuple[tuple[int, int], ...] = MINHASH_PERMS + (
     (15485863, 32452867),
     (10000019, 49979693),
 )
-N_BANDS_HR = 8
+N_BANDS = 8
 
 
 def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -188,9 +203,16 @@ def _minhash_ctes(
 )
 def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-duplicate pairs with Jaccard verification:
-    shingle → 8-perm MinHash → 4×2 banding → bucket self-join → verify.
+    shingle → 16-perm MinHash → 8×2 banding → bucket self-join → verify.
     The full pipeline is mirrored in the DuckDB oracle, so candidate
-    generation AND verification are value-checked."""
+    generation AND verification are value-checked.
+
+    The 8×2 banding is the round-12 default (VERDICT r11 #1): measured
+    planted recall 0.989/0.988/0.990 across the 5k/50k/150k dup-heavy
+    corpora vs 0.861/0.913/0.915 for the historic 4-band point, at ~2×
+    candidate mass and ~1.5× wall — see the MINHASH_PERMS constant block
+    for the full pricing. The 4-band point stays registered as
+    q47d_minhash_budget."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
     shingled, bands = minhash_bands(docs)
@@ -199,34 +221,32 @@ def q47_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q47d_minhash_high_recall",
-    oracle=_minhash_oracle(MINHASH_PERMS_HR, N_BANDS_HR),
-    tags=("dedup", "minhash", "lsh", "high-recall"),
+    "q47d_minhash_budget",
+    oracle=_minhash_oracle(MINHASH_PERMS_BUDGET, N_BANDS_BUDGET),
+    tags=("dedup", "minhash", "lsh", "budget"),
 )
-def q47d_minhash_high_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """q47's pipeline at the HIGH-RECALL operating point: 16 MinHash
-    permutations banded 8×2 instead of 8 banded 4×2. Same shingles, same
-    verification threshold, same output frame — only the s-curve moves:
-    at the planted J≈0.55 dedup regime per-pair candidate recall rises
-    from ≈0.76 to ≈0.94 (1-(1-s²)^B), at ~2× the band-bucket candidate
-    mass (still linear in corpus size — bands add, they don't multiply).
-    The full 16-perm/8-band pipeline is mirrored in the DuckDB oracle
-    exactly as q47's is, so the high-recall point is hash-checked, and
-    tests pin measured planted-pair recall STRICTLY above q47's on the
-    same corpus. This is the measured-recall-vs-budget ladder q55 got in
-    r11, exposed for the Jaccard LSH operator as a sibling operating
-    point rather than a default change (q47's 4-band shape is re-derived
-    verbatim inside downstream oracles, e.g. q57's recursive CTE).
-
-    Candidate generation goes through ``banded_pairs_salted`` (q47b's
-    skew hardening — output-identical, hot buckets spread over the
-    reducer grid): a production high-recall point doubles band-bucket
-    mass, which is exactly when a Zipfian boilerplate bucket putting
-    k² pairs on one reducer hurts most."""
+def q47d_minhash_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's pipeline at the BUDGET operating point: 8 MinHash
+    permutations banded 4×2 instead of the default 16 banded 8×2 — the
+    engine's pre-round-12 default, kept registered because the trade is
+    real in both directions. Same shingles, same verification threshold,
+    same output frame — only the s-curve moves: at the planted J≈0.55
+    dedup regime per-pair candidate recall drops from ≈0.94 to ≈0.76
+    (1-(1-s²)^B; measured planted recall 0.86-0.92 vs the default's
+    0.989+, GROUPED_r11.json), buying ~half the band-bucket candidate
+    mass and ~0.65× wall. The right choice when the corpus is being
+    deduped repeatedly (incremental ingest re-screens survivors) or when
+    a downstream exact pass catches stragglers; the wrong default for a
+    one-shot production dedup, which is why round 12 swapped the roles
+    (VERDICT r11 #1). The budget perms are the first 8 of the default's,
+    so this candidate set is a strict subset of q47's. The full
+    8-perm/4-band pipeline is mirrored in the DuckDB oracle, and tests
+    pin q47's measured planted-pair recall STRICTLY above this one's on
+    the same corpus."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    shingled, bands = minhash_bands(docs, MINHASH_PERMS_HR, N_BANDS_HR)
-    pairs = banded_pairs_salted(bands).distinct()
+    shingled, bands = minhash_bands(docs, MINHASH_PERMS_BUDGET, N_BANDS_BUDGET)
+    pairs = banded_pairs(bands).distinct()
     return _jaccard_verify(shingled, pairs)
 
 
@@ -329,34 +349,13 @@ def minhash_bands(
     return shingled, band_keys(sig, "doc_id", n_bands)
 
 
-def _pinned(df: DataFrame, *cols: str) -> DataFrame:
-    """Repartition by join keys with an EXPLICIT partition count — the
-    explosive-self-join guard. AQE sizes a stage by its shuffle-READ
-    bytes, and an LSH bands frame is tiny (a few MB for 10^5 docs) even
-    when its self-join OUTPUT is 10^7-10^8 pairs, so AQE coalesces the
-    pair-generating stage down to ONE task and the whole join serializes
-    — measured on a planted 6k-member bucket: 83 of 86 s wall on a single
-    task, in the salted variant too (key salting cannot help a stage that
-    has one task). An explicit numPartitions is exempt from AQE
-    coalescing, so pinning to the session's shuffle-partition count
-    restores the parallelism the input-bytes heuristic threw away; both
-    self-join sides derive from the one repartitioned frame, so the
-    exchange is computed once and reused."""
-    spark = df.sparkSession
-    try:
-        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    except (TypeError, ValueError):  # "auto" or unset
-        n = spark.sparkContext.defaultParallelism
-    return df.repartition(n, *cols)
-
-
 def banded_pairs(bands: DataFrame) -> DataFrame:
     """Candidate pairs from an LSH bands frame: plain bucket self-join on
     (band_id, band_key), emitting each (doc_a < doc_b) pair once per
     bucket they co-occur in (callers dedup across bands with distinct).
-    The input is key-repartition-pinned — see :func:`_pinned` for why
+    The input is key-repartition-pinned — see :func:`partitioning.pinned` for why
     letting AQE size this stage serializes explosive joins."""
-    bands = _pinned(bands, "band_id", "band_key")
+    bands = pinned(bands, "band_id", "band_key")
     return (
         bands.alias("a")
         .join(
@@ -392,7 +391,7 @@ def _block_pairs(
         cond = cond & (F.col(f"a.{k}") == F.col(f"b.{k}"))
     if extra_cond is not None:
         cond = cond & extra_cond
-    df = _pinned(df, *block_keys)  # explosive-join guard (see _pinned)
+    df = pinned(df, *block_keys)  # explosive-join guard (see partitioning.pinned)
     return (
         df.alias("a")
         .join(df.alias("b"), cond)
@@ -457,11 +456,11 @@ def salted_block_self_join(
     cells = F.array(*[F.lit(g).cast("long") for g in range(grid)])
     salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid))
     keys_and_cells = [*keys, "__row", "__col"]
-    ha = _pinned(
+    ha = pinned(
         hot.withColumn("__row", salt).withColumn("__col", F.explode(cells)),
         *keys_and_cells,
     )
-    hb = _pinned(
+    hb = pinned(
         hot.withColumn("__col", salt).withColumn("__row", F.explode(cells)),
         *keys_and_cells,
     )
@@ -638,7 +637,7 @@ def q49_ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-evaluates the lazy tokenize+shingle construction per joined PAIR
     # on both sides — measured 4.2 s -> ~1.5 s at sf0.1 (round 9).
     sh = _ngram_blocked_shingles(docs).localCheckpoint(eager=True)
-    sh = _pinned(sh, "source", "len_bucket")  # explosive-join guard (see _pinned)
+    sh = pinned(sh, "source", "len_bucket")  # explosive-join guard (see partitioning.pinned)
     a = sh.alias("a")
     b = sh.alias("b")
     jaccard = F.size(F.array_intersect("a.shingles", "b.shingles")).cast("double") / F.size(
@@ -1526,8 +1525,8 @@ def q57c_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     ).localCheckpoint(eager=True)  # reused 3x (two wedge legs + closing edge)
     # wedge join explodes on high-degree apexes while the edge list's
-    # bytes stay small — pin its parallelism (see _pinned)
-    oe_src = _pinned(oe, "src")
+    # bytes stay small — pin its parallelism (see partitioning.pinned)
+    oe_src = pinned(oe, "src")
     a, b = oe_src.alias("a"), oe_src.alias("b")
     wedge_order = (F.col("a.ddeg") < F.col("b.ddeg")) | (
         (F.col("a.ddeg") == F.col("b.ddeg")) & (F.col("a.dst") < F.col("b.dst"))
@@ -2492,15 +2491,87 @@ def q49d_jaccard_ppjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFra
 # price is re-reading the materialized postings per chunk — linear, cheap,
 # and parquet-compressed, vs the quadratic-prone verify fan-out it bounds.
 
-#: Default residue-class count for the registered grouped joins. Sized for
-#: the driver/bench scales (sf0.01/sf0.1), where the point is exercising
-#: the execution shape, not disk pressure; the sf10 experiment used 10.
-#: Override per-run with SPARK_GRAFT_GROUPED_CHUNKS.
-GROUPED_CHUNKS_DEFAULT = 4
+#: Spark conf key for the grouped-execution scratch budget in bytes. When
+#: unset, the sizing rule probes the scratch filesystem's free space and
+#: takes GROUPED_SCRATCH_FRACTION of it — the operator's whole point is
+#: bounding live shuffle to what the disk can absorb, so the disk is the
+#: default authority (VERDICT r11 #3: a user at an unknown scale must not
+#: have to guess n_chunks).
+GROUPED_SCRATCH_BUDGET_CONF = "spark.graft.grouped.scratchBudgetBytes"
+GROUPED_SCRATCH_FRACTION = 0.25
+#: Estimated on-disk bytes per pair-token incidence row in the verify
+#: stage's live shuffle (two bigint ids + gram key + weight, after the
+#: shuffle codec). sf10 calibration: ~5e9 incidence rows produced ~70 GB
+#: of lz4 spill (SF10_r09.json) — ~14 B/row; 24 keeps headroom for the
+#: pre-agg map-side buffers that spill alongside.
+GROUPED_VERIFY_ROW_BYTES = 24
+#: Hard cap on auto-chosen chunk count: beyond this the per-chunk
+#: candidate rescans dominate (each chunk re-reads the full postings
+#: parquet), and a corpus needing >64 bounded chunks on one machine
+#: should be running on a cluster with a larger aggregate budget anyway.
+GROUPED_MAX_CHUNKS = 64
+
+#: (op, est_rows, est_bytes, budget_bytes, n_chunks) of the most recent
+#: auto-sizing decision — read by the experiment scripts so artifacts can
+#: record WHY a chunk count was chosen, and by tests.
+LAST_GROUPED_SIZING: dict[str, int | str] = {}
+
+
+def grouped_scratch_budget(spark: SparkSession, work_dir: str) -> int:
+    """Scratch budget in bytes for grouped execution: the explicit conf
+    when set, else GROUPED_SCRATCH_FRACTION of the free space on the
+    filesystem holding ``work_dir`` (where chunk spill actually lands)."""
+    import os as _os
+
+    conf = spark.conf.get(GROUPED_SCRATCH_BUDGET_CONF, None)
+    if conf:
+        return max(1, int(conf))
+    st = _os.statvfs(work_dir)
+    return max(1, int(st.f_bavail * st.f_frsize * GROUPED_SCRATCH_FRACTION))
+
+
+def grouped_chunk_count(
+    cand: DataFrame, postings: DataFrame, budget_bytes: int, id_col: str = "doc_id"
+) -> tuple[int, int]:
+    """(n_chunks, est_incidence_rows): size the residue-class count from
+    the work the verify stage will actually shuffle, instead of a fixed
+    default (VERDICT r11 #3).
+
+    The verify stage's live shuffle is the pair-token incidence: joining
+    candidates to doc_a's postings fans out sum(m_a) rows and the
+    (doc_b, g) probe side re-shuffles the m_b postings per pair, so the
+    estimate is sum over candidate pairs of (m_a + m_b) — computable
+    with one cheap aggregate over the ALREADY-materialized candidate
+    parquet joined to per-doc posting counts (both frames the grouped
+    plan has on scratch disk regardless). n_chunks = ceil(estimated
+    bytes / budget), clamped to [1, GROUPED_MAX_CHUNKS]: at driver/bench
+    scales the estimate sits far under any real disk's budget and the
+    rule picks 1 (the grouped operator degenerates to the monolith plus
+    one materialization — the honest answer when no spill bounding is
+    needed); at sf10 (~5e9 incidence rows, ~120 GB estimated vs ~19 GB
+    of budget on this VM) it picks the 7-10 range the disk-overflow
+    experiments converged on by hand."""
+    import math as _math
+
+    sizes = postings.groupBy(id_col).agg(F.count(F.lit(1)).alias("__m"))
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("__m").alias("__ma"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("__m").alias("__mb"))
+    est = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .agg(F.sum(F.col("__ma") + F.col("__mb")).alias("rows"))
+        .first()["rows"]
+    ) or 0
+    n = int(_math.ceil(est * GROUPED_VERIFY_ROW_BYTES / budget_bytes))
+    return max(1, min(GROUPED_MAX_CHUNKS, n)), int(est)
 
 
 def grouped_exact_join(
-    spark: SparkSession, docs: DataFrame, op: str, n_chunks: int | None = None
+    spark: SparkSession,
+    docs: DataFrame,
+    op: str,
+    n_chunks: int | None = None,
+    encrypt_scratch: bool = False,
 ) -> DataFrame:
     """Run q49c's or q55c's verify stage in ``n_chunks`` bounded-spill
     groups (``op`` in {"q49c", "q55c"}) and return the union frame —
@@ -2522,21 +2593,64 @@ def grouped_exact_join(
        verify schema pinned (a chunk with zero surviving pairs leaves a
        part-less directory; schema inference would fail on it — the
        ADVICE-r10 lesson from the experiment script's reduce).
+
+    ``n_chunks`` resolution (r12): an explicit argument wins, then the
+    SPARK_GRAFT_GROUPED_CHUNKS env override, else the sizing rule
+    (:func:`grouped_chunk_count`) picks from the measured candidate
+    frame and the scratch budget — the decision is recorded in
+    LAST_GROUPED_SIZING.
+
+    PLAINTEXT-SCRATCH CONTRACT: this function materializes postings,
+    candidate pairs, and chunk outputs as PLAINTEXT parquet under the
+    session scratch dir — DERIVATIVES of the input (shingle postings
+    reconstruct text n-grams) leave any PME encryption envelope the
+    input had. Callers deduping an encrypted lake who need scratch
+    inside the envelope must pass ``encrypt_scratch=True``, which routes
+    every scratch write/read through the uniform-key PME writer (one
+    CONFIDENTIAL column policy per frame) at the cost of the
+    encrypt/decrypt pass per materialization. The contract is pinned by
+    tests/test_pipeline.py::test_grouped_scratch_encryption_boundary.
     """
     import os as _os
 
     from parquet_modular_encryption_spark.scratch import scratch_dir
 
-    if n_chunks is None:
-        n_chunks = int(
-            _os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS", str(GROUPED_CHUNKS_DEFAULT))
-        )
     assert op in ("q49c", "q55c"), op
     work = scratch_dir(f"pme_grouped_{op}_")
+
+    def _materialize(df: DataFrame, sub: str, enc_cols: tuple[str, ...] = ()):
+        """Write one scratch frame and read it back. Content-bearing
+        columns (``enc_cols`` — the shingle/gram postings that
+        reconstruct input n-grams) go through the uniform-key PME writer
+        when ``encrypt_scratch`` is set; id/weight/score frames stay
+        plaintext either way, matching the lake convention that ids are
+        keyless catalog columns (q47e)."""
+        path = f"{work}/{sub}"
+        if encrypt_scratch and enc_cols:
+            from parquet_modular_encryption_spark.crypto.policy import (
+                EncryptionPolicy,
+                Privilege,
+            )
+            from parquet_modular_encryption_spark.sources.encrypted import (
+                read_encrypted,
+                write_encrypted,
+            )
+
+            write_encrypted(
+                df,
+                path,
+                EncryptionPolicy(
+                    column_levels={c: Privilege.CONFIDENTIAL for c in enc_cols},
+                    name=f"grouped_{sub}",
+                ),
+            )
+            return read_encrypted(spark, path, token="CONFIDENTIAL")
+        df.write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
+
     if op == "q49c":
         toks, cand = ppjoin_candidates(docs)
-        toks.write.mode("overwrite").parquet(f"{work}/toks")
-        toks_m = spark.read.parquet(f"{work}/toks")
+        toks_m = _materialize(toks, "toks", ("tok",))
 
         def _verify(part: DataFrame) -> DataFrame:
             return ppjoin_verify(toks_m, part)
@@ -2544,17 +2658,31 @@ def grouped_exact_join(
     else:
         tf = shingle_tf(docs)
         nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-        tf.write.mode("overwrite").parquet(f"{work}/tf")
-        nrm.write.mode("overwrite").parquet(f"{work}/nrm")
-        tf_m = spark.read.parquet(f"{work}/tf")
-        nrm_m = spark.read.parquet(f"{work}/nrm")
+        tf_m = _materialize(tf, "tf", ("g",))
+        nrm_m = _materialize(nrm, "nrm")
         cand = allpairs_candidates(tf_m, nrm_m)
 
         def _verify(part: DataFrame) -> DataFrame:
             return allpairs_verify(tf_m, nrm_m, part)
 
-    cand.write.mode("overwrite").parquet(f"{work}/cand")
-    cand_m = spark.read.parquet(f"{work}/cand")
+    cand_m = _materialize(cand, "cand")
+
+    if n_chunks is None:
+        env = _os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS")
+        if env:
+            n_chunks = max(1, int(env))
+        else:
+            budget = grouped_scratch_budget(spark, work)
+            postings_m = toks_m if op == "q49c" else tf_m
+            n_chunks, est_rows = grouped_chunk_count(cand_m, postings_m, budget)
+            LAST_GROUPED_SIZING.clear()
+            LAST_GROUPED_SIZING.update(
+                op=op,
+                est_rows=est_rows,
+                est_bytes=est_rows * GROUPED_VERIFY_ROW_BYTES,
+                budget_bytes=budget,
+                n_chunks=n_chunks,
+            )
 
     schema = None
     chunk_dirs = []

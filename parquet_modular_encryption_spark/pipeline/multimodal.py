@@ -1060,10 +1060,10 @@ def phash_neardup_pairs(hashes: DataFrame) -> DataFrame:
     ).select("media_id", "ahash", "bk.band_id", "bk.band_key")
     # explosive-join guard: pin the bucket self-join's parallelism (AQE
     # sizes the stage by the tiny bands bytes, not the pair output — see
-    # dedup._pinned for the measured failure)
-    from parquet_modular_encryption_spark.pipeline.dedup import _pinned
+    # partitioning.pinned for the measured failure)
+    from parquet_modular_encryption_spark.pipeline.partitioning import pinned
 
-    bands = _pinned(bands, "band_id", "band_key")
+    bands = pinned(bands, "band_id", "band_key")
     a = bands.select(
         F.col("media_id").alias("media_a"), F.col("ahash").alias("ha"),
         "band_id", "band_key",
@@ -1838,6 +1838,10 @@ def rle8_decode_frame(data: bytes, width: int, height: int) -> "np.ndarray":
             x += b0
         elif b1 == 0:  # EOL
             x, y = 0, y + 1
+            # y == height after the LAST row's EOL is legal (EOB follows);
+            # a further EOL would address a row outside the bitmap.
+            if y > height:
+                raise ValueError("RLE8 EOL past the last row")
         elif b1 == 1:  # EOB
             break
         elif b1 == 2:  # delta: dx, dy (skipped pixels stay 0)
@@ -1846,7 +1850,11 @@ def rle8_decode_frame(data: bytes, width: int, height: int) -> "np.ndarray":
             dx, dy = data[i], data[i + 1]
             i += 2
             x, y = x + dx, y + dy
-            if x > width or y > height:
+            # y == height is out of the bitmap for a delta TARGET (rows are
+            # 0..height-1; ending the frame is EOB's job, not delta's) —
+            # the docstring's "a delta that leaves the bitmap raises" is a
+            # hard contract, so the guard is >=, not >.
+            if x > width or y >= height:
                 raise ValueError("RLE8 delta leaves the bitmap")
         else:  # absolute mode: b1 literals, word-aligned
             if y >= height or x + b1 > width:
@@ -1890,7 +1898,16 @@ def decode_avi_rle8(b: bytes) -> tuple[int, int, list["np.ndarray"]]:
                     )
                 if pe - ps < 40 + 1024:
                     raise ValueError("BI_RLE8 strf missing its 256-entry palette")
-                width, height = w, abs(h)
+                if h < 0:
+                    # Top-down DIBs (negative biHeight) cannot be RLE-
+                    # compressed per the BITMAPINFOHEADER spec; folding
+                    # abs(h) through the bottom-up flip would silently
+                    # mirror the frame — refuse instead of guessing.
+                    raise ValueError(
+                        "BI_RLE8 with negative biHeight (top-down DIB) is "
+                        "invalid: RLE-compressed DIBs are bottom-up only"
+                    )
+                width, height = w, h
                 lut = _rle8_gray_lut(b[ps + 40:ps + 40 + 1024])
             elif tag in AVI_FOURCC_UNCOMPRESSED:
                 if width is None:

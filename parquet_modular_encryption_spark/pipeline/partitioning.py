@@ -1,0 +1,33 @@
+"""Shared partitioning guards for explosive self-joins.
+
+:func:`pinned` started life as a private helper inside ``dedup`` and became
+load-bearing in three modules (dedup's block/band self-joins, similarity's
+embedding banding, multimodal's pHash banding) — it is the engine-wide
+defense against a measured AQE failure mode, so it lives here as a public
+helper rather than as a single-underscore internal imported cross-module.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def pinned(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition by join keys with an EXPLICIT partition count — the
+    explosive-self-join guard. AQE sizes a stage by its shuffle-READ
+    bytes, and an LSH bands frame is tiny (a few MB for 10^5 docs) even
+    when its self-join OUTPUT is 10^7-10^8 pairs, so AQE coalesces the
+    pair-generating stage down to ONE task and the whole join serializes
+    — measured on a planted 6k-member bucket: 83 of 86 s wall on a single
+    task, in the salted variant too (key salting cannot help a stage that
+    has one task). An explicit numPartitions is exempt from AQE
+    coalescing, so pinning to the session's shuffle-partition count
+    restores the parallelism the input-bytes heuristic threw away; both
+    self-join sides derive from the one repartitioned frame, so the
+    exchange is computed once and reused."""
+    spark = df.sparkSession
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):  # "auto" or unset
+        n = spark.sparkContext.defaultParallelism
+    return df.repartition(n, *cols)

@@ -414,15 +414,17 @@ def q55_extra_band_bits(n: int, *, per_doubling: float = 1.0) -> int:
 
     ``per_doubling`` is the linearity knob the constant block documents:
     extra key bits added per corpus doubling. At the default 1.0 — the
-    ONLY setting the registered q55 operator and its DuckDB oracle use —
-    2.0**(x/1.0) is an exact power-of-two double, so this reduces
-    bit-for-bit to the integer ladder `_sql_bands_cte_scaled` mirrors.
-    Non-unit knobs are EXPERIMENT-ONLY (keyword-only on purpose): the
-    oracle has no matching ladder, so threading one into the registered
-    path would silently break parity. ~1.6 compensates the real ~0.64
-    per-bit pruning (0.64^1.6 ≈ 0.5) for strictly linear candidates at
-    the cost of mid-cosine recall — measured, not argued, in
-    scripts/q55_recall_experiment.py / Q55_RECALL_r09.json."""
+    registered q55 setting — 2.0**(x/1.0) is an exact power-of-two
+    double, so this reduces bit-for-bit to the integer ladder
+    `_sql_bands_cte_scaled` mirrors. Since round 12 the oracle ladder is
+    generalized over the knob (floor-threshold literals computed from
+    the same float expression), so a non-unit point can be REGISTERED:
+    q55e_embedding_neardup_budget runs Q55_BUDGET_PER_DOUBLING = 1.6,
+    which compensates the real ~0.64 per-bit pruning (0.64^1.6 ≈ 0.5)
+    for near-linear candidates; the band-count ladder (q55_band_count
+    over the faster-growing x) holds the theory recall floor >= 0.97 at
+    every rung. Measured, not argued: scripts/q55_recall_experiment.py /
+    Q55_RECALL artifacts."""
     x = 0
     while x < Q55_MAX_EXTRA_BITS and n > Q55_BAND_TARGET * 2.0 ** (x / per_doubling):
         x += 1
@@ -431,6 +433,19 @@ def q55_extra_band_bits(n: int, *, per_doubling: float = 1.0) -> int:
 
 #: Upper bound of the registered band-count ladder: q55_band_count(8) = 10.
 Q55_MAX_BANDS = 10
+
+#: Candidate-budget knob of the registered q55e variant: 1.6 extra key
+#: bits per corpus doubling (vs q55's 1.0). The r9 scale measurement put
+#: the REAL per-bit candidate pruning on this corpus at ~0.64 (not the
+#: random-model 1/2) because qualifying pairs survive sign planes with
+#: prob 1 - theta/pi > 1/2; 0.64^1.6 ≈ 0.49, so the budget point holds
+#: per-band candidate mass ~constant per doubling — candidates ~linear
+#: in n — while the shared band-count ladder (driven by the SAME faster-
+#: growing x) keeps the theory recall floor >= 0.97 at every rung. The
+#: trade it accepts: earlier rungs at small n (slightly MORE bands than
+#: q55 below ~20k vectors) and a recall ceiling ~0.97 instead of q55's
+#: measured 0.94-1.00 band-richer curve at mid scales.
+Q55_BUDGET_PER_DOUBLING = 1.6
 
 
 def q55_band_count(x: int) -> int:
@@ -492,15 +507,26 @@ def _q55_band_planes(b: int) -> tuple[int, ...]:
     return tuple(Q55_EXTRA_BAND_PLANE_BASE + b * 16 + i for i in range(3))
 
 
-def _sql_bands_cte_scaled() -> str:
-    """Oracle fragment for the CORPUS-SCALED bands (q55 only): the base
+def _sql_bands_cte_scaled(per_doubling: float = 1.0) -> str:
+    """Oracle fragment for the CORPUS-SCALED bands (q55/q55e): the base
     3-bit band keys extended by x extra sign-plane bits AND the band
     COUNT grown on the same corpus-size ladder — the exact mirror of the
     Spark-side :func:`q55_extra_band_bits` widening and
     :func:`q55_band_count` OR-amplification. All MAX_BANDS bands and all
     MAX_EXTRA projections are emitted statically; rows are gated on
     ``b < nb`` and key bits on ``j < x`` so the SQL stays fixed while
-    the effective banding tracks COUNT(*)."""
+    the effective banding tracks COUNT(*).
+
+    ``per_doubling`` mirrors q55_extra_band_bits' knob exactly: the CASE
+    thresholds are floor(TARGET * 2**(x/per_doubling)) computed with the
+    SAME float expression the Spark side compares against, and for
+    integer n the predicates `n <= floor(t)` and `not (n > t)` are
+    equivalent, so engine and oracle pick identical x at every corpus
+    size (pinned by tests/test_pipeline.py::
+    test_q55_budget_ladder_engine_oracle_agree). At the default 1.0 the
+    thresholds reduce to the historic TARGET << x integers
+    byte-for-byte."""
+    import math as _math
     extra = {
         (b, j): N_PLANES + b * Q55_MAX_EXTRA_BITS + j
         for b in range(Q55_MAX_BANDS)
@@ -516,7 +542,8 @@ def _sql_bands_cte_scaled() -> str:
         for p in all_planes
     )
     ladder = " ".join(
-        f"WHEN n <= {Q55_BAND_TARGET * (1 << x)} THEN {x}"
+        f"WHEN n <= {int(_math.floor(Q55_BAND_TARGET * 2.0 ** (x / per_doubling)))} "
+        f"THEN {x}"
         for x in range(Q55_MAX_EXTRA_BITS)
     )
     nb_ladder = " ".join(
@@ -1216,11 +1243,11 @@ def q55_corpus_candidates(bands: DataFrame) -> DataFrame:
     self-join — the frame whose linearity the widened keys guarantee.
     The input is key-repartition-pinned: AQE sizes the join stage by the
     bands frame's (tiny) bytes, blind to the pair output, and will
-    serialize an explosive self-join onto one task (see dedup._pinned,
+    serialize an explosive self-join onto one task (see partitioning.pinned,
     measured there on a planted 6k-member bucket)."""
-    from parquet_modular_encryption_spark.pipeline.dedup import _pinned
+    from parquet_modular_encryption_spark.pipeline.partitioning import pinned
 
-    bands = _pinned(bands, "band_id", "band_key")
+    bands = pinned(bands, "band_id", "band_key")
     return (
         bands.alias("a")
         .join(
@@ -1282,6 +1309,63 @@ def q55_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     prep(spark)
     emb = load(spark, sf_dir, "embeddings")
     e, bands = q55_corpus_bands(emb)
+    cand = q55_corpus_candidates(bands)
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
+    )
+
+
+@register(
+    "q55e_embedding_neardup_budget",
+    oracle=f"""
+    WITH {_sql_bands_cte_scaled(Q55_BUDGET_PER_DOUBLING)},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+               AS cosine_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.vec_a
+    JOIN embeddings eb ON eb.vec_id = cand.vec_b
+    WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+          >= {NEARDUP_COSINE}
+    """,
+    tags=("dedup", "similarity", "embedding", "budget"),
+)
+def q55e_embedding_neardup_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55 at the CANDIDATE-BUDGET operating point (VERDICT r11 #2): the
+    identical whole-corpus banding pipeline with per_doubling = 1.6 —
+    1.6 extra key bits per corpus doubling instead of 1.0. The measured
+    per-bit candidate pruning on this corpus is ~0.64 (qualifying pairs
+    survive a sign plane with prob 1 - theta/pi > 1/2, r9 scale
+    experiment), so unit widening leaves candidate mass growing ~n^1.7
+    once the band-count ladder is stacked on top (the r11 recall fix's
+    honest price, Q55_RECALL_r12); 0.64^1.6 ≈ 0.49 holds per-band mass
+    ~flat per doubling — candidates ~linear in n — and the band-count
+    ladder, driven by the same faster-growing x, keeps the theory recall
+    floor >= 0.97 at every rung. The trade: at mid scales this point
+    reaches deeper ladder rungs than q55 (slightly more bands, a ~0.97
+    recall ceiling vs q55's band-richer 0.94-1.00 curve). Both sides of
+    the knob are registered and hash-checked — the DuckDB oracle ladder
+    is generalized over per_doubling with floor-threshold literals
+    computed from the identical float expression, so engine and oracle
+    pick the same x at every corpus size."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e, bands = q55_corpus_bands(emb, per_doubling=Q55_BUDGET_PER_DOUBLING)
     cand = q55_corpus_candidates(bands)
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))

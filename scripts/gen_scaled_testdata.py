@@ -337,6 +337,90 @@ def _dup_heavy_documents(tbl: pa.Table, vocab: list[str], cum: "np.ndarray",
     )
 
 
+# -------------------------------------------------- boiler-heavy mode
+#
+# VERDICT r11 #6: duph3's hot-bucket census never crossed
+# HOT_BUCKET_THRESHOLD at real pair mass — dup-heavy group sizes are
+# scale-CONSTANT (~8, mega ~64), so the salt grid ran as insurance and
+# the census-on path was only ever exercised on a planted synthetic
+# bucket. Real pretraining corpora have the OTHER regime too: a handful
+# of giant boilerplate templates (cookie banners, license headers,
+# scraper error pages) each instantiated by thousands of near-identical
+# documents. `--boiler-heavy` (composes with --zipf) builds it:
+# BOILER_PCT% of documents become instances of one of N_BOILER_GROUPS
+# GIANT templates (Zipf-weighted across the groups, so group sizes scale
+# LINEARLY with the corpus — thousand-member groups at 10x, multi-
+# thousand at 30x), with 0..BOILER_EDITS_MAX single-token edits. A
+# near-identical group of size k floods the MinHash band buckets: a
+# 1-token edit of a 48-token template leaves each 2-row band key
+# unchanged with probability ~0.85-0.9, so every band carries
+# ~0.9k-member buckets — exactly the thousand-member signature buckets
+# that activate the hot census and put k^2 pair work on one reducer
+# without the fragment grid. Groups use the same every-3rd-token group
+# salt as dup-heavy, so cross-group similarity is ~0 by construction
+# and within-group pairs are the planted answers.
+
+BOILER_PCT = 3
+N_BOILER_GROUPS = 3
+BOILER_TEMPLATE_LEN = 48
+BOILER_EDITS_MAX = 1
+
+
+def _boiler_heavy_documents(tbl: pa.Table, vocab: list[str],
+                            cum: "np.ndarray") -> pa.Table:
+    """Replace BOILER_PCT% of documents' text with an instance of one of
+    N_BOILER_GROUPS giant templates. Assignment/edit seeding is from the
+    document's global id only (group count is a constant), so any scale
+    regenerates bit-identically and group sizes grow linearly."""
+    import hashlib
+
+    def _frac(tag: str) -> float:
+        return int.from_bytes(hashlib.md5(tag.encode()).digest()[:8], "big") / 2**64
+
+    # Zipf-ish weights over the few giant groups: 1/1, 1/2, 1/3 ...
+    weights = 1.0 / np.arange(1, N_BOILER_GROUPS + 1)
+    wcum = np.cumsum(weights / weights.sum())
+
+    def _template(g: int) -> list[str]:
+        rng = np.random.default_rng(
+            int.from_bytes(hashlib.md5(f"boilt:{g}".encode()).digest()[:8], "big")
+        )
+        toks = [vocab[i] for i in np.searchsorted(cum, rng.random(BOILER_TEMPLATE_LEN))]
+        # group-salt every 3rd token (same device as _dup_heavy): no
+        # word-3-gram can be shared across groups, so the planted answer
+        # set is exactly the within-group pairs
+        tail_lo = len(vocab) // 4
+        for pos in range(2, BOILER_TEMPLATE_LEN, 3):
+            toks[pos] = vocab[tail_lo + int(rng.integers(0, len(vocab) - tail_lo))]
+        return toks
+
+    templates = {g: _template(g) for g in range(N_BOILER_GROUPS)}
+    texts = tbl.column("text").to_pylist()
+    doc_ids = tbl.column("doc_id").to_pylist()
+    out_text = []
+    for gid, text in zip(doc_ids, texts):
+        if _frac(f"boilh:{gid}") * 100 >= BOILER_PCT:
+            out_text.append(text)
+            continue
+        g = int(np.searchsorted(wcum, _frac(f"boilg:{gid}")))
+        toks = list(templates[g])
+        rng = np.random.default_rng(
+            int.from_bytes(hashlib.md5(f"boile:{gid}".encode()).digest()[:8], "big")
+        )
+        for _ in range(int(rng.integers(0, BOILER_EDITS_MAX + 1))):
+            pos = int(rng.integers(0, len(toks)))
+            toks[pos] = vocab[int(np.searchsorted(cum, rng.random()))]
+        out_text.append(" ".join(toks))
+    t = tbl.set_column(
+        tbl.schema.get_field_index("text"), "text", pa.array(out_text, pa.string())
+    )
+    return t.set_column(
+        t.schema.get_field_index("n_chars"),
+        "n_chars",
+        pa.array([len(x) for x in out_text], pa.int64()),
+    )
+
+
 def _roll_embeddings(tbl: pa.Table, copy_idx: int) -> pa.Table:
     col = tbl.column("embedding").combine_chunks()
     arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
@@ -358,10 +442,24 @@ def main() -> int:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     zipf = "--zipf" in sys.argv
     dup_heavy = "--dup-heavy" in sys.argv
-    if dup_heavy and not zipf:
-        print("--dup-heavy composes with --zipf only (it is a skew-corpus "
-              "mode: templates must share the global vocabulary)", file=sys.stderr)
+    boiler_heavy = "--boiler-heavy" in sys.argv
+    if (dup_heavy or boiler_heavy) and not zipf:
+        print("--dup-heavy/--boiler-heavy compose with --zipf only (they are "
+              "skew-corpus modes: templates must share the global vocabulary)",
+              file=sys.stderr)
         return 2
+    # --tables a,b: restrict generation to the named tables (e.g.
+    # embeddings-only corpora for the q55 recall ladder, where document
+    # text is dead weight). FK consistency across tables is the caller's
+    # concern under this flag.
+    only_tables: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--tables="):
+            only_tables = set(a.split("=", 1)[1].split(","))
+        elif a == "--tables":
+            i = sys.argv.index("--tables")
+            only_tables = set(sys.argv[i + 1].split(","))
+            args = [x for x in args if x != sys.argv[i + 1]]
     mult = int(args[0]) if args else 10
     dst = (
         args[1]
@@ -384,6 +482,8 @@ def main() -> int:
         domain_size[dom] = pc.max(tbl.column(c)).as_py() + 1
 
     for name in ["region", "nation"]:
+        if only_tables is not None and name not in only_tables:
+            continue
         pq.write_table(pq.read_table(f"{SRC}/{name}.parquet"), f"{dst}/{name}.parquet")
         print(f"{name}: copied verbatim")
 
@@ -397,6 +497,8 @@ def main() -> int:
     # identically through spark.read.parquet / pyarrow datasets, and
     # drop peak generator memory from the whole corpus to one copy.
     for name, keycols in KEY_DOMAINS.items():
+        if only_tables is not None and name not in only_tables:
+            continue
         src = pq.read_table(f"{SRC}/{name}.parquet")
         multi_file = mult > 1
         if multi_file:
@@ -412,6 +514,8 @@ def main() -> int:
                 t = _zipf_documents(t, i, vocab, cum)
                 if dup_heavy:
                     t = _dup_heavy_documents(t, vocab, cum, len(src) * mult)
+                if boiler_heavy:
+                    t = _boiler_heavy_documents(t, vocab, cum)
             elif i > 0 and name == "documents":
                 t = _rename_documents(t, i)
             if name == "embeddings":

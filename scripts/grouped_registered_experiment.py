@@ -7,16 +7,16 @@ that the REGISTERED path — one session, sequential chunk jobs through
 ``grouped_exact_join`` — reproduces the monolithic joins exactly at a
 scale where the verify stage runs under true-positive load (the
 dup-heavy corpora), and records what the grouping costs/saves in wall
-clock. It also measures the q47d high-recall MinHash point's planted
-recall next to q47b's on the same corpora — the operator-level reading
-of the 16-perm/8-band ladder (its planted-group pin lives in
+clock. It also measures the q47 default (16-perm/8-band, the round-12
+promoted point) planted recall next to q47d's budget 8-perm/4-band on
+the same corpora (planted-group pin:
 tests/test_pipeline.py::test_minhash_high_recall_ladder_on_planted_groups).
 
 For each corpus:
   {op}_monolith_sec / _rows / _fingerprint      (q49c, q55c)
   {op}_grouped_sec  / _rows / _fingerprint      (q49e, q55d, n_chunks env)
   fingerprints_equal                            (bit_xor(xxhash64) + count)
-  q47b/q47d planted pairs + recall              (dup-heavy corpora only)
+  q47/q47d planted pairs + recall               (dup-heavy corpora only)
 
 Usage: python scripts/grouped_registered_experiment.py \
          [--sfs build/testdata/duph0.1,...] [--out GROUPED_r11.json]
@@ -78,8 +78,17 @@ def main() -> int:
     if "--ops" in args:
         wanted = set(args[args.index("--ops") + 1].split(","))
         ops = tuple((m, g) for m, g in OPS if m in wanted or g in wanted)
-    n_chunks = int(os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS", "10"))
-    os.environ["SPARK_GRAFT_GROUPED_CHUNKS"] = str(n_chunks)
+    # --auto-chunks (r12): let the registered sizing rule pick n_chunks
+    # per scale (grouped_chunk_count: est pair-token bytes / scratch
+    # budget) and record each decision in the artifact — the evidence
+    # VERDICT r11 #3 asks for. Without it, the env-pinned count is used.
+    auto_chunks = "--auto-chunks" in args
+    if auto_chunks:
+        os.environ.pop("SPARK_GRAFT_GROUPED_CHUNKS", None)
+        n_chunks = "auto"
+    else:
+        n_chunks = int(os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS", "10"))
+        os.environ["SPARK_GRAFT_GROUPED_CHUNKS"] = str(n_chunks)
 
     from parquet_modular_encryption_spark.pipeline import dedup as D
 
@@ -127,20 +136,27 @@ def main() -> int:
                 out[f"{grp_name}_grouped_sec"] = round(time.monotonic() - t0, 1)
                 out[f"{grp_name}_rows"] = n
                 out[f"{grp_name}_fingerprint"] = fp
+                if auto_chunks and D.LAST_GROUPED_SIZING:
+                    out[f"{grp_name}_sizing"] = dict(D.LAST_GROUPED_SIZING)
             if f"{mono_name}_fingerprint" in out:
                 out[f"{mono_name}_{grp_name}_equal"] = (
                     out[f"{mono_name}_fingerprint"] == out[f"{grp_name}_fingerprint"]
                     and out[f"{mono_name}_rows"] == out[f"{grp_name}_rows"]
                 )
-            print(f"# {key} {mono_name}/{grp_name}: "
-                  f"rows {out.get(f'{mono_name}_rows')}/{out[f'{grp_name}_rows']} "
-                  f"equal={out.get(f'{mono_name}_{grp_name}_equal')}", flush=True)
+            if f"{mono_name}_fingerprint" in out:
+                print(f"# {key} {mono_name}/{grp_name}: "
+                      f"rows {out[f'{mono_name}_rows']}/{out[f'{grp_name}_rows']} "
+                      f"equal={out.get(f'{mono_name}_{grp_name}_equal')}", flush=True)
+            else:  # --grouped-only: no monolith keys — the check is skipped, not failed
+                print(f"# {key} {grp_name}: rows {out[f'{grp_name}_rows']} "
+                      f"(monolith skipped under --grouped-only)", flush=True)
 
-        # q47b vs q47d planted recall on dup-heavy corpora: the planted
+        # q47 (default) vs q47d (budget) planted recall on dup-heavy
+        # corpora: the planted
         # pair set is the closed-form within-group set (group-salted
         # templates make 'within-group' structural), recomputed the same
         # way scale_experiment.py does.
-        if key.startswith("duph") and "q47d_planted_pairs" not in out:
+        if key.startswith("duph") and "q47_planted_pairs" not in out:
             sys.path.insert(0, os.path.join(REPO, "scripts"))
             from scale_experiment import _dup_group_rows
 
@@ -164,9 +180,11 @@ def main() -> int:
                 .collect()[0]["t"]
             )
             out["planted_true_pairs"] = int(truth)
+            # r12 role swap (VERDICT r11 #1): q47 IS the high-recall
+            # 16-perm/8-band point now; q47d is the budget 8-perm/4-band.
             for name, fn in (
-                ("q47b", D.q47b_minhash_neardup_salted),
-                ("q47d", D.q47d_minhash_high_recall),
+                ("q47", D.q47_minhash_neardup),
+                ("q47d", D.q47d_minhash_budget),
             ):
                 t0 = time.monotonic()
                 out[f"{name}_planted_pairs"] = planted(fn(spark, sf_dir))
@@ -174,9 +192,9 @@ def main() -> int:
                 out[f"{name}_planted_recall"] = round(
                     out[f"{name}_planted_pairs"] / max(out["planted_true_pairs"], 1), 4
                 )
-            print(f"# {key} planted recall: q47b "
-                  f"{out['q47b_planted_recall']} q47d {out['q47d_planted_recall']}",
-                  flush=True)
+            print(f"# {key} planted recall: q47(default) "
+                  f"{out['q47_planted_recall']} q47d(budget) "
+                  f"{out['q47d_planted_recall']}", flush=True)
 
         with open(out_path, "w") as fh:
             json.dump(report, fh, indent=1, sort_keys=True)

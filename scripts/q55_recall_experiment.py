@@ -63,6 +63,10 @@ SFS = [
     # regenerates documents.text), so either directory serves
     ("sf1", _first_existing(f"{_BT}/sf1", f"{_BT}/zipf1")),
     ("sf3", _first_existing(f"{_BT}/sf3", f"{_BT}/zipf3")),
+    # r12 (VERDICT r11 #2): one more doubling so the candidate-growth
+    # exponent is measured past 60k vectors; embeddings-only corpus
+    # (gen_scaled_testdata.py 60 build/testdata/sf6 --tables embeddings)
+    ("sf6", f"{_BT}/sf6"),
 ]
 KNOBS = (1.0, 1.6)
 BLOCK = 4096
@@ -181,6 +185,14 @@ def planted_corpus(sf_name: str, sf_dir: str) -> tuple[str, list, int]:
     return dst, pairs, planted.num_rows
 
 
+def _wanted_scales() -> list[tuple[str, str]]:
+    """SFS filtered by --scales a,b,c (default: all present)."""
+    if "--scales" in sys.argv:
+        names = set(sys.argv[sys.argv.index("--scales") + 1].split(","))
+        return [(n, d) for n, d in SFS if n in names]
+    return SFS
+
+
 def run_planted(spark, result: dict) -> None:
     """Planted-cosine recall: for each scale and knob, the fraction of
     pairs planted at cosine c that share >= 1 widened band key — the
@@ -194,7 +206,12 @@ def run_planted(spark, result: dict) -> None:
         "per_stratum": PLANT_PER_STRATUM,
         "sfs": {},
     }
-    for sf_name, sf_dir in SFS:
+    # --registered-only: skip the historic bands=2 / headroom bands=8
+    # sweeps and measure just the two REGISTERED configs (q55's unit knob,
+    # q55e's budget knob) — the setting for large scales where each
+    # candidate count is a multi-minute job.
+    band_cfgs = (None,) if "--registered-only" in sys.argv else (None, 2, 8)
+    for sf_name, sf_dir in _wanted_scales():
         if not os.path.isdir(sf_dir):
             print(f"planted {sf_name}: {sf_dir} missing, skipping", flush=True)
             continue
@@ -206,7 +223,7 @@ def run_planted(spark, result: dict) -> None:
             # None = the REGISTERED corpus-scaled band-count ladder
             # (r11); 2 = the historic fixed-2-band config whose recall
             # decay motivated it; 8 = the OR-amplification headroom.
-            for n_bands in (None, 2, 8):
+            for n_bands in band_cfgs:
                 x = q55_extra_band_bits(n_total, per_doubling=knob)
                 resolved_bands = n_bands if n_bands is not None else q55_band_count(x)
                 _, bands = q55_corpus_bands(
@@ -243,6 +260,43 @@ def run_planted(spark, result: dict) -> None:
                       f"{ {k: v['recall'] for k, v in strata.items()} }",
                       flush=True)
         result["planted"]["sfs"][sf_name] = row
+
+    # Candidate-growth series + measured exponents per registered config
+    # (VERDICT r11 #2: the r11 NOTES called this growth "tracking n";
+    # the measured exponent between successive scales is the honest
+    # number — pin it in the artifact so prose can't drift again).
+    import math as _math
+
+    growth: dict = {}
+    sfs_rows = result["planted"]["sfs"]
+    ordered = [s for s, _ in SFS if s in sfs_rows]
+    for tag in {k for r in sfs_rows.values() for k in r if k.startswith("knob_")}:
+        series = [
+            (s, sfs_rows[s]["n_vectors"], sfs_rows[s][tag]["candidates"])
+            for s in ordered
+            if tag in sfs_rows[s]
+        ]
+        if len(series) < 2:
+            continue
+        exps = [
+            {
+                "from": a[0],
+                "to": b[0],
+                "exponent": round(
+                    _math.log(b[2] / a[2]) / _math.log(b[1] / a[1]), 3
+                ),
+            }
+            for a, b in zip(series, series[1:])
+            if a[2] and b[2]
+        ]
+        growth[tag] = {
+            "scales": [s for s, _, _ in series],
+            "n": [n for _, n, _ in series],
+            "candidates": [c for _, _, c in series],
+            "cand_per_n": [round(c / n, 1) for _, n, c in series],
+            "exponents": exps,
+        }
+    result["planted"]["cand_growth"] = growth
 
 
 def main() -> int:

@@ -2809,6 +2809,133 @@ def test_grouped_exact_joins_equal_monolith(spark, monkeypatch):
         assert grows == mrows, grouped_name
 
 
+def test_grouped_auto_sizing_rule(spark, monkeypatch):
+    """VERDICT r11 #3: with no env override, grouped_exact_join sizes its
+    chunk count from the MEASURED pair-token incidence of the
+    materialized candidate frame divided by the scratch budget — not
+    from a fixed default a user at an unknown scale would have to guess.
+    A huge budget must pick 1 chunk (the honest degenerate: no spill
+    bounding needed, the operator is the monolith plus one
+    materialization); a budget forced to ~1/3 of the estimated bytes
+    must pick ceil(est/budget) chunks; and the chunk count never changes
+    the answer (residue-partition lemma)."""
+    import math
+
+    from parquet_modular_encryption_spark.pipeline import dedup as D
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    monkeypatch.delenv("SPARK_GRAFT_GROUPED_CHUNKS", raising=False)
+    docs = load(spark, SF, "documents")
+    spark.conf.set(D.GROUPED_SCRATCH_BUDGET_CONF, str(1 << 60))
+    try:
+        n_huge = D.grouped_exact_join(spark, docs, "q49c").count()
+        s1 = dict(D.LAST_GROUPED_SIZING)
+        assert s1["op"] == "q49c" and s1["est_rows"] > 0
+        assert s1["n_chunks"] == 1, s1
+
+        budget = s1["est_bytes"] // 3 + 1
+        spark.conf.set(D.GROUPED_SCRATCH_BUDGET_CONF, str(budget))
+        n_tiny = D.grouped_exact_join(spark, docs, "q49c").count()
+        s2 = dict(D.LAST_GROUPED_SIZING)
+        assert s2["est_rows"] == s1["est_rows"], "estimate must be deterministic"
+        expect = min(D.GROUPED_MAX_CHUNKS, math.ceil(s2["est_bytes"] / budget))
+        assert s2["n_chunks"] == expect >= 3, (s2, expect)
+        assert n_tiny == n_huge
+    finally:
+        spark.conf.unset(D.GROUPED_SCRATCH_BUDGET_CONF)
+
+
+def test_grouped_scratch_encryption_boundary(spark, monkeypatch):
+    """The grouped-execution scratch contract (VERDICT r11 #4): by
+    DEFAULT the materialized postings are plaintext parquet — documented,
+    and pinned here by reading them back with a vanilla reader — so a
+    grouped run over an encrypted lake spills content DERIVATIVES
+    (shingle postings reconstruct text n-grams) outside the PME
+    envelope. ``encrypt_scratch=True`` closes the boundary: the
+    content-bearing posting column is PME-encrypted on scratch disk
+    (keyless read of tok fails closed; CONFIDENTIAL token succeeds) and
+    the answer frame is identical to the plaintext-scratch run."""
+    import pytest
+
+    import parquet_modular_encryption_spark.scratch as scratch_mod
+    from parquet_modular_encryption_spark.pipeline import dedup as D
+    from parquet_modular_encryption_spark.sources.datasets import load
+    from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
+
+    made = []
+    real = scratch_mod.scratch_dir
+
+    def recording(prefix):
+        d = real(prefix)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(scratch_mod, "scratch_dir", recording)
+    monkeypatch.setenv("SPARK_GRAFT_GROUPED_CHUNKS", "3")
+
+    def canon(df):
+        return sorted(
+            tuple(round(v, 12) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+
+    docs = load(spark, SF, "documents")
+    plain_rows = canon(D.grouped_exact_join(spark, docs, "q49c"))
+    assert plain_rows, "fixture has no pairs — test is vacuous"
+    work_plain = made[-1]
+    toks = spark.read.parquet(f"{work_plain}/toks")  # plaintext by contract
+    assert "tok" in toks.columns and toks.count() > 0
+
+    enc_rows = canon(D.grouped_exact_join(spark, docs, "q49c", encrypt_scratch=True))
+    assert enc_rows == plain_rows
+    work_enc = made[-1]
+    with pytest.raises(Exception, match="(?i)unwrap|denied|authoriz|403|key"):
+        read_encrypted(
+            spark, f"{work_enc}/toks", token=None, columns=["doc_id", "tok"]
+        ).collect()
+    ok = read_encrypted(spark, f"{work_enc}/toks", token="CONFIDENTIAL")
+    assert ok.count() == toks.count()
+
+
+def test_q55_budget_ladder_engine_oracle_agree():
+    """q55e's per_doubling=1.6 knob is oracle-mirrored by floor-threshold
+    CASE literals (similarity._sql_bands_cte_scaled). For integer n the
+    SQL predicate `n <= floor(TARGET * 2**(x/pd))` must pick exactly the
+    x the Spark side's float comparison `n > TARGET * 2**(x/pd)` walks
+    to — sweep every regime boundary +-2 plus a dense range to pin the
+    equivalence, for both the registered knobs."""
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        Q55_BAND_TARGET,
+        Q55_BUDGET_PER_DOUBLING,
+        Q55_MAX_EXTRA_BITS,
+        q55_extra_band_bits,
+    )
+
+    for pd_knob in (1.0, Q55_BUDGET_PER_DOUBLING):
+        thresholds = [
+            int(math.floor(Q55_BAND_TARGET * 2.0 ** (x / pd_knob)))
+            for x in range(Q55_MAX_EXTRA_BITS)
+        ]
+
+        def sql_case(n, th=thresholds):  # the CASE the oracle executes
+            for x, t in enumerate(th):
+                if n <= t:
+                    return x
+            return Q55_MAX_EXTRA_BITS
+
+        probe = set(range(1, 5000))
+        for t in thresholds:
+            probe.update(range(max(1, t - 2), t + 3))
+        probe.update(int(thresholds[-1] * f) for f in (1.5, 2.0, 10.0))
+        for n in sorted(probe):
+            assert q55_extra_band_bits(n, per_doubling=pd_knob) == sql_case(n), (
+                pd_knob,
+                n,
+            )
+
+
 def test_jpeg_codec_roundtrips_random_coefficients():
     """The baseline-JPEG decoder is general over its stated profile, not
     just the fixture's DC-only subspace: random dense coefficient blocks
@@ -3042,21 +3169,23 @@ def test_avi_rle8_roundtrip_opcodes_and_refusals():
 
 
 def test_minhash_high_recall_ladder_on_planted_groups(spark, tmp_path):
-    """q47c's measured planted recall sits STRICTLY above q47's on the
-    same corpus, at the s-curve-predicted levels. The corpus is fully
-    deterministic: 60 groups x 4 docs of 40 tokens sharing a group prefix
-    of m in {26,28,30,32} tokens with per-doc disjoint tails and per-group
-    disjoint vocabularies, so the TRUE qualifying set is exactly the 360
-    within-group pairs (shingle Jaccard (m-2)/(76-(m-2)) = 0.46..0.65, all
-    >= the 0.4 threshold; cross-group Jaccard identically 0) and each
-    operator's recall is its row count / 360 — the verify stage already
-    guarantees precision 1.0. Expected per-pair candidate recall at these
-    strata: 1-(1-J^2)^4 averages ~0.76 for q47's 4 bands, ~0.93 for
-    q47c's 8; measured (fixed hashes, fully deterministic): 276/360 and
-    337/360."""
+    """q47's DEFAULT measured planted recall sits STRICTLY above the
+    q47d budget point's on the same corpus, at the s-curve-predicted
+    levels — the round-12 role swap (VERDICT r11 #1: the registered
+    default must be the measured-recall operating point). The corpus is
+    fully deterministic: 60 groups x 4 docs of 40 tokens sharing a group
+    prefix of m in {26,28,30,32} tokens with per-doc disjoint tails and
+    per-group disjoint vocabularies, so the TRUE qualifying set is
+    exactly the 360 within-group pairs (shingle Jaccard
+    (m-2)/(76-(m-2)) = 0.46..0.65, all >= the 0.4 threshold; cross-group
+    Jaccard identically 0) and each operator's recall is its row count
+    / 360 — the verify stage already guarantees precision 1.0. Expected
+    per-pair candidate recall at these strata: 1-(1-J^2)^4 averages
+    ~0.76 for q47d's 4 bands, ~0.93 for the default's 8; measured (fixed
+    hashes, fully deterministic): 276/360 and 337/360."""
     from parquet_modular_encryption_spark.pipeline.dedup import (
         q47_minhash_neardup,
-        q47d_minhash_high_recall,
+        q47d_minhash_budget,
     )
 
     rows = []
@@ -3071,12 +3200,12 @@ def test_minhash_high_recall_ladder_on_planted_groups(spark, tmp_path):
     d = str(tmp_path / "corpus")
     df.coalesce(1).write.mode("overwrite").parquet(f"{d}/documents.parquet")
 
-    base = q47_minhash_neardup(spark, d).count()
-    high = q47d_minhash_high_recall(spark, d).count()
-    assert base == 276 and high == 337, (base, high)  # fully deterministic
-    assert high / 360 >= 0.90, "high-recall config must hold >=0.90 here"
-    assert 0.70 <= base / 360 <= 0.85, "q47 baseline moved — re-derive pins"
-    assert high > base
+    default = q47_minhash_neardup(spark, d).count()
+    budget = q47d_minhash_budget(spark, d).count()
+    assert budget == 276 and default == 337, (budget, default)  # deterministic
+    assert default / 360 >= 0.90, "the DEFAULT must hold >=0.90 here"
+    assert 0.70 <= budget / 360 <= 0.85, "budget point moved — re-derive pins"
+    assert default > budget
 
 
 def test_minhash_encrypted_lake_access_matrix(spark, sf_dir):
