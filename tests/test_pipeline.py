@@ -1121,6 +1121,41 @@ def test_band_widening_recall_at_planted_cosines(spark):
     # on this 100-pair stratum (plane-lattice correlation at the margin)
     assert wide[0.80] >= 0.85, wide
 
+    # The REGISTERED budget knob (q55e, r12): per_doubling = 1.6 reaches
+    # deeper ladder rungs at the same n (x = 3, B = 6 bands of 6 bits
+    # here vs the default's x = 2, B = 4 of 5) — per-band candidate mass
+    # shrinks ~0.64x per extra bit while the band-count ladder holds the
+    # recall floor (theory 1-(1-s^6)^6 = 0.989 @0.95). Pin the ladder
+    # arithmetic and the floor; the candidate-mass payoff is asymptotic
+    # and measured at scale in Q55_RECALL_r12.json, not here.
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        Q55_BUDGET_PER_DOUBLING,
+    )
+
+    xb = q55_extra_band_bits(n_total, per_doubling=Q55_BUDGET_PER_DOUBLING)
+    assert xb == 3 and q55_band_count(xb) == 6, (xb, q55_band_count(xb))
+
+    def measure_budget():
+        _, bands = q55_corpus_bands(emb, per_doubling=Q55_BUDGET_PER_DOUBLING)
+        keys: dict[int, dict[int, int]] = {}
+        for r in bands.collect():
+            keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
+        return {
+            c: sum(
+                1
+                for a, b in [
+                    (b0, n_base + o) for b0, o, cc in raw_pairs if cc == c
+                ]
+                if any(keys[a][band] == keys[b].get(band) for band in keys[a])
+            )
+            / sum(1 for _, _, cc in raw_pairs if cc == c)
+            for c in exp.PLANT_COSINES
+        }
+
+    budget = measure_budget()
+    assert budget[0.95] >= 0.90, budget
+    assert budget[0.99] >= 0.95, budget
+
 
 def test_chunking_coverage_and_overlap(spark):
     """q43b invariants on a synthetic doc: chunk i starts at token
