@@ -61,8 +61,10 @@ SFS = [
     # embeddings are IDENTICAL between the tiled sfN and zipfN corpora
     # (the per-copy vector roll is unaffected by --zipf, which only
     # regenerates documents.text), so either directory serves
-    ("sf1", _first_existing(f"{_BT}/sf1", f"{_BT}/zipf1")),
-    ("sf3", _first_existing(f"{_BT}/sf3", f"{_BT}/zipf3")),
+    # duph corpora carry the SAME embeddings (the per-copy roll is
+    # independent of the document text modes), so they serve as fallbacks
+    ("sf1", _first_existing(f"{_BT}/sf1", f"{_BT}/zipf1", f"{_BT}/duph1")),
+    ("sf3", _first_existing(f"{_BT}/sf3", f"{_BT}/zipf3", f"{_BT}/duph3")),
     # r12 (VERDICT r11 #2): one more doubling so the candidate-growth
     # exponent is measured past 60k vectors; embeddings-only corpus
     # (gen_scaled_testdata.py 60 build/testdata/sf6 --tables embeddings)
