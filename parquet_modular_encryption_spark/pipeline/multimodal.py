@@ -2067,3 +2067,195 @@ def q91i_rle8_frame_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, frame_index int, width int, height int, "
         "pixel_sum bigint, row_weighted_sum bigint, col_weighted_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Color (YCbCr) baseline JPEG image decode (q91j) — round 12, VERDICT r11 #8
+# ---------------------------------------------------------------------------
+# Completes the JPEG family the MJPEG work started: 3-component baseline
+# sequential JPEG in BOTH mainstream sampling layouts — 4:2:0 (even ids)
+# and 4:4:4 (odd ids) — decoded end-to-end from loose .jpg files with the
+# pure stdlib+numpy codec (pipeline/jpegcodec.py: per-component
+# quant/Huffman tables, interleaved MCU scan, nearest-neighbor chroma
+# upsampling, EXACT fixed-point YCbCr->RGB). Flat planted blocks under
+# quant=1 reconstruct bit-exact per component, and the conversion is an
+# integer contract (libjpeg constants, >>16 == floor/65536), so the
+# DuckDB oracle recomputes per-CHANNEL pixel sums from ids alone — a
+# decoder that swaps chroma planes, misaligns the 2x2 Y-block raster
+# inside an MCU, upsamples off-grid, or drifts one ulp in the conversion
+# hash-mismatches.
+
+
+def _cjpeg_params(media_id: int) -> tuple[str, int, int]:
+    """(sampling, w, h) closed-form of media_id: even ids are 4:2:0 with
+    whole-MCU dims (16px multiples), odd ids 4:4:4 (8px multiples) — so
+    planting needs no edge-crop reasoning and both layouts are always in
+    the fixture population."""
+    if media_id % 2 == 0:
+        n_mcux = 1 + (media_id % 3)
+        n_mcuy = 1 + ((media_id // 2) % 2)
+        return "420", 16 * n_mcux, 16 * n_mcuy
+    nbx = 2 + (media_id % 3)
+    nby = 1 + ((media_id // 2) % 2)
+    return "444", 8 * nbx, 8 * nby
+
+
+def _cjpeg_plant(media_id: int, w: int, h: int, sampling: str):
+    """(y_vals, cb_vals, cr_vals) planted per-block levels — each varies
+    along both axes with distinct strides per component."""
+    nby, nbx = h // 8, w // 8
+    by = np.arange(nby, dtype=np.int64)[:, None]
+    bx = np.arange(nbx, dtype=np.int64)[None, :]
+    y = (media_id * 37 + by * 13 + bx * 7) % 256
+    if sampling == "420":
+        cby = np.arange(nby // 2, dtype=np.int64)[:, None]
+        cbx = np.arange(nbx // 2, dtype=np.int64)[None, :]
+    else:
+        cby, cbx = by, bx
+    cb = (media_id * 17 + cby * 11 + cbx * 5) % 256
+    cr = (media_id * 23 + cby * 19 + cbx * 3) % 256
+    return y, cb, cr
+
+
+def _cjpeg_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Loose .jpg color files for the q91j ids (memoized per session+sf)."""
+    import os
+
+    key = (spark.sparkContext.applicationId, f"q91j:{sf_dir}")
+    cached = _MEDIA_FIXTURE_CACHE.get(key)
+    if cached is not None and os.path.isdir(cached):
+        return cached
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        encode_jpeg_color_flat,
+    )
+    from parquet_modular_encryption_spark.scratch import scratch_dir
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    ids = [
+        r.doc_id
+        for r in load(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 53 == 0)
+        .select("doc_id")
+        .collect()  # fixture write only; the decode read is distributed
+    ]
+    path = scratch_dir("pme_q91j_")
+    for mid in ids:
+        sampling, w, h = _cjpeg_params(mid)
+        y, cb, cr = _cjpeg_plant(mid, w, h, sampling)
+        with open(f"{path}/{mid}.jpg", "wb") as fh:
+            fh.write(encode_jpeg_color_flat(w, h, y, cb, cr, sampling))
+    _MEDIA_FIXTURE_CACHE[key] = path
+    return path
+
+
+@register(
+    "q91j_color_jpeg_decode",
+    oracle="""
+    WITH media AS (
+        SELECT doc_id AS media_id,
+               CASE WHEN doc_id % 2 = 0 THEN 16 * (1 + (doc_id % 3))
+                    ELSE 8 * (2 + (doc_id % 3)) END AS w,
+               CASE WHEN doc_id % 2 = 0 THEN 16 * (1 + ((doc_id // 2) % 2))
+                    ELSE 8 * (1 + ((doc_id // 2) % 2)) END AS h
+        FROM documents WHERE doc_id % 53 = 0
+    ), blk AS (
+        SELECT media_id, w, h, yy.g AS by, xx.g AS bx,
+               (media_id * 37 + yy.g * 13 + xx.g * 7) % 256 AS y,
+               (media_id * 17
+                + (CASE WHEN media_id % 2 = 0 THEN yy.g // 2 ELSE yy.g END) * 11
+                + (CASE WHEN media_id % 2 = 0 THEN xx.g // 2 ELSE xx.g END) * 5
+               ) % 256 AS cb,
+               (media_id * 23
+                + (CASE WHEN media_id % 2 = 0 THEN yy.g // 2 ELSE yy.g END) * 19
+                + (CASE WHEN media_id % 2 = 0 THEN xx.g // 2 ELSE xx.g END) * 3
+               ) % 256 AS cr
+        FROM media
+        JOIN (SELECT g FROM generate_series(0, 7) AS t(g)) yy ON yy.g < h // 8
+        JOIN (SELECT g FROM generate_series(0, 7) AS t(g)) xx ON xx.g < w // 8
+    ), rgb AS (
+        SELECT media_id, w, h, by, bx,
+               LEAST(255, GREATEST(0, y + CAST(FLOOR(
+                   (91881 * (cr - 128) + 32768) / 65536.0) AS BIGINT))) AS r,
+               LEAST(255, GREATEST(0, y - CAST(FLOOR(
+                   (22554 * (cb - 128) + 46802 * (cr - 128) + 32768) / 65536.0)
+                   AS BIGINT))) AS g,
+               LEAST(255, GREATEST(0, y + CAST(FLOOR(
+                   (116130 * (cb - 128) + 32768) / 65536.0) AS BIGINT))) AS b
+        FROM blk
+    )
+    SELECT media_id,
+           CAST(MAX(w) AS INTEGER) AS width,
+           CAST(MAX(h) AS INTEGER) AS height,
+           CAST(SUM(64 * r) AS BIGINT) AS r_sum,
+           CAST(SUM(64 * g) AS BIGINT) AS g_sum,
+           CAST(SUM(64 * b) AS BIGINT) AS b_sum,
+           CAST(SUM(8 * r * (64 * by + 36)) AS BIGINT) AS row_weighted_r_sum,
+           CAST(SUM(8 * r * (64 * bx + 36)) AS BIGINT) AS col_weighted_r_sum
+    FROM rgb
+    GROUP BY media_id
+    """,
+    tags=("multimodal", "image", "binary", "pandas-udf"),
+)
+def q91j_color_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-image decode end-to-end: loose baseline YCbCr JPEGs
+    (4:2:0 on even media ids, 4:4:4 on odd — both layouts in every run)
+    are ingested distributed via binaryFile and decoded executor-side in
+    Arrow-batched mapInPandas through the full T.81 color pipeline
+    (pipeline/jpegcodec.py): per-component quant + canonical-Huffman
+    tables, interleaved MCU scan with the 2x2 Y-block raster, DC chains
+    per component, zigzag/dequant/IDCT, nearest-neighbor chroma
+    upsampling, and the EXACT fixed-point YCbCr->RGB contract. Planted
+    flat blocks reconstruct bit-exact per component, so the DuckDB
+    oracle recomputes per-channel pixel sums and row/column-weighted R
+    sums from ids alone: a decoder that swaps Cb/Cr, misorders the MCU's
+    Y blocks, upsamples off-grid, or rounds the conversion differently
+    hash-mismatches. Decoder generality beyond flat blocks is pinned by
+    the random-coefficient color round-trip test; the gray decoder and
+    this one refuse each other's component counts.
+
+    Scale: one mapInPandas pass, same shape as q91h — decode
+    parallelizes with files, pixels never touch the driver."""
+    prep(spark)
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        decode_jpeg_color,
+    )
+
+    jpg_dir = _cjpeg_fixture_dir(spark, sf_dir)
+    blobs = spark.read.format("binaryFile").load(f"{jpg_dir}/*.jpg")
+    media = blobs.select(
+        F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
+        .cast("bigint")
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+
+    def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "media_id": [], "width": [], "height": [],
+                "r_sum": [], "g_sum": [], "b_sum": [],
+                "row_weighted_r_sum": [], "col_weighted_r_sum": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, rgb = decode_jpeg_color(bytes(payload))
+                px = rgb.astype(np.int64)
+                r = px[:, :, 0]
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["r_sum"].append(int(r.sum()))
+                out["g_sum"].append(int(px[:, :, 1].sum()))
+                out["b_sum"].append(int(px[:, :, 2].sum()))
+                out["row_weighted_r_sum"].append(
+                    int((r.sum(axis=1) * (np.arange(h, dtype=np.int64) + 1)).sum())
+                )
+                out["col_weighted_r_sum"].append(
+                    int((r.sum(axis=0) * (np.arange(w, dtype=np.int64) + 1)).sum())
+                )
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        per_batch,
+        "media_id bigint, width int, height int, r_sum bigint, g_sum bigint, "
+        "b_sum bigint, row_weighted_r_sum bigint, col_weighted_r_sum bigint",
+    )

@@ -3022,6 +3022,84 @@ def test_jpeg_codec_roundtrips_random_coefficients():
         assert np.array_equal(px, ref), f"trial {trial} mismatch"
 
 
+def test_color_jpeg_codec_roundtrips_random_coefficients():
+    """The COLOR decoder is general over its stated profile (both
+    sampling layouts, per-component tables, interleaved MCU raster, the
+    fixed-point conversion), not just the fixture's flat-block subspace:
+    random dense coefficient blocks for all three components encode and
+    decode to exactly the pixels an independent textbook O(N^4) IDCT +
+    nearest-neighbor upsample + the module's integer YCbCr->RGB contract
+    produce from the raw coefficients."""
+    import numpy as np
+
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        decode_jpeg_color,
+        encode_jpeg_ycbcr,
+        ycbcr_to_rgb,
+    )
+
+    def idct_ref(B):
+        out = np.zeros((8, 8))
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = np.sqrt(0.5) if u == 0 else 1.0
+                        cv = np.sqrt(0.5) if v == 0 else 1.0
+                        s += (cu * cv / 4.0 * B[u, v]
+                              * np.cos((2 * x + 1) * u * np.pi / 16)
+                              * np.cos((2 * y + 1) * v * np.pi / 16))
+                out[x, y] = s
+        return out
+
+    def plane(blocks):
+        nby, nbx = blocks.shape[:2]
+        ref = np.zeros((nby * 8, nbx * 8))
+        for by in range(nby):
+            for bx in range(nbx):
+                ref[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = idct_ref(
+                    blocks[by, bx]
+                )
+        return np.clip(np.round(ref) + 128, 0, 255).astype(np.uint8)
+
+    rng = np.random.RandomState(91)
+    for sampling in ("420", "444"):
+        if sampling == "420":
+            n_mcuy, n_mcux = 1, 2
+            w, h = 16 * n_mcux, 16 * n_mcuy
+            y_shape, c_shape = (2 * n_mcuy, 2 * n_mcux), (n_mcuy, n_mcux)
+        else:
+            w, h = 24, 16
+            y_shape = c_shape = (2, 3)
+        by = rng.randint(-120, 120, size=y_shape + (8, 8))
+        bcb = rng.randint(-120, 120, size=c_shape + (8, 8))
+        bcr = rng.randint(-120, 120, size=c_shape + (8, 8))
+        bcb[0, 0] *= rng.random(size=(8, 8)) < 0.1  # long runs / early EOB
+        data = encode_jpeg_ycbcr(w, h, by, bcb, bcr, sampling)
+        rw, rh, rgb = decode_jpeg_color(data)
+        assert (rw, rh) == (w, h)
+        yp = plane(by)[:h, :w]
+        up = (lambda p: np.repeat(np.repeat(p, 2, 0), 2, 1)) if sampling == "420"             else (lambda p: p)
+        cbp = up(plane(bcb))[:h, :w]
+        crp = up(plane(bcr))[:h, :w]
+        exp = ycbcr_to_rgb(yp, cbp, crp)
+        assert np.array_equal(rgb, exp), sampling
+    # cross-refusals between the two decoders
+    import pytest
+
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        decode_jpeg_gray,
+        encode_jpeg_gray_flat,
+    )
+
+    gray_blob = encode_jpeg_gray_flat(16, 16, np.full((2, 2), 77))
+    with pytest.raises(ValueError, match="3-component"):
+        decode_jpeg_color(gray_blob)
+    with pytest.raises(ValueError, match="single-component"):
+        decode_jpeg_gray(data)
+
+
 def test_jpeg_codec_refusal_contract():
     """Everything outside the stated profile raises rather than guessing:
     progressive SOF2, restart intervals, color (3-component), 16-bit
