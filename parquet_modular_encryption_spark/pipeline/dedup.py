@@ -369,11 +369,31 @@ def banded_pairs(bands: DataFrame) -> DataFrame:
 
 
 # Bucket size above which the self-join work (k² pairs on ONE reducer) is
-# spread over a PAIR_GRID × PAIR_GRID cell grid. At 100 TB this threshold
-# rises with cluster reducer capacity; the replication cost of the hot
-# path is PAIR_GRID× on hot rows only.
+# spread over a grid × grid cell grid. At 100 TB this threshold rises
+# with cluster reducer capacity; the replication cost of the hot path is
+# grid× on hot rows only.
 HOT_BUCKET_THRESHOLD = 8
+#: Floor of the ADAPTIVE grid (and the pre-r12 fixed value).
 PAIR_GRID = 4
+PAIR_GRID_MAX = 16
+#: Target per-cell pair work at the LARGEST block: a g×g grid hands each
+#: cell ~(k/g)² pairs of a k-member block, so the auto rule picks the
+#: smallest power-of-two g in [PAIR_GRID, PAIR_GRID_MAX] with
+#: (k_max/g)² <= this. Calibrated on boiler3 (max bucket 2,980): the
+#: rule picks 8, measured 22.7 s at straggler 1.24 vs the fixed grid-4's
+#: 42.7 s at 1.85 in the same session, identical fingerprints
+#: (SCALE_r12_boiler.json adaptive_grid_probe).
+PAIR_CELL_TARGET = 250_000
+
+#: (k_max, grid) of the most recent auto-grid decision — for artifacts/tests.
+LAST_SALTED_GRID: dict[str, int] = {}
+
+
+def _auto_grid(k_max: int) -> int:
+    g = PAIR_GRID
+    while g < PAIR_GRID_MAX and (k_max / g) ** 2 > PAIR_CELL_TARGET:
+        g *= 2
+    return g
 
 
 def _block_pairs(
@@ -406,7 +426,7 @@ def salted_block_self_join(
     block_keys: tuple[str, ...] | list[str],
     id_col: str = "doc_id",
     hot_threshold: int = HOT_BUCKET_THRESHOLD,
-    grid: int = PAIR_GRID,
+    grid: int | None = None,
     out_a: str = "doc_a",
     out_b: str = "doc_b",
 ) -> DataFrame:
@@ -437,6 +457,18 @@ def salted_block_self_join(
     keys = list(block_keys)
     rows = df.select(id_col, *keys)
     counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
+    if grid is None:
+        # Census-adaptive grid (r12): the block census is computed anyway;
+        # one extra MAX over it sizes the grid from the largest block the
+        # way grouped execution sizes chunks from measured spill — grid is
+        # PHYSICAL only (output and oracle identical for any value), so
+        # adapting it can never break parity. Cost: one aggregate job per
+        # salted join (~0.2-0.4 s at sf0.1); payoff measured on boiler3:
+        # auto picks 8 -> 2x faster, straggler 1.85 -> 1.24.
+        k_max = counts.agg(F.max("__n")).first()[0] or 0
+        grid = _auto_grid(int(k_max))
+        LAST_SALTED_GRID.clear()
+        LAST_SALTED_GRID.update(k_max=int(k_max), grid=grid)
     hot_keys = counts.filter(F.col("__n") > hot_threshold).select(
         *keys, F.lit(1).alias("__hot")
     )
@@ -483,7 +515,7 @@ def salted_block_self_join(
 def banded_pairs_salted(
     bands: DataFrame,
     hot_threshold: int = HOT_BUCKET_THRESHOLD,
-    grid: int = PAIR_GRID,
+    grid: int | None = None,
 ) -> DataFrame:
     """Skew-hardened ``banded_pairs``: identical output, hot LSH buckets
     spread over the reducer grid. Thin wrapper over the generalized

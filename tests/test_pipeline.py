@@ -2844,6 +2844,41 @@ def test_grouped_exact_joins_equal_monolith(spark, monkeypatch):
         assert grows == mrows, grouped_name
 
 
+def test_salted_grid_auto_sizing(spark):
+    """The salted self-join's reducer grid sizes itself from the block
+    census (r12): smallest power-of-two g in [4, 16] with per-cell pair
+    work (k_max/g)^2 <= PAIR_CELL_TARGET — pinned at the measured
+    calibration points (boiler1 max 1,018 -> 4; boiler3 2,980 -> 8; the
+    r11 planted 6,143 bucket -> 16; cap at 16). The grid is physical
+    only, so the adaptive choice must leave the pair set exactly equal
+    to the plain join's — asserted on a planted hot-bucket frame big
+    enough to force g = 8, with the decision recorded."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline import dedup as D
+
+    assert [D._auto_grid(k) for k in (0, 1018, 2980, 6143, 10**6)] == [
+        4, 4, 8, 16, 16,
+    ]
+
+    # one hot bucket of 1,600 members (forces g=8: (1600/4)^2 = 160k <=
+    # 250k -> wait, that's g=4; use 2,400: (2400/4)^2 = 360k > 250k -> 8)
+    hot = [(i, 0, "HOT") for i in range(2400)]
+    cold = [(10_000 + i, 0, f"c{i // 3}") for i in range(90)]
+    bands = spark.createDataFrame(
+        hot + cold, "doc_id bigint, band_id int, band_key string"
+    )
+    plain = {
+        (r.doc_a, r.doc_b) for r in D.banded_pairs(bands).distinct().collect()
+    }
+    salted = {
+        (r.doc_a, r.doc_b)
+        for r in D.banded_pairs_salted(bands).distinct().collect()
+    }
+    assert D.LAST_SALTED_GRID == {"k_max": 2400, "grid": 8}
+    assert salted == plain and len(plain) > 2_800_000
+
+
 def test_grouped_auto_sizing_rule(spark, monkeypatch):
     """VERDICT r11 #3: with no env override, grouped_exact_join sizes its
     chunk count from the MEASURED pair-token incidence of the
