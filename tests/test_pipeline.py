@@ -2861,8 +2861,9 @@ def test_salted_grid_auto_sizing(spark):
         4, 4, 8, 16, 16,
     ]
 
-    # one hot bucket of 1,600 members (forces g=8: (1600/4)^2 = 160k <=
-    # 250k -> wait, that's g=4; use 2,400: (2400/4)^2 = 360k > 250k -> 8)
+    # one hot bucket of 2,400 members forces g = 8: per-cell pair work on
+    # the 4x4 floor is (2400/4)^2 = 360k > PAIR_CELL_TARGET (250k), and
+    # one doubling lands at (2400/8)^2 = 90k <= 250k
     hot = [(i, 0, "HOT") for i in range(2400)]
     cold = [(10_000 + i, 0, f"c{i // 3}") for i in range(90)]
     bands = spark.createDataFrame(
