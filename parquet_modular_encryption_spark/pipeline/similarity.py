@@ -608,16 +608,58 @@ def lsh_band_keys(e: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "q54_ann_lsh_search",
-    oracle=f"""
-    WITH {_sql_bands_cte()},
+# Query-side probe masks. Each band key is 3 bits wide; a probe set is
+# the XOR masks applied to a QUERY's band keys before the bucket join
+# (Lv et al., VLDB'07 multi-probe LSH: a near neighbor that misses the
+# query's exact bucket most likely sits one sign-flip away). The corpus
+# index is untouched — probing fans out only the broadcast query side —
+# so extra probes buy recall at zero index memory, the scale-relevant
+# trade versus adding hash tables (each of which is another full corpus
+# index at 100 TB).
+#
+# MULTIPROBE_MASKS = identity + every Hamming-1 flip of the 3-bit key:
+# the MEASURED-RECALL operating point and, since r13, the registered
+# q54 DEFAULT (Q54_RECALL_r12.json: recall@5 0.80-0.875 at 2k/20k/60k
+# vectors vs the single-probe point's 0.375 flat — the same
+# default-is-the-cheap-point defect r12 fixed for q47, same remedy).
+# SINGLE_PROBE_MASKS = identity only: the pre-r13 default, kept as the
+# registered BUDGET sibling q54h (the q47d pattern) — ~0.4x the probe
+# fan-out for cost-bounded screening where a downstream exact pass
+# re-checks candidates anyway.
+MULTIPROBE_MASKS = (0, 1, 2, 4)
+SINGLE_PROBE_MASKS = (0,)
+
+
+def _sql_probe_pairs_cte(masks: tuple[int, ...]) -> str:
+    """``qprobes`` + ``pairs`` oracle fragment: distinct (query_id,
+    neighbor_id) candidates from the banded bucket join with the given
+    query-side probe masks. Requires a preceding ``bands`` CTE
+    (:func:`_sql_bands_cte`). masks=(0,) reduces to the single-bucket
+    probe (XOR 0 is the identity)."""
+    vals = ", ".join(f"({m})" for m in masks)
+    return f"""qprobes AS (
+        SELECT vec_id, band_id, xor(band_key, m.m) AS band_key
+        FROM bands, (VALUES {vals}) m(m)
+        WHERE vec_id < {N_QUERIES}
+    ),
     pairs AS (
         SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-        FROM bands a JOIN bands b
+        FROM qprobes a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
-    ), scored AS (
+         AND b.vec_id <> a.vec_id
+    )"""
+
+
+def _sql_lsh_search_oracle(masks: tuple[int, ...]) -> str:
+    """Full LSH-search oracle at the given probe masks: banded candidate
+    generation, exact-cosine rerank, top-5 window — shared by q54
+    (MULTIPROBE_MASKS, the measured-recall default), q54b (the named
+    multiprobe anchor, same masks) and q54h (SINGLE_PROBE_MASKS, the
+    budget point)."""
+    return f"""
+    WITH {_sql_bands_cte()},
+    {_sql_probe_pairs_cte(masks)},
+    scored AS (
         SELECT p.query_id, p.neighbor_id,
                list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
@@ -632,23 +674,31 @@ def lsh_band_keys(e: DataFrame) -> DataFrame:
                                      ORDER BY cosine_sim DESC, neighbor_id) AS rn
         FROM scored
     ) WHERE rn <= 5
-    """,
-    tags=("similarity", "ann", "lsh"),
-)
-def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate nearest neighbors, the 100 TB path: banded-LSH equi-join
-    generates candidates (instead of q50's all-pairs scan), exact cosine
-    re-ranks them. OR-amplification over LSH_BANDS trades candidate volume
-    for recall; tests/test_pipeline.py measures recall against q50."""
-    prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    bands = lsh_band_keys(e)
+    """
 
-    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "band_id", "band_key"
+
+def _lsh_probe_candidates(bands: DataFrame, masks: tuple[int, ...]) -> DataFrame:
+    """Distinct (query_id, neighbor_id) candidates from the banded bucket
+    join with the given query-side probe masks — the Spark twin of
+    :func:`_sql_probe_pairs_cte`. Only the bounded query side fans out
+    (N_QUERIES x bands x len(masks) rows, broadcast); the corpus index
+    is consumed once, unchanged, at every probe setting."""
+    mask_arr = F.array(*[F.lit(m) for m in masks])
+    qb = (
+        bands.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "band_id",
+            F.explode(mask_arr).alias("m"),
+            "band_key",
+        )
+        .select(
+            "query_id",
+            "band_id",
+            F.col("band_key").bitwiseXOR(F.col("m")).alias("band_key"),
+        )
     )
-    pairs = (
+    return (
         F.broadcast(qb)
         .join(
             bands.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key"),
@@ -658,6 +708,19 @@ def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
+
+
+def _lsh_probe_search(spark: SparkSession, sf_dir: str, masks: tuple[int, ...]) -> DataFrame:
+    """Banded-LSH ANN shared core: candidates at the given probe masks,
+    exact-cosine rerank, top-5 — one implementation, three registered
+    operating points (q54/q54b at MULTIPROBE_MASKS, q54h at
+    SINGLE_PROBE_MASKS), so the family moves in lock-step the way the
+    q47/q57/q63 MinHash family shares _minhash_ctes."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    bands = lsh_band_keys(e)
+    pairs = _lsh_probe_candidates(bands, masks)
     # Rerank fetch: broadcast ONLY the query vectors. Catalyst cannot infer
     # through pairs (join+distinct) that query_id < N_QUERIES, so without
     # this filter the broadcast ships the ENTIRE corpus to every executor —
@@ -685,6 +748,50 @@ def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q54_ann_lsh_search",
+    oracle=_sql_lsh_search_oracle(MULTIPROBE_MASKS),
+    tags=("similarity", "ann", "lsh"),
+)
+def q54_ann_lsh_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate nearest neighbors, the 100 TB path: banded-LSH equi-join
+    generates candidates (instead of q50's all-pairs scan), exact cosine
+    re-ranks them.
+
+    Since r13 the registered default is the MEASURED-RECALL operating
+    point — Hamming-1 multi-probe (MULTIPROBE_MASKS) — closing the q54
+    twin of the q47 default defect (VERDICT r12 "What's wrong" #2): the
+    old single-bucket default measured 0.375 recall@5 FLAT at 2k/20k/60k
+    vectors while the multiprobe point held 0.80-0.875 on the same index
+    at ~2.3x query-side cost (Q54_RECALL_r12.json). The index and rerank
+    are unchanged; only the broadcast query side fans out. The old point
+    stays registered as q54h_ann_lsh_budget (the q47d pattern); q54b
+    remains the named multiprobe anchor, now hash-identical to this
+    default by construction — the lock-step is deliberate, one shared
+    core (:func:`_lsh_probe_search`), zero oracle rot."""
+    return _lsh_probe_search(spark, sf_dir, MULTIPROBE_MASKS)
+
+
+@register(
+    "q54h_ann_lsh_budget",
+    oracle=_sql_lsh_search_oracle(SINGLE_PROBE_MASKS),
+    tags=("similarity", "ann", "lsh", "budget"),
+)
+def q54h_ann_lsh_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The single-bucket LSH search — q54's pre-r13 default, kept as the
+    registered BUDGET operating point: each query probes exactly its own
+    band buckets (SINGLE_PROBE_MASKS), ~0.4x the candidate volume of the
+    multiprobe default for a measured 0.375 recall@5 (flat across
+    2k/20k/60k vectors, Q54_RECALL_r12.json). The honest use is
+    cost-bounded screening where a downstream pass re-checks candidates
+    (e.g. the q63 incremental-dedup funnel), never standalone serving —
+    the same contract as q47d_minhash_budget. Shares
+    :func:`_lsh_probe_search` with the default, so any core fix moves
+    both points; its candidates are a strict subset of q54's by
+    construction (XOR masks (0,) ⊂ (0,1,2,4)), pytest-pinned."""
+    return _lsh_probe_search(spark, sf_dir, SINGLE_PROBE_MASKS)
+
+
 # Quantized-ANN rerank depth: the asymmetric-distance pre-rank keeps this
 # many candidates per query before the exact float rerank. 4x the final k
 # absorbs int8 reconstruction error at the rank-5 boundary.
@@ -706,12 +813,7 @@ PQ_RERANK_CAND = 20
                list_transform(list_transform(e, x -> floor(x * scale + 0.5)),
                               c -> c / scale) AS r
         FROM codes
-    ), pairs AS (
-        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
-    ), prerank AS (
+    ), {_sql_probe_pairs_cte(MULTIPROBE_MASKS)}, prerank AS (
         SELECT query_id, neighbor_id FROM (
             SELECT p.query_id, p.neighbor_id,
                    row_number() OVER (
@@ -784,19 +886,11 @@ def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(F.col("code"), lambda c: c / F.col("scale")).alias("re"),
     )
 
-    qb = bands.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "band_id", "band_key"
-    )
-    pairs = (
-        F.broadcast(qb)
-        .join(
-            bands.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key"),
-            ["band_id", "band_key"],
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
+    # Candidate stage at the r13 measured-recall default (multiprobe,
+    # shared with q54/q54b) — the quantized rerank composes with ANY
+    # candidate stage, and its registered point should not silently sit
+    # at the budget universe the default just moved off.
+    pairs = _lsh_probe_candidates(bands, MULTIPROBE_MASKS)
     # Broadcast bounded to the N_QUERIES query vectors, as in q54.
     eq = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
@@ -839,7 +933,18 @@ def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the codebook is still bounded (IVF cell counts grow like sqrt(n), and
 # the codebook broadcast is the whole point of IVF: assignment is a
 # map-side argmax against a small table, never a corpus shuffle).
-IVF_NPROBE = 3
+#
+# nprobe=8 is the MEASURED-RECALL default since r13 (the q47/q54
+# promotion principle applied to the IVF family): the r12 nprobe sweep
+# (Q54_RECALL_r12.json ivf_recall_vs_nprobe) measured 0.90-0.95 recall@5
+# at nprobe=8 across 2k/20k/60k vectors vs 0.50-0.55 at the old
+# nprobe=3 — which stays registered as the budget point
+# (q54i_ann_ivf_budget). This synthetic codebook has only K=10 cells
+# (one per label), so 8 probes read most cells; at a production
+# ~sqrt(n)-cell codebook the same recall lives at a tiny probed
+# fraction — the knob is the recall target, not the fraction.
+IVF_NPROBE = 8
+IVF_NPROBE_BUDGET = 3
 
 
 def _ivf_codebook(emb: DataFrame) -> DataFrame:
@@ -971,15 +1076,17 @@ def _ivf_assign_ctes() -> str:
     )"""
 
 
-def _ivf_oracle() -> str:
+def _ivf_oracle(nprobe: int = IVF_NPROBE) -> str:
     """The IVF coarse-quantizer oracle — shared verbatim by q54d (logical
     probing) and q54e (physical partition-pruned probing): the two engines
     must produce identical results because partitioning only changes the
-    LAYOUT, never the candidate set."""
+    LAYOUT, never the candidate set. ``nprobe`` parameterizes the probe
+    depth so the budget point (q54i) mirrors the same SQL at its own
+    registered setting."""
     return f"""
     WITH {_ivf_assign_ctes()}, probes AS (
         SELECT vec_id AS query_id, cell FROM ranked
-        WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+        WHERE vec_id < {N_QUERIES} AND rn <= {nprobe}
     ), cand AS (
         SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
         FROM probes p JOIN assign a USING (cell)
@@ -1018,8 +1125,32 @@ def q54d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Fully hash-checked (centroid build, assignment, probing, and rerank
     are all deterministic IEEE arithmetic with row_number tie-breaks);
     tests pin nprobe-monotone recall and the nprobe=K ⇒ exact-scan
-    equivalence."""
+    equivalence.
+
+    Registered at nprobe=8 since r13 — the measured-recall point
+    (0.90-0.95 recall@5 at three corpus scales, Q54_RECALL_r12.json's
+    nprobe sweep) — with the old nprobe=3 point (0.50-0.55) kept as
+    q54i_ann_ivf_budget; see the IVF_NPROBE constant block."""
     return _ivf_search(spark, sf_dir, IVF_NPROBE)
+
+
+@register(
+    "q54i_ann_ivf_budget",
+    oracle=_ivf_oracle(IVF_NPROBE_BUDGET),
+    tags=("similarity", "ann", "ivf", "budget"),
+)
+def q54i_ann_ivf_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q54d's IVF search at the pre-r13 probe depth (nprobe=3) — kept as
+    the registered BUDGET operating point when the default moved to the
+    measured-recall nprobe=8 (Q54_RECALL_r12.json: 0.50-0.55 recall@5 at
+    nprobe=3 vs 0.90-0.95 at 8, across 2k/20k/60k vectors). Probing
+    fewer cells reads a smaller corpus fraction — the honest use is
+    recall-tolerant screening or latency-bounded serving, mirroring
+    q47d/q54h. Shares :func:`_ivf_search` and the parameterized
+    :func:`_ivf_oracle`, so the family moves in lock-step; its candidate
+    universe is a subset of q54d's by probe-depth monotonicity
+    (pytest-pinned)."""
+    return _ivf_search(spark, sf_dir, IVF_NPROBE_BUDGET)
 
 
 #: (applicationId, sf_dir) → layout path. The cell-partitioned corpus is
@@ -1677,102 +1808,25 @@ def q50b_knn_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Hamming-1 multi-probe masks for 3-plane band keys: the exact bucket plus
-# each single-bit flip. Multi-probe trades a constant factor of query-side
-# probes for recall that would otherwise need more hash tables (Lv et al.,
-# VLDB'07) — more memory-efficient at 100 TB, where each extra table is
-# another full corpus index.
-MULTIPROBE_MASKS = (0, 1, 2, 4)
-
-
 @register(
     "q54b_ann_multiprobe",
-    oracle=f"""
-    WITH {_sql_bands_cte()},
-    qprobes AS (
-        SELECT vec_id, band_id, xor(band_key, m.m) AS band_key
-        FROM bands, (VALUES (0), (1), (2), (4)) m(m)
-        WHERE vec_id < {N_QUERIES}
-    ),
-    pairs AS (
-        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-        FROM qprobes a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND b.vec_id <> a.vec_id
-    ), scored AS (
-        SELECT p.query_id, p.neighbor_id,
-               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
-                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
-                   AS cosine_sim
-        FROM pairs p
-        JOIN embeddings eq ON eq.vec_id = p.query_id
-        JOIN embeddings en ON en.vec_id = p.neighbor_id
-    )
-    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
-        SELECT *, row_number() OVER (PARTITION BY query_id
-                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
-        FROM scored
-    ) WHERE rn <= 5
-    """,
+    oracle=_sql_lsh_search_oracle(MULTIPROBE_MASKS),
     tags=("similarity", "ann", "lsh", "multiprobe"),
 )
 def q54b_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe ANN: q54's banded LSH, with each query additionally
-    probing every Hamming-1 neighbor of its band keys (MULTIPROBE_MASKS
-    XOR). The corpus index is UNCHANGED — only the broadcast query side
-    fans out 4x — so recall rises (candidates are a superset of q54's,
-    pinned by test) at zero extra index memory: the scale-relevant trade
-    versus adding hash tables. Rerank identical to q54: broadcast-bounded
-    query vectors, exact cosine, top-5 window."""
-    prep(spark)
-    emb = load(spark, sf_dir, "embeddings")
-    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    bands = lsh_band_keys(e)
+    """Multi-probe ANN: banded LSH with each query additionally probing
+    every Hamming-1 neighbor of its band keys (MULTIPROBE_MASKS XOR).
+    The corpus index is UNCHANGED — only the broadcast query side fans
+    out 4x — so recall rises at zero extra index memory: the
+    scale-relevant trade versus adding hash tables (Lv et al., VLDB'07).
 
-    masks = F.array(*[F.lit(m) for m in MULTIPROBE_MASKS])
-    qb = (
-        bands.filter(F.col("vec_id") < N_QUERIES)
-        .select(
-            F.col("vec_id").alias("query_id"),
-            "band_id",
-            F.explode(masks).alias("m"),
-            "band_key",
-        )
-        .select(
-            "query_id",
-            "band_id",
-            F.col("band_key").bitwiseXOR(F.col("m")).alias("band_key"),
-        )
-    )
-    pairs = (
-        F.broadcast(qb)
-        .join(
-            bands.select(F.col("vec_id").alias("neighbor_id"), "band_id", "band_key"),
-            ["band_id", "band_key"],
-        )
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    eq = e.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("ee").alias("qe")
-    )
-    en = e.select(F.col("vec_id").alias("neighbor_id"), F.col("ee").alias("ce"))
-    scored = (
-        pairs.join(F.broadcast(eq), "query_id")
-        .join(en, "neighbor_id")
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine(F.col("qe"), F.col("ce")).alias("cosine_sim"),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 5)
-        .select("query_id", "neighbor_id", "cosine_sim", "rank")
-    )
+    Since r13 this IS the q54 default's operating point (the
+    measured-recall promotion, Q54_RECALL_r12.json: 0.80-0.875 recall@5
+    at three corpus scales); q54b stays registered under its historic
+    name as the recall-curve anchor the Q54_RECALL artifacts reference,
+    hash-identical to q54 by shared construction
+    (:func:`_lsh_probe_search`)."""
+    return _lsh_probe_search(spark, sf_dir, MULTIPROBE_MASKS)
 
 
 # -- MMR diversified rerank -------------------------------------------------
@@ -2328,18 +2382,13 @@ ANN_EVAL_K = 5  # q54 emits top-5; recall measured against exact top-5
                                          ORDER BY cosine_sim DESC, neighbor_id) AS rn
             FROM ex_scored
         ) WHERE rn <= {ANN_EVAL_K}
-    ), cand AS (
-        SELECT DISTINCT a.vec_id AS query_id, b.vec_id AS neighbor_id
-        FROM bands a JOIN bands b
-          ON a.band_id = b.band_id AND a.band_key = b.band_key
-         AND a.vec_id < {N_QUERIES} AND b.vec_id <> a.vec_id
-    ), ann_scored AS (
+    ), {_sql_probe_pairs_cte(MULTIPROBE_MASKS)}, ann_scored AS (
         SELECT p.query_id, p.neighbor_id,
                list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
                    / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
                       * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
                    AS cosine_sim
-        FROM cand p
+        FROM pairs p
         JOIN embeddings eq ON eq.vec_id = p.query_id
         JOIN embeddings en ON en.vec_id = p.neighbor_id
     ), ann_topk AS (

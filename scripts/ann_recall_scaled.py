@@ -34,7 +34,7 @@ def main() -> int:
     import parquet_modular_encryption_spark.pipeline.similarity as S
 
     args = sys.argv[1:]
-    out_path = os.path.join(REPO, "Q54_RECALL_r12.json")
+    out_path = os.path.join(REPO, "Q54_RECALL_r13.json")
     bt = os.path.join(REPO, "build", "testdata")
     sfs = [
         ("sf0.1", "/root/testdata/sf0.1"),
@@ -82,10 +82,14 @@ def main() -> int:
             return round(len(exact & got) / len(exact), 4)
 
         variants: list[tuple[str, object]] = [
-            ("lsh_q54", lambda: S.q54_ann_lsh_search(spark, sf_dir)),
+            # r13: q54's registered default IS the multiprobe point now;
+            # the old single-bucket point is the q54h budget sibling.
+            ("lsh_q54_default", lambda: S.q54_ann_lsh_search(spark, sf_dir)),
             ("multiprobe_q54b", lambda: S.q54b_ann_multiprobe(spark, sf_dir)),
+            ("lsh_budget_q54h", lambda: S.q54h_ann_lsh_budget(spark, sf_dir)),
             ("pq_rerank_q54c", lambda: S.q54c_ann_quantized(spark, sf_dir)),
             ("ivfpq_q54f", lambda: S.q54f_ann_ivfpq(spark, sf_dir)),
+            ("ivf_budget_q54i", lambda: S.q54i_ann_ivf_budget(spark, sf_dir)),
         ] + [
             (f"ivf_nprobe{p}", lambda p=p: S._ivf_search(spark, sf_dir, p))
             for p in NPROBES
