@@ -17,7 +17,7 @@ blocked on (source, length bucket) to bound the quadratic term."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from parquet_modular_encryption_spark.functions.text import (
@@ -375,17 +375,34 @@ def banded_pairs(bands: DataFrame) -> DataFrame:
 HOT_BUCKET_THRESHOLD = 8
 #: Floor of the ADAPTIVE grid (and the pre-r12 fixed value).
 PAIR_GRID = 4
-PAIR_GRID_MAX = 16
-#: Target per-cell pair work at the LARGEST block: a g×g grid hands each
-#: cell ~(k/g)² pairs of a k-member block, so the auto rule picks the
-#: smallest power-of-two g in [PAIR_GRID, PAIR_GRID_MAX] with
-#: (k_max/g)² <= this. Calibrated on boiler3 (max bucket 2,980): the
-#: rule picks 8, measured 22.7 s at straggler 1.24 vs the fixed grid-4's
-#: 42.7 s at 1.85 in the same session, identical fingerprints
-#: (SCALE_r12_boiler.json adaptive_grid_probe).
+#: Grid ceiling — raised 16 -> 256 in r13 (VERDICT r12 #5): at the old
+#: cap a 10^6-member mega-block (empty/boilerplate docs at 100 TB)
+#: would still park (10^6/16)² ≈ 3.9G pairs on ONE cell. 256 keeps the
+#: per-cell target honest up to ~128k-member blocks (rule: g >= k/500);
+#: past THAT the operator cannot make the k² pair mass tractable by
+#: gridding alone — it warns with the measured per-cell estimate and
+#: records the clamp in LAST_SALTED_GRID (pytest-pinned), because a
+#: block that big is a data-quality fact the pipeline must see, not
+#: silently grind through. Replication stays proportional: since r13
+#: the grid is PER-BLOCK (each hot block gets the smallest grid its OWN
+#: census count needs), so raising the ceiling never inflates small hot
+#: blocks — a 2,980-member boiler bucket still replicates 8x while the
+#: mega-block beside it takes 256.
+PAIR_GRID_MAX = 256
+#: Target per-cell pair work: a g×g grid hands each cell ~(k/g)² pairs
+#: of a k-member block, so the rule picks the smallest power-of-two g in
+#: [PAIR_GRID, PAIR_GRID_MAX] with (k/g)² <= this. Calibrated on
+#: boiler3 (max bucket 2,980): the rule picks 8, measured 22.7 s at
+#: straggler 1.24 vs the fixed grid-4's 42.7 s at 1.85 in the same
+#: session, identical fingerprints (SCALE_r12_boiler.json
+#: adaptive_grid_probe). NOTE: kept a perfect square (500²) so the
+#: per-block SQL mirror `k <= 500*g` is integer-exact.
 PAIR_CELL_TARGET = 250_000
 
-#: (k_max, grid) of the most recent auto-grid decision — for artifacts/tests.
+#: (k_max, grid[, clamped, est_cell_pairs]) of the most recent auto-grid
+#: decision — for artifacts/tests. `grid` is the LARGEST block's grid
+#: (the per-block rule applied to k_max); clamped/est_cell_pairs appear
+#: only when even PAIR_GRID_MAX leaves a cell above target.
 LAST_SALTED_GRID: dict[str, int] = {}
 
 
@@ -394,6 +411,25 @@ def _auto_grid(k_max: int) -> int:
     while g < PAIR_GRID_MAX and (k_max / g) ** 2 > PAIR_CELL_TARGET:
         g *= 2
     return g
+
+
+def _auto_grid_expr(n_col: Column) -> Column:
+    """Column mirror of :func:`_auto_grid` for the per-block grid:
+    smallest power-of-two g with block_count <= 500*g (integer-exact
+    equivalent of (k/g)² <= PAIR_CELL_TARGET since 250_000 = 500²),
+    clamped to [PAIR_GRID, PAIR_GRID_MAX]. Both join sides derive the
+    SAME g from the block's census count, so every pair still meets in
+    exactly one cell."""
+    root = 500  # isqrt(PAIR_CELL_TARGET); the constant block pins squareness
+    expr = None
+    g = PAIR_GRID
+    while True:
+        cond = n_col <= F.lit(root * g)
+        expr = F.when(cond, F.lit(g)) if expr is None else expr.when(cond, F.lit(g))
+        if g >= PAIR_GRID_MAX:
+            break
+        g *= 2
+    return expr.otherwise(F.lit(PAIR_GRID_MAX)).cast("long")
 
 
 def _block_pairs(
@@ -446,9 +482,15 @@ def salted_block_self_join(
     2. Cold blocks take the plain self-join unchanged.
     3. Hot-block rows are fragment-replicated (the 1-bucket-theta join
        of Okcan & Riedewald, SIGMOD'11): a row with salt s = hash(id)
-       % grid enters the build side in cells (s, *) and the probe side in
+       % g enters the build side in cells (s, *) and the probe side in
        cells (*, s), so every pair meets in EXACTLY one cell and each
-       block's k² work splits grid² ways for grid× row replication.
+       block's k² work splits g² ways for g× row replication. Since r13
+       g is PER-BLOCK when adaptive (``grid=None``): each hot block
+       takes the smallest power-of-two grid its own census count needs
+       (:func:`_auto_grid_expr`), so a 3k-member bucket replicates 8x
+       while a 100k mega-block beside it takes the 256 ceiling —
+       replication proportional to each block's own pair mass. An
+       explicit ``grid`` applies uniformly (experiments/A-B probes).
 
     No forced broadcasts: the hot-key set joins on the same block key
     (AQE broadcasts it when small; the worst-case hot-set size is
@@ -457,24 +499,47 @@ def salted_block_self_join(
     keys = list(block_keys)
     rows = df.select(id_col, *keys)
     counts = rows.groupBy(*keys).agg(F.count(F.lit(1)).alias("__n"))
-    if grid is None:
-        # Census-adaptive grid (r12): the block census is computed anyway;
-        # one extra MAX over it sizes the grid from the largest block the
-        # way grouped execution sizes chunks from measured spill — grid is
-        # PHYSICAL only (output and oracle identical for any value), so
-        # adapting it can never break parity. Cost: one aggregate job per
-        # salted join (~0.2-0.4 s at sf0.1); payoff measured on boiler3:
-        # auto picks 8 -> 2x faster, straggler 1.85 -> 1.24.
-        k_max = counts.agg(F.max("__n")).first()[0] or 0
-        grid = _auto_grid(int(k_max))
+    per_block = grid is None
+    if per_block:
+        # Census-adaptive grid (r12), PER-BLOCK since r13: the block
+        # census is computed anyway; each hot block gets the smallest
+        # power-of-two grid its OWN count needs (see _auto_grid_expr),
+        # so replication stays proportional — raising PAIR_GRID_MAX for
+        # the mega-block tail never inflates ordinary hot blocks. The
+        # grid is PHYSICAL only (output and oracle identical for any
+        # value), so adapting it can never break parity. The k_max MAX
+        # costs one aggregate job per salted join (~0.2-0.4 s at
+        # sf0.1); payoff measured on boiler3: auto picks 8 -> 2x
+        # faster, straggler 1.85 -> 1.24 (SCALE_r12_boiler.json).
+        k_max = int(counts.agg(F.max("__n")).first()[0] or 0)
+        grid = _auto_grid(k_max)
         LAST_SALTED_GRID.clear()
-        LAST_SALTED_GRID.update(k_max=int(k_max), grid=grid)
+        LAST_SALTED_GRID.update(k_max=k_max, grid=grid)
+        if grid == PAIR_GRID_MAX and (k_max / grid) ** 2 > PAIR_CELL_TARGET:
+            # Over-cap contract (VERDICT r12 #5): a block too large for
+            # even the max grid is a data-quality fact (empty/boiler
+            # docs, degenerate keys) the pipeline must SEE — gridding
+            # distributes k² pair work, it cannot shrink it.
+            import warnings
+
+            est = int((k_max / grid) ** 2)
+            LAST_SALTED_GRID.update(clamped=1, est_cell_pairs=est)
+            warnings.warn(
+                f"salted_block_self_join: block of {k_max} rows exceeds "
+                f"the {PAIR_GRID_MAX}x{PAIR_GRID_MAX} grid ceiling — "
+                f"~{est} pairs PER CELL ({k_max * (k_max - 1) // 2} total "
+                f"in the block). Expect a straggling stage; consider "
+                f"filtering or pre-splitting degenerate blocks upstream.",
+                stacklevel=2,
+            )
     hot_keys = counts.filter(F.col("__n") > hot_threshold).select(
-        *keys, F.lit(1).alias("__hot")
+        *keys, "__n"
     )
     tagged = rows.join(hot_keys, keys, "left")
-    cold = tagged.filter(F.col("__hot").isNull()).select(id_col, *keys)
-    hot = tagged.filter(F.col("__hot").isNotNull()).select(id_col, *keys)
+    cold = tagged.filter(F.col("__n").isNull()).select(id_col, *keys)
+    hot = tagged.filter(F.col("__n").isNotNull()).withColumn(
+        "__g", _auto_grid_expr(F.col("__n")) if per_block else F.lit(grid).cast("long")
+    ).select(id_col, *keys, "__g")
 
     cold_pairs = _block_pairs(cold, keys, id_col, out_a, out_b)
 
@@ -484,16 +549,21 @@ def salted_block_self_join(
     # planner then inserts its own ENSURE_REQUIREMENTS exchange, and AQE
     # coalesces THAT by input bytes, re-serializing the very stage the
     # grid exists to spread (measured: 60 s single task on a planted 6k
-    # bucket with the casts; balanced without them).
-    cells = F.array(*[F.lit(g).cast("long") for g in range(grid)])
-    salt = F.pmod(F.xxhash64(F.col(id_col)), F.lit(grid))
+    # bucket with the casts; balanced without them). __g is long, so
+    # sequence() yields array<long> and pmod(xxhash64, __g) stays long.
+    cells = F.sequence(F.lit(0).cast("long"), F.col("__g") - F.lit(1).cast("long"))
+    salt = F.pmod(F.xxhash64(F.col(id_col)), F.col("__g"))
     keys_and_cells = [*keys, "__row", "__col"]
     ha = pinned(
-        hot.withColumn("__row", salt).withColumn("__col", F.explode(cells)),
+        hot.withColumn("__row", salt)
+        .withColumn("__col", F.explode(cells))
+        .select(id_col, *keys_and_cells),
         *keys_and_cells,
     )
     hb = pinned(
-        hot.withColumn("__col", salt).withColumn("__row", F.explode(cells)),
+        hot.withColumn("__col", salt)
+        .withColumn("__row", F.explode(cells))
+        .select(id_col, *keys_and_cells),
         *keys_and_cells,
     )
     grid_cond = (F.col("a.__row") == F.col("b.__row")) & (

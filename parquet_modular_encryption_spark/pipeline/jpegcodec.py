@@ -6,10 +6,14 @@ JPEG): SINGLE-component (grayscale) baseline sequential JPEG — SOI,
 APPn/COM (skipped), DQT (8-bit), SOF0, DHT, SOS, entropy-coded scan with
 0xFF00 byte stuffing, EOI. The decoder is GENERAL over that profile:
 arbitrary canonical Huffman tables from DHT, arbitrary 8-bit quant
-tables, full zigzag/dequant/2-D IDCT per block. Progressive (SOF2),
-multi-component color, 12-bit precision, and restart intervals raise
-``ValueError`` rather than guessing — same refusal contract as
-decode_avi_bi_rgb for compressed DIBs.
+tables, full zigzag/dequant/2-D IDCT per block, and — since r13 —
+restart intervals (DRI + RSTm markers: byte realignment, DC predictor
+reset, modulo-8 marker-index verification; the most common real-encoder
+feature previously refused). Progressive (SOF2), 12-bit precision, and
+sampling layouts beyond 4:2:0/4:4:4 raise ``ValueError`` rather than
+guessing — same refusal contract as decode_avi_bi_rgb for compressed
+DIBs. Grayscale-vs-color component counts still route to the matching
+decoder.
 
 The ENCODER is deliberately minimal-but-valid: it takes already-
 quantized integer coefficient blocks (the fixture uses quant tables of
@@ -127,7 +131,7 @@ class _BitReader:
                 else:
                     raise ValueError(
                         f"unexpected marker 0xFF{marker:02X} inside scan "
-                        "(restart intervals are out of scope)"
+                        "(desynchronized restart or truncated segment)"
                     )
             self._acc = byte
             self._n = 8
@@ -139,6 +143,25 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def sync_restart(self, m: int) -> None:
+        """Consume the RSTm marker at a restart boundary (r13, T.81
+        §B.2.1.2/§E.2.4): discard the rest of the current byte — the
+        encoder 1-padded to byte alignment before the marker — then
+        require 0xFF 0xD0+m verbatim at the stream position. The modulo-8
+        index is checked, not assumed: a skipped or reordered restart is
+        a corruption signal, and resynchronizing silently would decode
+        shifted garbage."""
+        self._n = 0  # byte-align: the encoder's pad bits end here
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("entropy data truncated at restart boundary")
+        got = (self.data[self.pos], self.data[self.pos + 1])
+        if got != (0xFF, 0xD0 + m):
+            raise ValueError(
+                f"expected RST{m} at offset {self.pos}, got "
+                f"0x{got[0]:02X}{got[1]:02X}"
+            )
+        self.pos += 2
 
 
 def _extend(value: int, size: int) -> int:
@@ -155,11 +178,16 @@ def _category(v: int) -> int:
 
 
 def encode_jpeg_gray(
-    width: int, height: int, coeff_blocks: "np.ndarray"
+    width: int, height: int, coeff_blocks: "np.ndarray", restart_interval: int = 0
 ) -> bytes:
     """Serialize already-quantized coefficient blocks (shape
     (n_by, n_bx, 8, 8), int, natural order; quant table all ones) as a
-    baseline grayscale JPEG. n_by/n_bx must cover ceil(h/8) x ceil(w/8)."""
+    baseline grayscale JPEG. n_by/n_bx must cover ceil(h/8) x ceil(w/8).
+    ``restart_interval`` > 0 emits a DRI segment and an RSTm marker
+    (byte-aligned, DC predictor reset, m cycling 0-7) after every that
+    many MCUs — the T.81 §E.2.4 feature real encoders use for error
+    resilience and parallel decode. 0 (default) emits the historic
+    byte-identical stream."""
     n_by = (height + 7) // 8
     n_bx = (width + 7) // 8
     blocks = np.asarray(coeff_blocks, dtype=np.int64)
@@ -169,8 +197,15 @@ def encode_jpeg_gray(
     (dc_bits, dc_syms, dc_codes), (ac_bits, ac_syms, ac_codes) = _enc_tables()
     w = _BitWriter()
     prev_dc = 0
+    mcu_idx = rst = 0
     for by in range(n_by):
         for bx in range(n_bx):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                w.flush()  # 1-pad to the byte boundary, per spec
+                w.out += bytes([0xFF, 0xD0 + rst])  # raw marker: never stuffed
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu_idx += 1
             blk = blocks[by, bx]
             zz = [int(blk[r, c]) for r, c in ZIGZAG]
             diff = zz[0] - prev_dc
@@ -211,6 +246,8 @@ def encode_jpeg_gray(
     out += seg(0xFFDB, bytes([0]) + bytes([1] * 64))  # DQT id 0, all ones
     out += seg(0xFFC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
     out += seg(0xFFC4, dht(0, dc_bits, dc_syms) + dht(1, ac_bits, ac_syms))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
     out += w.out
     out += b"\xff\xd9"  # EOI
@@ -272,6 +309,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, "np.ndarray"]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     comp_qt = comp_dc = comp_ac = 0
+    restart_interval = 0
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at {i}, got {data[i]:#x}")
@@ -312,8 +350,8 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, "np.ndarray"]:
             raise ValueError(
                 f"SOF{marker - 0xC0} (non-baseline-sequential) is out of scope"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) are out of scope")
+        elif marker == 0xDD:  # DRI (r13): restart every Ri MCUs; 0 disables
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:  # SOS — entropy data follows the header
             if width is None:
                 raise ValueError("SOS before SOF0")
@@ -324,7 +362,7 @@ def decode_jpeg_gray(data: bytes) -> tuple[int, int, "np.ndarray"]:
             reader = _BitReader(data, i)
             return width, height, _decode_scan(
                 reader, width, height, qt[comp_qt], huff[(0, comp_dc)],
-                huff[(1, comp_ac)],
+                huff[(1, comp_ac)], restart_interval,
             )
         # APPn / COM / others: skipped
     raise ValueError("no SOS marker found")
@@ -337,13 +375,20 @@ def _decode_scan(
     quant: "np.ndarray",
     dc_lut: dict,
     ac_lut: dict,
+    restart_interval: int = 0,
 ) -> "np.ndarray":
     n_by = (height + 7) // 8
     n_bx = (width + 7) // 8
     out = np.zeros((n_by * 8, n_bx * 8), dtype=np.uint8)
     prev_dc = 0
+    mcu_idx = rst = 0
     for by in range(n_by):
         for bx in range(n_bx):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                r.sync_restart(rst)
+                rst = (rst + 1) % 8
+                prev_dc = 0
+            mcu_idx += 1
             blk = np.zeros((8, 8), dtype=np.int64)
             s = _huff_decode(r, dc_lut)
             prev_dc += _extend(r.bits(s), s)
@@ -376,8 +421,8 @@ def _decode_scan(
 # Scope, honestly stated: 3-component baseline sequential JPEG in the two
 # sampling layouts real encoders emit for photos — 4:2:0 (Y 2x2, chroma
 # 1x1) and 4:4:4 (all 1x1) — with 8-bit precision, one interleaved scan,
-# per-component quant/Huffman table ids, and NO restart intervals.
-# Anything else (other sampling combos, SOF2, 12-bit, DRI) still raises.
+# per-component quant/Huffman table ids, and (since r13) restart
+# intervals. Anything else (other sampling combos, SOF2, 12-bit) raises.
 # Chroma upsampling for 4:2:0 is NEAREST-NEIGHBOR (sample replication) —
 # T.81 leaves the filter to the decoder, and replication is the one
 # choice that keeps flat planted blocks BIT-EXACT, which is what lets
@@ -421,6 +466,7 @@ def encode_jpeg_ycbcr(
     blocks_cb: "np.ndarray",
     blocks_cr: "np.ndarray",
     sampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Serialize already-quantized coefficient blocks as a 3-component
     baseline JPEG (quant tables all ones, ids 0/1; canonical Huffman
@@ -483,8 +529,15 @@ def encode_jpeg_ycbcr(
             code, length = ac_codes[0x00]
             w.put(code, length)
 
+    mcu_idx = rst = 0
     for my in range(n_mcuy):
         for mx in range(n_mcux):
+            if restart_interval and mcu_idx and mcu_idx % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                prev_dc[:] = [0, 0, 0]
+            mcu_idx += 1
             if sampling == "420":
                 for vy in range(2):
                     for vx in range(2):
@@ -513,6 +566,8 @@ def encode_jpeg_ycbcr(
         dht(0, 0, dc_bits, dc_syms) + dht(1, 0, ac_bits, ac_syms)
         + dht(0, 1, dc_bits, dc_syms) + dht(1, 1, ac_bits, ac_syms),
     )
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
     out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
     out += w.out
     out += b"\xff\xd9"
@@ -520,12 +575,14 @@ def encode_jpeg_ycbcr(
 
 
 def encode_jpeg_color_flat(
-    width: int, height: int, y_vals, cb_vals, cr_vals, sampling: str = "420"
+    width: int, height: int, y_vals, cb_vals, cr_vals, sampling: str = "420",
+    restart_interval: int = 0,
 ) -> bytes:
     """Flat-block color encoder for planted fixtures: per-block 8-bit
     levels per component (Y per 8x8 block; chroma per MCU for 4:2:0, per
     block for 4:4:4) become DC-only blocks with DC = 8*(v-128), which
-    survive quant=1 and reconstruct bit-exact."""
+    survive quant=1 and reconstruct bit-exact. ``restart_interval``
+    passes through to :func:`encode_jpeg_ycbcr` (q91k's DRI fixtures)."""
 
     def flat(vals) -> "np.ndarray":
         v = np.asarray(vals, dtype=np.int64)
@@ -534,7 +591,8 @@ def encode_jpeg_color_flat(
         return blocks
 
     return encode_jpeg_ycbcr(
-        width, height, flat(y_vals), flat(cb_vals), flat(cr_vals), sampling
+        width, height, flat(y_vals), flat(cb_vals), flat(cr_vals), sampling,
+        restart_interval,
     )
 
 
@@ -551,6 +609,7 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, "np.ndarray"]:
     huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     width = height = None
     comps: list[tuple[int, int, int, int]] = []  # id, h, v, tq
+    restart_interval = 0
     while i + 4 <= len(data):
         if data[i] != 0xFF:
             raise ValueError(f"expected marker at {i}, got {data[i]:#x}")
@@ -597,8 +656,8 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, "np.ndarray"]:
             raise ValueError(
                 f"SOF{marker - 0xC0} (non-baseline-sequential) is out of scope"
             )
-        elif marker == 0xDD:
-            raise ValueError("restart intervals (DRI) are out of scope")
+        elif marker == 0xDD:  # DRI (r13): restart every Ri MCUs; 0 disables
+            (restart_interval,) = struct.unpack_from(">H", payload, 0)
         elif marker == 0xDA:
             if width is None:
                 raise ValueError("SOS before SOF0")
@@ -619,8 +678,18 @@ def decode_jpeg_color(data: bytes) -> tuple[int, int, "np.ndarray"]:
                 for _, h, v, _ in comps
             ]
             prev_dc = [0, 0, 0]
+            mcu_idx = rst = 0
             for my in range(n_mcuy):
                 for mx in range(n_mcux):
+                    if (
+                        restart_interval
+                        and mcu_idx
+                        and mcu_idx % restart_interval == 0
+                    ):
+                        reader.sync_restart(rst)
+                        rst = (rst + 1) % 8
+                        prev_dc = [0, 0, 0]
+                    mcu_idx += 1
                     for ci, (cid, h, v, tq) in enumerate(comps):
                         dc_lut = huff[(0, scan_tabs[cid][0])]
                         ac_lut = huff[(1, scan_tabs[cid][1])]

@@ -2117,11 +2117,17 @@ def _cjpeg_plant(media_id: int, w: int, h: int, sampling: str):
     return y, cb, cr
 
 
-def _cjpeg_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Loose .jpg color files for the q91j ids (memoized per session+sf)."""
+def _cjpeg_fixture_dir(spark: SparkSession, sf_dir: str, restart: bool = False) -> str:
+    """Loose .jpg color files for the q91j/q91k ids (memoized per
+    session+sf). ``restart=True`` (q91k) encodes every file with a DRI
+    restart interval derived from its id — Ri = 1 + (id % 4) MCUs, so
+    multi-MCU files carry RST marker chains (Ri=1 wraps the modulo-8
+    index on the larger layouts) while the 1-MCU files stay markerless,
+    both inside the same scan profile the decoder must serve."""
     import os
 
-    key = (spark.sparkContext.applicationId, f"q91j:{sf_dir}")
+    tag = "q91k" if restart else "q91j"
+    key = (spark.sparkContext.applicationId, f"{tag}:{sf_dir}")
     cached = _MEDIA_FIXTURE_CACHE.get(key)
     if cached is not None and os.path.isdir(cached):
         return cached
@@ -2138,19 +2144,30 @@ def _cjpeg_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
         .select("doc_id")
         .collect()  # fixture write only; the decode read is distributed
     ]
-    path = scratch_dir("pme_q91j_")
+    path = scratch_dir(f"pme_{tag}_")
+    n_with_rst = 0
     for mid in ids:
         sampling, w, h = _cjpeg_params(mid)
         y, cb, cr = _cjpeg_plant(mid, w, h, sampling)
+        ri = (1 + mid % 4) if restart else 0
+        blob = encode_jpeg_color_flat(w, h, y, cb, cr, sampling, ri)
+        if restart and b"\xff\xd0" in blob:
+            n_with_rst += 1
         with open(f"{path}/{mid}.jpg", "wb") as fh:
-            fh.write(encode_jpeg_color_flat(w, h, y, cb, cr, sampling))
+            fh.write(blob)
+    if restart:
+        # the fixture must actually EXERCISE restarts, not just declare DRI
+        assert n_with_rst > 0, "q91k fixture planted no RST markers"
     _MEDIA_FIXTURE_CACHE[key] = path
     return path
 
 
-@register(
-    "q91j_color_jpeg_decode",
-    oracle="""
+#: Shared q91j/q91k oracle: per-channel pixel sums and row/col-weighted R
+#: sums recomputed from ids alone. q91k registers it VERBATIM — restart
+#: markers are physical stream structure (byte realignment + DC reset),
+#: so DRI-encoded files must decode to bit-identical pixels; sharing the
+#: oracle makes that equivalence hash-checked, the q49f pattern.
+_CJPEG_ORACLE = """
     WITH media AS (
         SELECT doc_id AS media_id,
                CASE WHEN doc_id % 2 = 0 THEN 16 * (1 + (doc_id % 3))
@@ -2193,34 +2210,16 @@ def _cjpeg_fixture_dir(spark: SparkSession, sf_dir: str) -> str:
            CAST(SUM(8 * r * (64 * bx + 36)) AS BIGINT) AS col_weighted_r_sum
     FROM rgb
     GROUP BY media_id
-    """,
-    tags=("multimodal", "image", "binary", "pandas-udf"),
-)
-def q91j_color_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL color-image decode end-to-end: loose baseline YCbCr JPEGs
-    (4:2:0 on even media ids, 4:4:4 on odd — both layouts in every run)
-    are ingested distributed via binaryFile and decoded executor-side in
-    Arrow-batched mapInPandas through the full T.81 color pipeline
-    (pipeline/jpegcodec.py): per-component quant + canonical-Huffman
-    tables, interleaved MCU scan with the 2x2 Y-block raster, DC chains
-    per component, zigzag/dequant/IDCT, nearest-neighbor chroma
-    upsampling, and the EXACT fixed-point YCbCr->RGB contract. Planted
-    flat blocks reconstruct bit-exact per component, so the DuckDB
-    oracle recomputes per-channel pixel sums and row/column-weighted R
-    sums from ids alone: a decoder that swaps Cb/Cr, misorders the MCU's
-    Y blocks, upsamples off-grid, or rounds the conversion differently
-    hash-mismatches. Decoder generality beyond flat blocks is pinned by
-    the random-coefficient color round-trip test; the gray decoder and
-    this one refuse each other's component counts.
+    """
 
-    Scale: one mapInPandas pass, same shape as q91h — decode
-    parallelizes with files, pixels never touch the driver."""
-    prep(spark)
+
+def _color_jpeg_frame(spark: SparkSession, jpg_dir: str) -> DataFrame:
+    """Distributed binaryFile ingest + Arrow-batched mapInPandas decode of
+    a loose color-JPEG directory — the shared engine half of q91j/q91k."""
     from parquet_modular_encryption_spark.pipeline.jpegcodec import (
         decode_jpeg_color,
     )
 
-    jpg_dir = _cjpeg_fixture_dir(spark, sf_dir)
     blobs = spark.read.format("binaryFile").load(f"{jpg_dir}/*.jpg")
     media = blobs.select(
         F.regexp_extract(F.col("path"), r"(\d+)\.jpg$", 1)
@@ -2259,3 +2258,54 @@ def q91j_color_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id bigint, width int, height int, r_sum bigint, g_sum bigint, "
         "b_sum bigint, row_weighted_r_sum bigint, col_weighted_r_sum bigint",
     )
+
+
+@register(
+    "q91j_color_jpeg_decode",
+    oracle=_CJPEG_ORACLE,
+    tags=("multimodal", "image", "binary", "pandas-udf"),
+)
+def q91j_color_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL color-image decode end-to-end: loose baseline YCbCr JPEGs
+    (4:2:0 on even media ids, 4:4:4 on odd — both layouts in every run)
+    are ingested distributed via binaryFile and decoded executor-side in
+    Arrow-batched mapInPandas through the full T.81 color pipeline
+    (pipeline/jpegcodec.py): per-component quant + canonical-Huffman
+    tables, interleaved MCU scan with the 2x2 Y-block raster, DC chains
+    per component, zigzag/dequant/IDCT, nearest-neighbor chroma
+    upsampling, and the EXACT fixed-point YCbCr->RGB contract. Planted
+    flat blocks reconstruct bit-exact per component, so the DuckDB
+    oracle recomputes per-channel pixel sums and row/column-weighted R
+    sums from ids alone: a decoder that swaps Cb/Cr, misorders the MCU's
+    Y blocks, upsamples off-grid, or rounds the conversion differently
+    hash-mismatches. Decoder generality beyond flat blocks is pinned by
+    the random-coefficient color round-trip test; the gray decoder and
+    this one refuse each other's component counts.
+
+    Scale: one mapInPandas pass, same shape as q91h — decode
+    parallelizes with files, pixels never touch the driver."""
+    prep(spark)
+    return _color_jpeg_frame(spark, _cjpeg_fixture_dir(spark, sf_dir))
+
+
+@register(
+    "q91k_jpeg_restart_decode",
+    oracle=_CJPEG_ORACLE,
+    tags=("multimodal", "image", "binary", "pandas-udf"),
+)
+def q91k_jpeg_restart_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q91j's color-JPEG decode over DRI fixtures (r13, VERDICT r12
+    optional #7): the same planted images re-encoded with restart
+    intervals Ri = 1 + (id % 4), so the scans carry RSTm marker chains —
+    byte-aligned 1-padding, modulo-8 marker indices (Ri=1 wraps the
+    cycle on the larger layouts), and per-restart DC predictor resets —
+    the most common real-encoder feature (every libjpeg photo with DRI)
+    the codec previously refused. Restart markers are PHYSICAL stream
+    structure, never pixel content, so this registers q91j's oracle
+    VERBATIM: the driver hash-checks that a decoder which mis-realigns,
+    forgets a DC reset, or accepts a reordered marker cannot produce the
+    same sums (the q49f shared-oracle pattern). The refusal boundary
+    narrows honestly — desynchronized or reordered RST markers still
+    raise (pytest-pinned), as do SOF2/12-bit/other samplings."""
+    prep(spark)
+    return _color_jpeg_frame(spark, _cjpeg_fixture_dir(spark, sf_dir, restart=True))

@@ -1508,6 +1508,246 @@ def q55e_embedding_neardup_budget(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# -- q55f: the WIDE-BASE-BAND operating point for >= 10^6-vector corpora ----
+#
+# VERDICT r12 "What's missing" #1: the q55/q55e family's widening cap
+# (Q55_MAX_EXTRA_BITS = 8) is a hard scale boundary — the unit ladder
+# exhausts it at 2048 * 2^8 ≈ 524k vectors (the budget knob already at
+# ~65k), and past the cap candidate growth is pure n^2 (measured
+# exponent series 1.45 -> 1.81 -> 2.00, Q55_RECALL_r12.json). The cap
+# CANNOT be raised in place: widening plane ids are laid out as
+# N_PLANES + b*MAX_EXTRA + j, so a larger ceiling re-lands every plane
+# and silently changes q55's answers at all scales. The production
+# remedy is the third application of the q47/q47d registered-sibling
+# pattern: a NEW operating point with a WIDER BASE BAND and a fresh,
+# collision-free plane-id namespace.
+#
+# Layout: band b draws base bit i from plane WIDE_PLANE_BASE + b*32 + i
+# (i < 6) and widening bit j from WIDE_PLANE_BASE + b*32 + 16 + j
+# (j < 10) — 16 slots of headroom per band, and the whole range
+# [1000, 1000 + 18*32) is disjoint by construction from every plane the
+# q51/q54/q55 family uses (base 0-7, widening 8-87, extra bands
+# 200-583), so registering q55f changes NOTHING else (asserted below).
+#
+# Sizing: the 6-bit base gives three "free" doublings over q55's 3-bit
+# base (same per-band random-collision density at TARGET = 2048 << 3),
+# and the 10-bit widening ladder then covers 16384 * 2^10 ≈ 16.8M
+# vectors at one extra bit per doubling — 16x past the 10^6-vector
+# deployment the verdict names, vs q55's 524k ceiling. Candidate growth
+# stays the measured ~n^1.36 family (the real per-bit pruning on this
+# corpus is ~0.64, r9), sub-quadratic at every rung — extended past
+# 120k vectors in Q55_RECALL_r13.json.
+#
+# Recall: per-band survival of a cosine-0.95 pair at depth 6+x is
+# s^(6+x) with s = 1 - acos(0.95)/pi ≈ 0.899, lower than q55's 3-bit
+# bands at equal corpus size — so the band-COUNT ladder compensates
+# harder: B(x) = smallest B with 1 - (1 - s^(6+x))^B >= 0.97 (5 bands
+# at x = 0 up to 18 at x = 10), the same theory floor q55_band_count
+# holds, leaving the measured ~0.02-0.05 theory-vs-planted gap of
+# margin over the >= 0.9 production target.
+Q55W_BASE_BITS = 6
+Q55W_BAND_TARGET = Q55_BAND_TARGET << 3  # 16384: density-matched to q55's x=0
+Q55W_MAX_EXTRA_BITS = 10
+Q55W_PLANE_BASE = 1000
+Q55W_PLANE_STRIDE = 32
+Q55W_RECALL_FLOOR = 0.97
+
+
+def q55w_extra_band_bits(n: int) -> int:
+    """Smallest x in [0, 10] with n <= 16384 * 2^x — the wide config's
+    unit widening ladder (integer-exact, mirrored as `n <= TARGET << x`
+    literals in the oracle)."""
+    x = 0
+    while x < Q55W_MAX_EXTRA_BITS and n > (Q55W_BAND_TARGET << x):
+        x += 1
+    return x
+
+
+def q55w_band_count(x: int) -> int:
+    """Smallest B with 1 - (1 - s^(6+x))^B >= 0.97 at planted cosine
+    0.95 (s = 1 - acos(0.95)/pi): 5, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18
+    for x = 0..10. Same theory floor as q55_band_count, recomputed for
+    the 6-bit base depth; both engines evaluate the SAME closed form
+    (the oracle mirrors the resulting integers as a CASE ladder)."""
+    import math
+
+    s = 1.0 - math.acos(0.95) / math.pi
+    p = s ** (Q55W_BASE_BITS + x)
+    b = 1
+    while 1.0 - (1.0 - p) ** b < Q55W_RECALL_FLOOR:
+        b += 1
+    return b
+
+
+Q55W_MAX_BANDS = q55w_band_count(Q55W_MAX_EXTRA_BITS)
+
+
+def _q55w_plane(b: int, i: int, widening: bool = False) -> int:
+    """LCG plane id for wide band ``b``: base bit i at slot i, widening
+    bit i at slot 16 + i — a fresh namespace disjoint from every plane
+    the q51/q54/q55 family draws (asserted, not assumed)."""
+    slot = (16 + i) if widening else i
+    p = Q55W_PLANE_BASE + b * Q55W_PLANE_STRIDE + slot
+    assert p >= Q55W_PLANE_BASE > Q55_EXTRA_BAND_PLANE_BASE + 24 * 16
+    return p
+
+
+def q55w_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(e, bands) for the wide-base-band corpus banding join — the q55f
+    twin of :func:`q55_corpus_bands`, same materialize-once contract
+    (localCheckpoint: both sides of the bucket self-join consume it)."""
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    x = q55w_extra_band_bits(emb.count())
+    n_bands = q55w_band_count(x)
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+
+    def _weight_fn(plane: int):
+        return lambda d: _plane_weights(plane, d)
+
+    plane_ids = {
+        _q55w_plane(b, i) for b in range(n_bands) for i in range(Q55W_BASE_BITS)
+    } | {_q55w_plane(b, j, widening=True) for b in range(n_bands) for j in range(x)}
+    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in plane_ids}
+    band_structs = []
+    for b in range(n_bands):
+        key = None
+        for i in range(Q55W_BASE_BITS):
+            bit = F.when(projs[_q55w_plane(b, i)] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        for j in range(x):
+            key = key + F.when(
+                projs[_q55w_plane(b, j, widening=True)] > 0,
+                F.lit(1 << (Q55W_BASE_BITS + j)),
+            ).otherwise(F.lit(0))
+        band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
+    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id",
+        F.col("bk.band_id").alias("band_id"),
+        F.col("bk.band_key").alias("band_key"),
+    ).localCheckpoint(eager=True)
+    return e, bands
+
+
+def _sql_bands_cte_wide() -> str:
+    """Oracle fragment for the WIDE corpus-scaled bands (q55f): all
+    {Q55W_MAX_BANDS} bands and all widening projections emitted
+    statically, rows gated on ``b < nb`` and key bits on ``j < x`` —
+    the exact mirror of :func:`q55w_extra_band_bits` (integer
+    ``n <= TARGET << x`` thresholds, no float anywhere) and
+    :func:`q55w_band_count` (CASE over the same x)."""
+    plane_ids = sorted(
+        {
+            _q55w_plane(b, i)
+            for b in range(Q55W_MAX_BANDS)
+            for i in range(Q55W_BASE_BITS)
+        }
+        | {
+            _q55w_plane(b, j, widening=True)
+            for b in range(Q55W_MAX_BANDS)
+            for j in range(Q55W_MAX_EXTRA_BITS)
+        }
+    )
+    projs = ", ".join(
+        f"list_dot_product(e.embedding::DOUBLE[], "
+        f"list_transform(range(0, len(e.embedding)), d -> {_sql_plane_weight(p)})) AS proj_{p}"
+        for p in plane_ids
+    )
+    ladder = " ".join(
+        f"WHEN n <= {Q55W_BAND_TARGET << x} THEN {x}"
+        for x in range(Q55W_MAX_EXTRA_BITS)
+    )
+    nb_ladder = " ".join(
+        f"WHEN x = {x} THEN {q55w_band_count(x)}"
+        for x in range(Q55W_MAX_EXTRA_BITS)
+    )
+    band_rows = " UNION ALL ".join(
+        "SELECT vec_id, {b} AS band_id, {key} AS band_key FROM planes "
+        "WHERE {b} < (SELECT nb FROM nbands)".format(
+            b=b,
+            key=" + ".join(
+                [
+                    f"(CASE WHEN proj_{_q55w_plane(b, i)} > 0 THEN {1 << i} ELSE 0 END)"
+                    for i in range(Q55W_BASE_BITS)
+                ]
+                + [
+                    f"(CASE WHEN {j} < (SELECT x FROM xbits) "
+                    f"AND proj_{_q55w_plane(b, j, widening=True)} > 0 "
+                    f"THEN {1 << (Q55W_BASE_BITS + j)} ELSE 0 END)"
+                    for j in range(Q55W_MAX_EXTRA_BITS)
+                ]
+            ),
+        )
+        for b in range(Q55W_MAX_BANDS)
+    )
+    return f"""
+    planes AS (SELECT e.vec_id, {projs} FROM embeddings e),
+    xbits AS (
+        SELECT CASE {ladder} ELSE {Q55W_MAX_EXTRA_BITS} END AS x
+        FROM (SELECT (SELECT COUNT(*) FROM embeddings) AS n)
+    ),
+    nbands AS (
+        SELECT CASE {nb_ladder} ELSE {Q55W_MAX_BANDS} END AS nb
+        FROM xbits
+    ),
+    bands AS ({band_rows})
+    """
+
+
+@register(
+    "q55f_embedding_neardup_wide",
+    oracle=f"""
+    WITH {_sql_bands_cte_wide()},
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+         AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b,
+           list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+               AS cosine_sim
+    FROM cand
+    JOIN embeddings ea ON ea.vec_id = cand.vec_a
+    JOIN embeddings eb ON eb.vec_id = cand.vec_b
+    WHERE list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))
+          >= {NEARDUP_COSINE}
+    """,
+    tags=("dedup", "similarity", "embedding", "wide"),
+)
+def q55f_embedding_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q55 at the WIDE-BASE-BAND operating point — the registered config
+    a >= 10^6-vector deployment runs (VERDICT r12 missing #1): 6-bit
+    base band keys (vs q55's 3) in a fresh plane-id namespace, a 10-bit
+    unit-widening ladder reaching 16384 * 2^10 ≈ 16.8M vectors before
+    the cap binds (vs q55's 524k / q55e's ~65k), and a band-count ladder
+    holding the 1-(1-s^depth)^B theory recall floor >= 0.97 at planted
+    cosine 0.95 for every rung (5 bands at the driver/bench scales up to
+    18 at the cap). Same candidate-verify shape as q55; same exact-cosine
+    predicate; own oracle mirroring both ladders as integer CASE
+    literals. Candidate growth measured sub-quadratic past 120k vectors
+    in Q55_RECALL_r13.json — the series the r12 artifact could not
+    extend because no registered config scaled past its cap. See the
+    constant block above for why a new registered sibling (the
+    q47/q47d/q54h pattern) is the only safe shape: raising the old cap
+    in place re-lands plane ids and changes q55's answers everywhere."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    e, bands = q55w_corpus_bands(emb)
+    cand = q55_corpus_candidates(bands)
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("ee").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("ee").alias("vb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cosine(F.col("va"), F.col("vb")).alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= NEARDUP_COSINE)
+    )
+
+
 @register(
     "q55b_semdedup",
     oracle=f"""

@@ -69,6 +69,10 @@ SFS = [
     # exponent is measured past 60k vectors; embeddings-only corpus
     # (gen_scaled_testdata.py 60 build/testdata/sf6 --tables embeddings)
     ("sf6", f"{_BT}/sf6"),
+    # r13 (VERDICT r12 #2): one more doubling past sf6 so the wide
+    # config's sub-n^2 claim is MEASURED past 120k vectors
+    # (gen_scaled_testdata.py 120 build/testdata/sf12 --tables embeddings)
+    ("sf12", f"{_BT}/sf12"),
 ]
 KNOBS = (1.0, 1.6)
 BLOCK = 4096
@@ -213,6 +217,15 @@ def run_planted(spark, result: dict) -> None:
     # q55e's budget knob) — the setting for large scales where each
     # candidate count is a multi-minute job.
     band_cfgs = (None,) if "--registered-only" in sys.argv else (None, 2, 8)
+    # --configs wide,1.0,1.6: run only the named configs (r13 — the wide
+    # q55f rows are new at every scale, but re-measuring the r12 knob
+    # series at sf6 costs ~20 min of candidate counting for numbers the
+    # committed artifact already pins).
+    sel = None
+    if "--configs" in sys.argv:
+        sel = set(sys.argv[sys.argv.index("--configs") + 1].split(","))
+    knobs = [k for k in KNOBS if sel is None or str(k) in sel]
+    want_wide = "--wide" in sys.argv or (sel is not None and "wide" in sel)
     for sf_name, sf_dir in _wanted_scales():
         if not os.path.isdir(sf_dir):
             print(f"planted {sf_name}: {sf_dir} missing, skipping", flush=True)
@@ -221,7 +234,7 @@ def run_planted(spark, result: dict) -> None:
         emb = _load(spark, dst, "embeddings")
         involved = sorted({v for a, b, _ in pairs for v in (a, b)})
         row: dict = {"n_vectors": n_total}
-        for knob in KNOBS:
+        for knob in knobs:
             # None = the REGISTERED corpus-scaled band-count ladder
             # (r11); 2 = the historic fixed-2-band config whose recall
             # decay motivated it; 8 = the OR-amplification headroom.
@@ -261,6 +274,46 @@ def run_planted(spark, result: dict) -> None:
                       f"n={n_total} x={x} cand={n_cand} "
                       f"{ {k: v['recall'] for k, v in strata.items()} }",
                       flush=True)
+        if want_wide:
+            # r13: the q55f wide-base-band registered config — measured
+            # with the operator's own factored-out band stage, exactly
+            # like the knob configs above.
+            from parquet_modular_encryption_spark.pipeline.similarity import (
+                q55w_band_count,
+                q55w_corpus_bands,
+                q55w_extra_band_bits,
+            )
+
+            x = q55w_extra_band_bits(n_total)
+            _, wbands = q55w_corpus_bands(emb)
+            n_cand = q55_corpus_candidates(wbands).count()
+            keys = {}
+            for r in wbands.filter(F.col("vec_id").isin(involved)).collect():
+                keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
+            strata = {}
+            for c in PLANT_COSINES:
+                sub = [(a, b) for a, b, cc in pairs if cc == c]
+                hits = sum(
+                    1
+                    for a, b in sub
+                    if keys.get(a) and keys.get(b)
+                    and any(keys[a][band] == keys[b].get(band) for band in keys[a])
+                )
+                strata[f"{c:.2f}"] = {
+                    "pairs": len(sub),
+                    "recall": round(hits / len(sub), 4) if sub else None,
+                }
+            row["knob_wide_q55f"] = {
+                "extra_bits": x,
+                "n_bands": q55w_band_count(x),
+                "registered_default": True,
+                "candidates": int(n_cand),
+                "recall_by_planted_cosine": strata,
+            }
+            print(f"planted {sf_name} WIDE q55f: n={n_total} x={x} "
+                  f"bands={q55w_band_count(x)} cand={n_cand} "
+                  f"{ {k: v['recall'] for k, v in strata.items()} }",
+                  flush=True)
         result["planted"]["sfs"][sf_name] = row
 
     # Candidate-growth series + measured exponents per registered config

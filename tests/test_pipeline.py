@@ -2860,20 +2860,36 @@ def test_grouped_exact_joins_equal_monolith(spark, monkeypatch):
 
 def test_salted_grid_auto_sizing(spark):
     """The salted self-join's reducer grid sizes itself from the block
-    census (r12): smallest power-of-two g in [4, 16] with per-cell pair
-    work (k_max/g)^2 <= PAIR_CELL_TARGET — pinned at the measured
-    calibration points (boiler1 max 1,018 -> 4; boiler3 2,980 -> 8; the
-    r11 planted 6,143 bucket -> 16; cap at 16). The grid is physical
-    only, so the adaptive choice must leave the pair set exactly equal
-    to the plain join's — asserted on a planted hot-bucket frame big
-    enough to force g = 8, with the decision recorded."""
+    census (r12; PER-BLOCK + cap 256 since r13): smallest power-of-two
+    g in [4, 256] with per-cell pair work (k/g)^2 <= PAIR_CELL_TARGET —
+    pinned at the measured calibration points (boiler1 max 1,018 -> 4;
+    boiler3 2,980 -> 8; the r11 planted 6,143 bucket -> 16; a 50k block
+    -> 128; cap at 256). The grid is physical only, so the adaptive
+    choice must leave the pair set exactly equal to the plain join's —
+    asserted on a planted hot-bucket frame big enough to force g = 8,
+    with the decision recorded. The per-block SQL mirror must agree
+    with the Python rule at every boundary."""
     from pyspark.sql import functions as F
 
     from parquet_modular_encryption_spark.pipeline import dedup as D
 
-    assert [D._auto_grid(k) for k in (0, 1018, 2980, 6143, 10**6)] == [
-        4, 4, 8, 16, 16,
+    assert [D._auto_grid(k) for k in (0, 1018, 2980, 6143, 50_000, 10**6)] == [
+        4, 4, 8, 16, 128, 256,
     ]
+
+    # engine-side per-block mirror == the Python rule, swept across every
+    # power-of-two boundary +-1 (k <= 500g is the integer-exact form)
+    probes = sorted(
+        {1, 2, D.HOT_BUCKET_THRESHOLD + 1}
+        | {500 * g + d for g in (4, 8, 16, 32, 64, 128, 256) for d in (-1, 0, 1)}
+        | {10**6}
+    )
+    got = (
+        spark.createDataFrame([(n,) for n in probes], "n long")
+        .select("n", D._auto_grid_expr(F.col("n")).alias("g"))
+        .collect()
+    )
+    assert {r.n: r.g for r in got} == {n: D._auto_grid(n) for n in probes}
 
     # one hot bucket of 2,400 members forces g = 8: per-cell pair work on
     # the 4x4 floor is (2400/4)^2 = 360k > PAIR_CELL_TARGET (250k), and
@@ -2892,6 +2908,40 @@ def test_salted_grid_auto_sizing(spark):
     }
     assert D.LAST_SALTED_GRID == {"k_max": 2400, "grid": 8}
     assert salted == plain and len(plain) > 2_800_000
+
+
+def test_salted_grid_over_cap_warns(spark):
+    """The mega-block contract (VERDICT r12 #5): a block whose pair work
+    exceeds the PAIR_CELL_TARGET even at the PAIR_GRID_MAX ceiling must
+    raise a visible warning with the per-cell estimate and record the
+    clamp in LAST_SALTED_GRID — gridding distributes k^2 work, it cannot
+    shrink it, and a 100 TB pipeline must SEE degenerate blocks instead
+    of silently straggling. The warning fires at census/decision time
+    (driver-side), so asserting it does not require executing the
+    explosive join itself."""
+    import warnings
+
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline import dedup as D
+
+    k = 130_000  # _auto_grid clamps at 256 and (k/256)^2 > PAIR_CELL_TARGET
+    assert D._auto_grid(k) == D.PAIR_GRID_MAX
+    bands = spark.range(k).select(
+        F.col("id").alias("doc_id"),
+        F.lit(0).alias("band_id"),
+        F.lit("MEGA").alias("band_key"),
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        D.banded_pairs_salted(bands)  # lazy: only the census job runs
+    msgs = [str(w.message) for w in caught if "grid ceiling" in str(w.message)]
+    assert msgs, "over-cap block did not warn"
+    assert str(k) in msgs[0] and "pairs PER CELL" in msgs[0]
+    g = D.LAST_SALTED_GRID
+    assert g["k_max"] == k and g["grid"] == D.PAIR_GRID_MAX
+    assert g["clamped"] == 1
+    assert g["est_cell_pairs"] == int((k / D.PAIR_GRID_MAX) ** 2) > D.PAIR_CELL_TARGET
 
 
 def test_grouped_auto_sizing_rule(spark, monkeypatch):
@@ -3019,6 +3069,153 @@ def test_q55_budget_ladder_engine_oracle_agree():
                 pd_knob,
                 n,
             )
+
+
+def test_q55_wide_ladders_and_plane_namespace():
+    """q55f's wide config (r13): (1) the integer widening ladder the
+    oracle mirrors as `n <= TARGET << x` literals must agree with the
+    Spark-side walk at every regime boundary and cover >= 10^6 vectors
+    before the cap binds; (2) the band-count ladder must hold the
+    1-(1-s^(6+x))^B >= 0.97 theory floor at planted cosine 0.95 for
+    every rung and be monotone; (3) the wide plane-id namespace must be
+    disjoint from EVERY plane the q51/q54/q55 family uses — the layout
+    constraint that forced a new registered sibling instead of raising
+    Q55_MAX_EXTRA_BITS in place."""
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        LSH_BANDS,
+        N_PLANES,
+        Q55_EXTRA_BAND_PLANE_BASE,
+        Q55_MAX_BANDS,
+        Q55_MAX_EXTRA_BITS,
+        Q55W_BAND_TARGET,
+        Q55W_BASE_BITS,
+        Q55W_MAX_BANDS,
+        Q55W_MAX_EXTRA_BITS,
+        _q55_band_planes,
+        _q55w_plane,
+        q55w_band_count,
+        q55w_extra_band_bits,
+    )
+
+    # (1) ladder agreement + scale coverage
+    thresholds = [Q55W_BAND_TARGET << x for x in range(Q55W_MAX_EXTRA_BITS)]
+
+    def sql_case(n):
+        for x, t in enumerate(thresholds):
+            if n <= t:
+                return x
+        return Q55W_MAX_EXTRA_BITS
+
+    probe = set(range(1, 5000))
+    for t in thresholds:
+        probe.update(range(max(1, t - 2), t + 3))
+    probe.update(int(thresholds[-1] * f) for f in (1.5, 2.0, 10.0))
+    probe.update((10**6, 16_000_000, 17_000_000))
+    for n in sorted(probe):
+        assert q55w_extra_band_bits(n) == sql_case(n), n
+    # the cap binds only past ~16.8M vectors — 16x beyond the 10^6 target
+    assert (Q55W_BAND_TARGET << Q55W_MAX_EXTRA_BITS) > 10**7
+
+    # (2) theory recall floor and monotone band count
+    s = 1.0 - math.acos(0.95) / math.pi
+    prev_b = 0
+    for x in range(Q55W_MAX_EXTRA_BITS + 1):
+        b = q55w_band_count(x)
+        assert b >= prev_b, (x, b, prev_b)
+        prev_b = b
+        p = s ** (Q55W_BASE_BITS + x)
+        assert 1.0 - (1.0 - p) ** b >= 0.97, (x, b)
+    assert q55w_band_count(Q55W_MAX_EXTRA_BITS) == Q55W_MAX_BANDS
+
+    # (3) plane-namespace disjointness vs every existing consumer
+    legacy = set(range(N_PLANES))  # q51/q54 base planes
+    legacy |= {
+        N_PLANES + b * Q55_MAX_EXTRA_BITS + j
+        for b in range(Q55_MAX_BANDS)
+        for j in range(Q55_MAX_EXTRA_BITS)
+    }
+    legacy |= {
+        p for b in range(24) for p in _q55_band_planes(b)
+    }  # extra-band bases up to the n_bands<=24 assert
+    assert max(legacy) < Q55_EXTRA_BAND_PLANE_BASE + 24 * 16
+    wide = {
+        _q55w_plane(b, i)
+        for b in range(Q55W_MAX_BANDS)
+        for i in range(Q55W_BASE_BITS)
+    } | {
+        _q55w_plane(b, j, widening=True)
+        for b in range(Q55W_MAX_BANDS)
+        for j in range(Q55W_MAX_EXTRA_BITS)
+    }
+    assert not (wide & legacy)
+    assert len(wide) == Q55W_MAX_BANDS * (Q55W_BASE_BITS + Q55W_MAX_EXTRA_BITS)
+    assert LSH_BANDS  # imported to keep the legacy set honest if bands move
+
+
+def test_jpeg_restart_intervals_roundtrip_and_refuse():
+    """DRI support (r13, VERDICT r12 optional #7): restart markers are
+    PHYSICAL stream structure — byte realignment + DC predictor reset —
+    so decoding a DRI stream must yield pixels IDENTICAL to the same
+    blocks encoded without restarts, for gray and color at several
+    interval lengths (including intervals that wrap the modulo-8 marker
+    index). The refusal boundary narrows but stays strict: a reordered
+    RSTm index and a truncation at a restart boundary both raise, and
+    restart_interval=0 emits the historic byte-identical stream."""
+    import numpy as np
+
+    from parquet_modular_encryption_spark.pipeline.jpegcodec import (
+        decode_jpeg_color,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.RandomState(99)
+    n_by, n_bx = 3, 4  # 12 MCUs: interval 1 wraps the RST0-7 cycle
+    blocks = rng.randint(-180, 180, size=(n_by, n_bx, 8, 8))
+    blocks[0, 1, :, :] = 0  # an early-EOB block right before a boundary
+    w, h = n_bx * 8, n_by * 8
+    plain = encode_jpeg_gray(w, h, blocks)
+    assert plain == encode_jpeg_gray(w, h, blocks, restart_interval=0)
+    _, _, px_plain = decode_jpeg_gray(plain)
+    for ri in (1, 3, 5):
+        data = encode_jpeg_gray(w, h, blocks, restart_interval=ri)
+        assert data != plain and b"\xff\xdd" in data
+        rw, rh, px = decode_jpeg_gray(data)
+        assert (rw, rh) == (w, h)
+        assert np.array_equal(px, px_plain), f"ri={ri} pixels drifted"
+
+    # color: 4:2:0 (2x2 Y + chroma per MCU) and 4:4:4
+    for sampling, ydim in (("420", (4, 4)), ("444", (2, 2))):
+        cdim = (2, 2)
+        by = rng.randint(-120, 120, size=ydim + (8, 8))
+        bcb = rng.randint(-120, 120, size=cdim + (8, 8))
+        bcr = rng.randint(-120, 120, size=cdim + (8, 8))
+        cw, ch = (32, 32) if sampling == "420" else (16, 16)
+        ref = encode_jpeg_ycbcr(cw, ch, by, bcb, bcr, sampling)
+        _, _, rgb_plain = decode_jpeg_color(ref)
+        data = encode_jpeg_ycbcr(cw, ch, by, bcb, bcr, sampling, restart_interval=1)
+        _, _, rgb = decode_jpeg_color(data)
+        assert np.array_equal(rgb, rgb_plain), sampling
+
+    # refusals: a swapped RSTm index must not decode
+    data = bytearray(encode_jpeg_gray(w, h, blocks, restart_interval=1))
+    first_rst = data.find(b"\xff\xd0")
+    assert first_rst > 0
+    data[first_rst + 1] = 0xD3  # wrong modulo-8 index
+    try:
+        decode_jpeg_gray(bytes(data))
+        raise AssertionError("reordered RST marker decoded silently")
+    except ValueError as exc:
+        assert "RST" in str(exc)
+    # truncation exactly at a restart boundary
+    try:
+        decode_jpeg_gray(bytes(encode_jpeg_gray(w, h, blocks, restart_interval=1))[: first_rst + 1])
+        raise AssertionError("truncated restart stream decoded silently")
+    except ValueError:
+        pass
 
 
 def test_jpeg_codec_roundtrips_random_coefficients():
