@@ -3349,8 +3349,10 @@ def test_color_jpeg_codec_roundtrips_random_coefficients():
 
 def test_jpeg_codec_refusal_contract():
     """Everything outside the stated profile raises rather than guessing:
-    progressive SOF2, restart intervals, color (3-component), 16-bit
-    quant tables, truncated entropy data, and a non-JPEG prefix."""
+    progressive SOF2, color (3-component), 16-bit quant tables, truncated
+    entropy data, and a non-JPEG prefix. DRI left the refusal set in r13
+    — a DRI segment now decodes (and with an interval longer than the
+    MCU count must decode IDENTICALLY to the plain stream)."""
     import struct
 
     import numpy as np
@@ -3379,11 +3381,13 @@ def test_jpeg_codec_refusal_contract():
         out[i + 9] = 3
         with_color = bytes(out)
         decode_jpeg_gray(with_color)
-    # DRI inserted before SOS
+    # DRI inserted before SOS: supported since r13 — with Ri=8 > the
+    # image's 2 MCUs no restart ever fires, so pixels must be identical
     i = bytes(base).find(b"\xff\xda")
     dri = b"\xff\xdd" + struct.pack(">HH", 4, 8)
-    with pytest.raises(ValueError, match="DRI"):
-        decode_jpeg_gray(bytes(base[:i]) + dri + bytes(base[i:]))
+    _, _, px_plain = decode_jpeg_gray(bytes(base))
+    _, _, px_dri = decode_jpeg_gray(bytes(base[:i]) + dri + bytes(base[i:]))
+    assert np.array_equal(px_dri, px_plain)
     # 16-bit DQT precision nibble
     i = bytes(base).find(b"\xff\xdb")
     out = bytearray(base)
