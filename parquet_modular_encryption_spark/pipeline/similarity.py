@@ -405,6 +405,15 @@ LSH_BANDS: tuple[tuple[int, ...], ...] = ((0, 1, 2), (3, 4, 5))
 #: keeps fixed bands — its per-query cost is one bucket, not a join.
 #: Extra planes for band b, bit j come from LCG plane index
 #: N_PLANES + b * MAX_EXTRA + j, so bands stay independent.
+#:
+#: SCALE CEILING (r13): this ladder exhausts its widening at
+#: TARGET * 2^MAX = 524k vectors (the q55e budget knob at ~65k) and
+#: CANNOT be raised in place — the plane-id layout above re-lands every
+#: widening plane if MAX grows, changing q55's answers at all scales.
+#: Deployments past ~0.5M vectors run the registered WIDE sibling
+#: q55f_embedding_neardup_wide (6-bit base bands, fresh plane
+#: namespace, ladder to ~16.8M vectors; measured exponent stable ~1.65
+#: through 240k vectors, Q55_RECALL_r13.json).
 Q55_BAND_TARGET = 2048
 Q55_MAX_EXTRA_BITS = 8
 
@@ -2653,11 +2662,13 @@ def q54g_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@{ANN_EVAL_K} of the banded-LSH ANN against the exact kNN —
     the acceptance report an ANN index ships with. The engine side
     literally composes the two registered operators (q50's exact top-k
-    and q54's LSH search) and joins their result sets, so the number
-    measures the production pipelines, not a reimplementation; the oracle
-    recomputes both sides in SQL. Being integer counts over two
-    deterministic top-k sets, the report is fully hash-checked — unusual
-    for ANN evaluation, which is normally statistical.
+    and q54's LSH search — the MULTIPROBE default since r13, so the
+    report's oracle carries the same qprobes CTE) and joins their result
+    sets, so the number measures the production pipelines, not a
+    reimplementation; the oracle recomputes both sides in SQL. Being
+    integer counts over two deterministic top-k sets, the report is
+    fully hash-checked — unusual for ANN evaluation, which is normally
+    statistical.
 
     The same pattern extends to q54b/c/d/f by swapping the candidate
     stage; the pytest recall-monotonicity tests cover those — this

@@ -3154,6 +3154,79 @@ def test_q55_wide_ladders_and_plane_namespace():
     assert LSH_BANDS  # imported to keep the legacy set honest if bands move
 
 
+def test_q55_wide_planted_recall_pin(spark):
+    """Deterministic planted-recall pin for the wide config (the q47
+    337/360 pattern): 40 partners planted at EXACTLY cosine 0.95 (seeded
+    Gram-Schmidt) plus 10 exact duplicates onto the sf0.001 corpus must
+    collide with their bases in >= 1 of q55w_corpus_bands' buckets at a
+    rate matching the artifact-measured band-correlation gap (theory
+    0.977 at x=0/B=5; Q55_RECALL_r13 measures 0.91-0.955 at real
+    scales), and exact duplicates must NEVER be lost (they agree on
+    every sign plane by construction)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        q55w_band_count,
+        q55w_corpus_bands,
+        q55w_extra_band_bits,
+    )
+
+    t = pq.read_table(f"{SF}/embeddings.parquet", columns=["vec_id", "embedding"])
+    ids = np.asarray(t.column("vec_id"))
+    mat = np.stack(t.column("embedding").to_pylist()).astype(np.float64)
+    rng = np.random.default_rng(5513)
+    rows = [
+        (int(i), [float(x) for x in v]) for i, v in zip(ids, mat)
+    ]
+    planted, next_id = [], int(ids.max()) + 1
+    for j in range(40):  # cosine-0.95 partners on every 12th base vector
+        base = (j * 12) % len(mat)
+        u = mat[base]
+        u_hat = u / max(np.linalg.norm(u), 1e-30)
+        w = rng.standard_normal(mat.shape[1])
+        w -= (w @ u_hat) * u_hat
+        w_hat = w / max(np.linalg.norm(w), 1e-30)
+        v = np.linalg.norm(u) * (0.95 * u_hat + np.sqrt(1 - 0.95**2) * w_hat)
+        rows.append((next_id, [float(x) for x in v]))
+        planted.append((int(ids[base]), next_id))
+        next_id += 1
+    exact_dups = []
+    for j in range(10):  # exact duplicates: must never be lost
+        base = (j * 37) % len(mat)
+        rows.append((next_id, [float(x) for x in mat[base]]))
+        exact_dups.append((int(ids[base]), next_id))
+        next_id += 1
+
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    x = q55w_extra_band_bits(len(rows))
+    assert x == 0 and q55w_band_count(0) == 5  # tiny corpus: base rung
+    _, bands = q55w_corpus_bands(emb)
+    keys: dict[int, dict[int, int]] = {}
+    involved = {v for p in planted + exact_dups for v in p}
+    for r in bands.filter(F.col("vec_id").isin(list(involved))).collect():
+        keys.setdefault(r.vec_id, {})[r.band_id] = r.band_key
+
+    def hit(a: int, b: int) -> bool:
+        return any(keys[a][band] == keys[b].get(band) for band in keys[a])
+
+    assert all(hit(a, b) for a, b in exact_dups), "widening lost an exact dup"
+    hits = sum(1 for a, b in planted if hit(a, b))
+    # deterministic (seeded planting, LCG planes): pin the exact count,
+    # and keep the production floor explicit alongside it
+    assert hits / len(planted) >= 0.85, f"planted recall {hits}/40"
+    assert hits == PLANTED_Q55W_HITS, f"determinism drift: {hits}"
+
+
+#: Exact planted-pair hit count of test_q55_wide_planted_recall_pin —
+#: measured once (35/40 = 0.875 on the 550-vector fixture, consistent
+#: with the 0.91-0.955 Q55_RECALL_r13 curve and the known ~0.02-0.07
+#: band-correlation gap under theory 0.977), pinned so any change to
+#: the wide banding (planes, ladder, band count) surfaces as a visible
+#: diff here — the q47 337/360 convention.
+PLANTED_Q55W_HITS = 35
+
+
 def test_jpeg_restart_intervals_roundtrip_and_refuse():
     """DRI support (r13, VERDICT r12 optional #7): restart markers are
     PHYSICAL stream structure — byte realignment + DC predictor reset —
