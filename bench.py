@@ -309,17 +309,25 @@ def _latest_prev_window() -> tuple[str, str, dict] | None:
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    best: tuple[int, str] | None = None
+    # Anchored match (ADVICE r13): sidecar payloads like
+    # bench_window_r13_runA.json must NOT shadow the canonical window.
+    # Candidates sort newest-round-first, then lexically, and any payload
+    # without raw_times is skipped — the canonical window always carries
+    # the full per-query repeat lists.
+    cands: list[tuple[int, str, str]] = []
     for p in glob.glob(os.path.join(here, "bench_window_r*.json")):
-        m = re.search(r"bench_window_r(\d+)", os.path.basename(p))
-        if m and (best is None or int(m.group(1)) > best[0]):
-            best = (int(m.group(1)), p)
-    if best is None:
-        return None
-    with open(best[1]) as fh:
-        payload = json.load(fh)
-    prev = {n: min(v) for n, v in payload.get("raw_times", {}).items() if v}
-    return os.path.basename(best[1]), str(payload.get("sf", "0.1")), prev
+        m = re.fullmatch(r"bench_window_r(\d+)\.json", os.path.basename(p))
+        if m:
+            cands.append((int(m.group(1)), os.path.basename(p), p))
+    for _rnd, base, p in sorted(cands, key=lambda t: (-t[0], t[1])):
+        with open(p) as fh:
+            payload = json.load(fh)
+        raw = payload.get("raw_times") or {}
+        if not raw:
+            continue
+        prev = {n: min(v) for n, v in raw.items() if v}
+        return base, str(payload.get("sf", "0.1")), prev
+    return None
 
 
 def deltas_vs_prev(current: dict[str, float], sf: str) -> dict:

@@ -2155,9 +2155,11 @@ def _cjpeg_fixture_dir(spark: SparkSession, sf_dir: str, restart: bool = False) 
             n_with_rst += 1
         with open(f"{path}/{mid}.jpg", "wb") as fh:
             fh.write(blob)
-    if restart:
-        # the fixture must actually EXERCISE restarts, not just declare DRI
-        assert n_with_rst > 0, "q91k fixture planted no RST markers"
+    if restart and n_with_rst == 0:
+        # the fixture must actually EXERCISE restarts, not just declare
+        # DRI — a RuntimeError (not assert) so the invariant survives
+        # `python -O` (ADVICE r13)
+        raise RuntimeError("q91k fixture planted no RST markers")
     _MEDIA_FIXTURE_CACHE[key] = path
     return path
 

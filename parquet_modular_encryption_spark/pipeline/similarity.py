@@ -1543,9 +1543,12 @@ def q55e_embedding_neardup_budget(spark: SparkSession, sf_dir: str) -> DataFrame
 # and the 10-bit widening ladder then covers 16384 * 2^10 ≈ 16.8M
 # vectors at one extra bit per doubling — 16x past the 10^6-vector
 # deployment the verdict names, vs q55's 524k ceiling. Candidate growth
-# stays the measured ~n^1.36 family (the real per-bit pruning on this
-# corpus is ~0.64, r9), sub-quadratic at every rung — extended past
-# 120k vectors in Q55_RECALL_r13.json.
+# is measured at ~n^1.65 AND FALLING as scale rises (exponent series
+# 1.94/1.80/1.67/1.65 through 240k vectors, Q55_RECALL_r13.json
+# knob_wide_q55f) — sub-quadratic at every rung, with the falling trend
+# the point: the wide base band's pruning improves as the corpus grows
+# into it, unlike the default's rising series. (~n^1.36 belongs to
+# q55's OWN 3-bit ladder at its small-scale sweet spot, not this one.)
 #
 # Recall: per-band survival of a cosine-0.95 pair at depth 6+x is
 # s^(6+x) with s = 1 - acos(0.95)/pi ≈ 0.899, lower than q55's 3-bit

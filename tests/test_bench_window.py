@@ -1,0 +1,59 @@
+"""Pins for bench.py's prev-window selection (ADVICE r13, medium).
+
+The structural regression-declaration (`deltas_vs_prev`) is only as
+good as the window it diffs against: an unanchored glob let sidecar
+payloads like bench_window_r13_runA.json (metric line only, no
+raw_times) shadow the canonical window and silently zero the diff.
+These tests pin the fixed contract: anchored filename match, skip
+payloads without raw_times, deterministic newest-round-first pick.
+"""
+
+import json
+
+import bench
+
+
+def _write(tmp_path, name, payload):
+    (tmp_path / name).write_text(json.dumps(payload))
+
+
+def _point_bench_at(monkeypatch, tmp_path):
+    # _latest_prev_window resolves the repo dir from bench.__file__
+    monkeypatch.setattr(bench, "__file__", str(tmp_path / "bench.py"))
+
+
+def test_sidecar_payload_does_not_shadow_canonical(monkeypatch, tmp_path):
+    _point_bench_at(monkeypatch, tmp_path)
+    _write(tmp_path, "bench_window_r13.json", {"sf": "0.1", "raw_times": {"q01": [1.0, 1.2]}})
+    # same round, lexically later, NO raw_times — the r13 failure shape
+    _write(tmp_path, "bench_window_r13_runA.json", {"sf": "0.1", "metric": "headline"})
+    got = bench._latest_prev_window()
+    assert got is not None
+    name, sf, prev = got
+    assert name == "bench_window_r13.json"
+    assert sf == "0.1"
+    assert prev == {"q01": 1.0}
+
+
+def test_payload_without_raw_times_is_skipped_even_if_newest(monkeypatch, tmp_path):
+    _point_bench_at(monkeypatch, tmp_path)
+    _write(tmp_path, "bench_window_r14.json", {"sf": "0.1"})  # anchored name, empty payload
+    _write(tmp_path, "bench_window_r13.json", {"sf": "0.1", "raw_times": {"q02": [2.0]}})
+    got = bench._latest_prev_window()
+    assert got is not None and got[0] == "bench_window_r13.json"
+    assert got[2] == {"q02": 2.0}
+
+
+def test_newest_round_wins(monkeypatch, tmp_path):
+    _point_bench_at(monkeypatch, tmp_path)
+    _write(tmp_path, "bench_window_r9.json", {"raw_times": {"q01": [9.0]}})
+    _write(tmp_path, "bench_window_r14.json", {"sf": "0.1", "raw_times": {"q01": [14.0]}})
+    got = bench._latest_prev_window()
+    assert got is not None and got[0] == "bench_window_r14.json"
+    assert got[2]["q01"] == 14.0
+
+
+def test_no_candidates_returns_none(monkeypatch, tmp_path):
+    _point_bench_at(monkeypatch, tmp_path)
+    _write(tmp_path, "bench_window_r13_runA.json", {"metric": "headline"})
+    assert bench._latest_prev_window() is None
