@@ -137,21 +137,40 @@ def band_keys(sig: DataFrame, id_col: str, n_bands: int = N_BANDS) -> DataFrame:
 
 
 def _minhash_oracle(
-    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS, n_bands: int = N_BANDS
+    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS,
+    n_bands: int = N_BANDS,
+    bucket_cap: int | None = None,
 ) -> str:
     return f"""
-    WITH {_minhash_ctes(perms, n_bands)}
+    WITH {_minhash_ctes(perms, n_bands, bucket_cap)}
     SELECT doc_a, doc_b, jaccard FROM verified
     """
 
 
+def _sql_bucket_cap_clause(bucket_cap: int | None) -> str:
+    """Pairs-CTE predicate dropping over-cap band buckets (q63g's
+    degenerate-block filter): correlated membership count against the
+    same bands CTE — empty string when no cap applies, so every
+    existing _minhash_ctes consumer is byte-identical."""
+    if bucket_cap is None:
+        return ""
+    return (
+        "AND (SELECT COUNT(*) FROM bands c WHERE c.band_id = a.band_id "
+        f"AND c.band_key = a.band_key) <= {bucket_cap}"
+    )
+
+
 def _minhash_ctes(
-    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS, n_bands: int = N_BANDS
+    perms: tuple[tuple[int, int], ...] = MINHASH_PERMS,
+    n_bands: int = N_BANDS,
+    bucket_cap: int | None = None,
 ) -> str:
     """The q47 MinHash+LSH pipeline as a WITH-clause body ending in a
     ``verified(doc_a, doc_b, jaccard)`` CTE — shared by the q47 oracle and
     q57's recursive-CTE connected-components oracle. The defaults are the
-    q47 config; q47d passes its 16-perm/8-band high-recall ladder."""
+    q47 config; q47d passes its 16-perm/8-band high-recall ladder.
+    ``bucket_cap`` (q63g) drops candidate generation from band buckets
+    with more than cap members — the degenerate-block filter mirrored."""
     toks = sql_tokens("text")
     shingles = sql_word_shingles("toks", SHINGLE_N)
     hv = f"({sql_hash60('shingle')} % {P})"
@@ -183,6 +202,7 @@ def _minhash_ctes(
         FROM bands a JOIN bands b
           ON a.band_id = b.band_id AND a.band_key = b.band_key
          AND a.doc_id < b.doc_id
+        {_sql_bucket_cap_clause(bucket_cap)}
     ), verified AS (
         SELECT p.doc_a, p.doc_b,
                CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
@@ -413,23 +433,48 @@ def _auto_grid(k_max: int) -> int:
     return g
 
 
-def _auto_grid_expr(n_col: Column) -> Column:
+#: Grid cells per execution slot the parallelism cap aims for: a g×g
+#: grid can occupy at most g² tasks, so any g beyond sqrt(occupancy ×
+#: parallelism) buys replication the session cannot cash as balance —
+#: the measured 33% local overhead of r13's mega probe (grid 128 =
+#: 16,384 cells for 32 threads, NOTES_r13 §4). 4 cells/slot keeps wave
+#: smoothing without over-replicating.
+PAIR_GRID_OCCUPANCY = 4
+
+
+def _parallelism_grid_cap(parallelism: int) -> int:
+    """Largest USEFUL per-block grid for this session (VERDICT r13 #5):
+    smallest power-of-two g in [PAIR_GRID, PAIR_GRID_MAX] with
+    g² >= PAIR_GRID_OCCUPANCY × parallelism. local[32] → 16 (the old
+    uniform grid's wall, restored); a 1000-executor × 8-core cluster
+    (parallelism 8000) → 256 (the mega-block sizing preserved). The cap
+    is PHYSICAL only — the work rule (:func:`_auto_grid`) still decides
+    what a block NEEDS; this decides what the session can USE."""
+    g = PAIR_GRID
+    while g < PAIR_GRID_MAX and g * g < PAIR_GRID_OCCUPANCY * max(1, parallelism):
+        g *= 2
+    return g
+
+
+def _auto_grid_expr(n_col: Column, cap: int = PAIR_GRID_MAX) -> Column:
     """Column mirror of :func:`_auto_grid` for the per-block grid:
     smallest power-of-two g with block_count <= 500*g (integer-exact
     equivalent of (k/g)² <= PAIR_CELL_TARGET since 250_000 = 500²),
-    clamped to [PAIR_GRID, PAIR_GRID_MAX]. Both join sides derive the
-    SAME g from the block's census count, so every pair still meets in
-    exactly one cell."""
+    clamped to [PAIR_GRID, min(PAIR_GRID_MAX, cap)] — ``cap`` carries
+    the session parallelism ceiling (:func:`_parallelism_grid_cap`).
+    Both join sides derive the SAME g from the block's census count, so
+    every pair still meets in exactly one cell."""
     root = 500  # isqrt(PAIR_CELL_TARGET); the constant block pins squareness
+    ceiling = min(PAIR_GRID_MAX, max(PAIR_GRID, cap))
     expr = None
     g = PAIR_GRID
     while True:
         cond = n_col <= F.lit(root * g)
         expr = F.when(cond, F.lit(g)) if expr is None else expr.when(cond, F.lit(g))
-        if g >= PAIR_GRID_MAX:
+        if g >= ceiling:
             break
         g *= 2
-    return expr.otherwise(F.lit(PAIR_GRID_MAX)).cast("long")
+    return expr.otherwise(F.lit(ceiling)).cast("long")
 
 
 def _block_pairs(
@@ -489,7 +534,13 @@ def salted_block_self_join(
        takes the smallest power-of-two grid its own census count needs
        (:func:`_auto_grid_expr`), so a 3k-member bucket replicates 8x
        while a 100k mega-block beside it takes the 256 ceiling —
-       replication proportional to each block's own pair mass. An
+       replication proportional to each block's own pair mass. Since
+       r14 the per-block grid is additionally capped by the session's
+       parallelism (:func:`_parallelism_grid_cap`): g² cells beyond
+       ~4× the available slots is replication the session cannot cash
+       as balance (the measured 33% local mega-probe overhead,
+       NOTES_r13 §4) — local[32] lands back at the uniform-16 wall
+       while a 1000-executor session keeps the full ceiling. An
        explicit ``grid`` applies uniformly (experiments/A-B probes).
 
     No forced broadcasts: the hot-key set joins on the same block key
@@ -512,17 +563,30 @@ def salted_block_self_join(
         # sf0.1); payoff measured on boiler3: auto picks 8 -> 2x
         # faster, straggler 1.85 -> 1.24 (SCALE_r12_boiler.json).
         k_max = int(counts.agg(F.max("__n")).first()[0] or 0)
-        grid = _auto_grid(k_max)
+        # Two independent clamps (r14): the WORK rule decides what the
+        # block needs ((k/g)² <= target); the PARALLELISM cap decides
+        # what this session can use (g² cells vs available slots) —
+        # local[32] lands at the uniform-16 wall it used to pay 33%
+        # over, while a 1000-executor session keeps the full 256
+        # ceiling. Both are physical-only: output and oracle identical
+        # for any grid value.
+        cap = _parallelism_grid_cap(
+            df.sparkSession.sparkContext.defaultParallelism
+        )
+        grid_work = _auto_grid(k_max)
+        grid = min(grid_work, cap)
         LAST_SALTED_GRID.clear()
-        LAST_SALTED_GRID.update(k_max=k_max, grid=grid)
-        if grid == PAIR_GRID_MAX and (k_max / grid) ** 2 > PAIR_CELL_TARGET:
+        LAST_SALTED_GRID.update(
+            k_max=k_max, grid=grid, grid_work=grid_work, parallelism_cap=cap
+        )
+        if grid_work == PAIR_GRID_MAX and (k_max / grid_work) ** 2 > PAIR_CELL_TARGET:
             # Over-cap contract (VERDICT r12 #5): a block too large for
             # even the max grid is a data-quality fact (empty/boiler
             # docs, degenerate keys) the pipeline must SEE — gridding
             # distributes k² pair work, it cannot shrink it.
             import warnings
 
-            est = int((k_max / grid) ** 2)
+            est = int((k_max / grid_work) ** 2)
             LAST_SALTED_GRID.update(clamped=1, est_cell_pairs=est)
             warnings.warn(
                 f"salted_block_self_join: block of {k_max} rows exceeds "
@@ -538,7 +602,10 @@ def salted_block_self_join(
     tagged = rows.join(hot_keys, keys, "left")
     cold = tagged.filter(F.col("__n").isNull()).select(id_col, *keys)
     hot = tagged.filter(F.col("__n").isNotNull()).withColumn(
-        "__g", _auto_grid_expr(F.col("__n")) if per_block else F.lit(grid).cast("long")
+        "__g",
+        _auto_grid_expr(F.col("__n"), cap=cap)
+        if per_block
+        else F.lit(grid).cast("long"),
     ).select(id_col, *keys, "__g")
 
     cold_pairs = _block_pairs(cold, keys, id_col, out_a, out_b)
@@ -646,6 +713,124 @@ def q47b_minhash_neardup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     shingled, bands = minhash_bands(docs)
     pairs = banded_pairs_salted(bands).distinct()
+    return _jaccard_verify(shingled, pairs)
+
+
+#: Band buckets with more than this many members are DEGENERATE: past it
+#: even the PAIR_GRID_MAX reducer grid leaves cells above
+#: PAIR_CELL_TARGET (the boundary is exactly 500 × 256 — the integer
+#: form of the over-cap warning in salted_block_self_join), and C(k,2)
+#: pair work that large is a data-quality fact (empty/boilerplate
+#: documents hashing to one bucket), not a join to grind through:
+#: gridding distributes k² work, it cannot shrink it, and hash-prefix
+#: sub-splitting cannot either — per-row replication to hold a pair
+#: target scales as k/sqrt(target) no matter how the block is cut. The
+#: production remedy is therefore UPSTREAM: see the block census
+#: (q63f) and the capped dedup pass (q63g). The warning path in
+#: salted_block_self_join is retained — filtering is a policy decision
+#: the pipeline owner makes with the census in hand, never a silent
+#: default.
+DEGENERATE_BLOCK_CAP = 500 * PAIR_GRID_MAX  # 128,000 members
+
+
+def degenerate_block_filter(
+    bands: DataFrame,
+    cap: int = DEGENERATE_BLOCK_CAP,
+    block_keys: tuple[str, ...] = ("band_id", "band_key"),
+) -> tuple[DataFrame, DataFrame]:
+    """(kept, dropped_blocks): remove rows of blocks with more than
+    ``cap`` members from a banding frame. The census shuffles on the
+    same key as the downstream bucket join; the over-cap key set is
+    tiny by nature, so the anti-join is cheap. ``dropped_blocks``
+    carries (block keys, n_members) for reporting."""
+    keys = list(block_keys)
+    over = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap)
+    )
+    kept = bands.join(over.select(*keys), keys, "left_anti")
+    return kept, over
+
+
+@register(
+    "q63f_block_census_report",
+    oracle=f"""
+    WITH {_minhash_ctes()}, census AS (
+        SELECT band_id, band_key, COUNT(*) AS n_members,
+               MIN(doc_id) AS representative
+        FROM bands GROUP BY band_id, band_key
+    )
+    SELECT band_id, band_key, n_members, representative,
+           CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS block_pairs,
+           n_members > {DEGENERATE_BLOCK_CAP} AS is_degenerate
+    FROM census
+    ORDER BY n_members DESC, band_id, band_key
+    LIMIT 10
+    """,
+    tags=("dedup", "census", "data-quality"),
+)
+def q63f_block_census_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH block census — the data-quality report that makes degenerate
+    blocks VISIBLE before the pair join runs (VERDICT r13 #3): the ten
+    largest band buckets with member count, a representative doc, the
+    closed-form pair mass C(n,2) the bucket would put on the join, and
+    the over-cap flag at DEGENERATE_BLOCK_CAP (= the exact boundary
+    where salted_block_self_join's grid ceiling leaves cells above
+    PAIR_CELL_TARGET). At 100 TB this census is the cheap first pass —
+    one count per bucket on the banding shuffle the dedup needs anyway
+    — that tells the pipeline owner whether to run q47 as-is, switch to
+    the capped pass (q63g), or fix the corpus upstream. Fully
+    hash-checked: counts, representatives, and the flag are exact
+    integer arithmetic in both engines, top-10 totally ordered."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    _, bands = minhash_bands(docs)
+    return (
+        bands.groupBy("band_id", "band_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("doc_id").alias("representative"),
+        )
+        .select(
+            "band_id",
+            "band_key",
+            "n_members",
+            "representative",
+            F.expr("CAST(n_members * (n_members - 1) DIV 2 AS BIGINT)").alias(
+                "block_pairs"
+            ),
+            (F.col("n_members") > DEGENERATE_BLOCK_CAP).alias("is_degenerate"),
+        )
+        .orderBy(F.desc("n_members"), "band_id", "band_key")
+        .limit(10)
+    )
+
+
+@register(
+    "q63g_dedup_degenerate_capped",
+    oracle=_minhash_oracle(bucket_cap=DEGENERATE_BLOCK_CAP),
+    tags=("dedup", "minhash", "data-quality", "degenerate-filter"),
+)
+def q63g_dedup_degenerate_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q47's near-dup pass with the degenerate-block filter upstream of
+    candidate generation (VERDICT r13 #3, remedy option B): band buckets
+    over DEGENERATE_BLOCK_CAP members contribute NO candidate pairs —
+    their C(k,2) mass is excluded by policy instead of ground through
+    the grid — and the skew-hardened salted join handles everything
+    kept. On a clean corpus the output equals q47's exactly (no bucket
+    is near the cap at any test scale — the oracle mirrors the cap, so
+    the equality is hash-checked, and the planted-mega pytest pins the
+    divergence case); on a boilerplate-polluted corpus the excluded
+    blocks are exactly the census rows q63f flags. The recall loss is
+    the DOCUMENTED intent: members of a 128k+ bucket are wholesale
+    near-identical — the owner keeps q63f's representative and drops
+    the rest, O(k) instead of O(k²)."""
+    prep(spark)
+    docs = load(spark, sf_dir, "documents")
+    shingled, bands = minhash_bands(docs)
+    kept, _ = degenerate_block_filter(bands)
+    pairs = banded_pairs_salted(kept).distinct()
     return _jaccard_verify(shingled, pairs)
 
 
@@ -2100,7 +2285,65 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
     return allpairs_verify(tf, nrm, cand)
 
 
-def allpairs_verify(tf: DataFrame, nrm: DataFrame, cand: DataFrame) -> DataFrame:
+#: Pairs per salt cell for the verify stage's doc_a fan-out. The verify
+#: joins shuffle candidate pairs by doc_a to meet that doc's postings;
+#: a template doc with p partners puts p x m_a pair-token rows on ONE
+#: reducer — the straggler the r13 boiler3 run measured at 3.15 inside
+#: q55d's verify chunks (SCALE_r13_boiler_grouped.json: 23.9 s max task
+#: vs 7.6 s median). 512 pairs/cell keeps a hot doc's per-cell output
+#: at ~512 x m_a rows (~100-250k for real posting sizes) — the same
+#: rows-per-task altitude PAIR_CELL_TARGET aims the banding grid at.
+VERIFY_SALT_PAIR_TARGET = 512
+
+
+def salted_verify_fanout(
+    cand: DataFrame, post: DataFrame, key: str = "doc_a", salt_src: str = "doc_b"
+) -> DataFrame:
+    """``cand.join(post, key)`` with the hot-key fan-out salted — the
+    banding join's census-adaptive skew treatment applied to the verify
+    stage (VERDICT r13 #2). Output row set is EXACTLY the plain join's
+    (each hot pair meets each posting replica at precisely one salt), so
+    every verify consumer keeps its oracle unchanged; only the physical
+    distribution moves.
+
+    Census: one count per doc_a over the candidate frame (in the grouped
+    path cand is already materialized parquet, so this is a cheap
+    rescan). Docs with more than VERIFY_SALT_PAIR_TARGET pairs split
+    into s = ceil(count/target) salt cells by hash(doc_b); their postings
+    replicate s ways (bounded: s x m_a rows for the few hot docs only).
+    Cold docs take the original plan untouched. The hot branch is
+    partition-pinned — its shuffle-read bytes are tiny id pairs while
+    its output is the pair-token explosion, exactly the AQE-coalescing
+    trap :func:`~parquet_modular_encryption_spark.pipeline.partitioning.pinned`
+    exists for."""
+    counts = cand.groupBy(key).agg(F.count(F.lit(1)).alias("__vn"))
+    hot = counts.filter(F.col("__vn") > VERIFY_SALT_PAIR_TARGET)
+    tagged = cand.join(hot, key, "left")
+    cold = tagged.filter(F.col("__vn").isNull()).drop("__vn").join(post, key)
+    s_expr = F.ceil(F.col("__vn") / F.lit(VERIFY_SALT_PAIR_TARGET)).cast("long")
+    hot_cand = (
+        tagged.filter(F.col("__vn").isNotNull())
+        .withColumn("__salt", F.pmod(F.xxhash64(F.col(salt_src)), s_expr))
+        .drop("__vn")
+    )
+    hot_post = (
+        post.join(hot, key)
+        .withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0).cast("long"), s_expr - 1))
+        )
+        .drop("__vn")
+    )
+    joined = (
+        pinned(hot_cand, key, "__salt")
+        .join(hot_post, [key, "__salt"])
+        .drop("__salt")
+    )
+    return cold.unionByName(joined.select(*cold.columns))
+
+
+def allpairs_verify(
+    tf: DataFrame, nrm: DataFrame, cand: DataFrame, salted: bool = False
+) -> DataFrame:
     """q55c's exact verification stage, factored out of
     :func:`allpairs_cosine` so the bounded-spill chunked execution path
     (:func:`verify_chunk` + scripts/sf10_chunked_experiment.py) runs the
@@ -2112,12 +2355,16 @@ def allpairs_verify(tf: DataFrame, nrm: DataFrame, cand: DataFrame) -> DataFrame
     map-typed-vector variant (map_zip_with + aggregate over broadcast
     per-doc maps) was measured equal-or-slower at sf0.1 — the HOF fold
     per pair costs what the row explosion costs, without the benefit of
-    whole-stage-codegen hash aggregation — so the row form stays."""
+    whole-stage-codegen hash aggregation — so the row form stays.
+
+    ``salted=True`` (the grouped/bounded-spill path) routes the doc_a
+    fan-out through :func:`salted_verify_fanout` — identical row set,
+    hot template docs split across salt cells (VERDICT r13 #2)."""
     ta = tf.select(F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa"))
     tb = tf.select(F.col("doc_id").alias("doc_b"), "g", F.col("w").alias("wb"))
+    fanout = salted_verify_fanout(cand, ta) if salted else cand.join(ta, "doc_a")
     dots = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "g"])
+        fanout.join(tb, ["doc_b", "g"])
         .groupBy("doc_a", "doc_b")
         .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_ab"))
     )
@@ -2400,7 +2647,7 @@ def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ppjoin_verify(toks, cand)
 
 
-def ppjoin_verify(toks: DataFrame, cand: DataFrame) -> DataFrame:
+def ppjoin_verify(toks: DataFrame, cand: DataFrame, salted: bool = False) -> DataFrame:
     """q49c's exact verification stage, factored out (like
     :func:`allpairs_verify`) so the bounded-spill chunked execution path
     runs the identical plan on a :func:`verify_chunk` subset.
@@ -2410,13 +2657,17 @@ def ppjoin_verify(toks: DataFrame, cand: DataFrame) -> DataFrame:
     the set sizes: U = ma + mb - I. Shipping shingle ARRAYS to every
     candidate pair and running array_intersect measured ~3x slower at
     sf0.1 — the token join stays in whole-stage-codegen hash
-    aggregation and moves ids, never payloads."""
+    aggregation and moves ids, never payloads.
+
+    ``salted=True`` (the grouped/bounded-spill path) routes the doc_a
+    fan-out through :func:`salted_verify_fanout` — identical row set,
+    hot template docs split across salt cells (VERDICT r13 #2)."""
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
     ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
+    fanout = salted_verify_fanout(cand, ta) if salted else cand.join(ta, "doc_a")
     inter = (
-        cand.join(ta, "doc_a")
-        .join(tb, ["doc_b", "tok"])
+        fanout.join(tb, ["doc_b", "tok"])
         .groupBy("doc_a", "doc_b", "ma", "mb")
         .agg(F.count(F.lit(1)).alias("i"))
     )
@@ -2764,7 +3015,10 @@ def grouped_exact_join(
         toks_m = _materialize(toks, "toks", ("tok",))
 
         def _verify(part: DataFrame) -> DataFrame:
-            return ppjoin_verify(toks_m, part)
+            # salted: the grouped operator exists to bound resource
+            # spikes — its verify chunks must not re-create one as a
+            # hot-doc straggler task (VERDICT r13 #2)
+            return ppjoin_verify(toks_m, part, salted=True)
 
     else:
         tf = shingle_tf(docs)
@@ -2774,7 +3028,7 @@ def grouped_exact_join(
         cand = allpairs_candidates(tf_m, nrm_m)
 
         def _verify(part: DataFrame) -> DataFrame:
-            return allpairs_verify(tf_m, nrm_m, part)
+            return allpairs_verify(tf_m, nrm_m, part, salted=True)
 
     cand_m = _materialize(cand, "cand")
 

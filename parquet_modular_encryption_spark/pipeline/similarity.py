@@ -949,9 +949,20 @@ def q54c_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
 # at nprobe=8 across 2k/20k/60k vectors vs 0.50-0.55 at the old
 # nprobe=3 — which stays registered as the budget point
 # (q54i_ann_ivf_budget). This synthetic codebook has only K=10 cells
-# (one per label), so 8 probes read most cells; at a production
-# ~sqrt(n)-cell codebook the same recall lives at a tiny probed
-# fraction — the knob is the recall target, not the fraction.
+# (one per label), so 8 probes read ~80% of the corpus — and the r14
+# production-shaped measurement (Q54_RECALL_r14.json, K≈sqrt(n)
+# stride-seeded codebook, q54j) settled what that means: the 0.90-0.95
+# figure IS mostly probed fraction. The label codebook carries no
+# geometric signal at all (measured: same-label and different-label
+# cosine distributions coincide; the exact top-5 is same-label at
+# chance rate), so its cells are near-random partitions and recall
+# tracks fraction. On the sqrt(n) codebook the honest structure shows:
+# recall of the isotropic BULK of exact-kNN ground truth is
+# fraction-bound for any coarse quantizer (measured lift 3-28x over
+# random, growing with scale), while TIGHT neighbors (cosine >= 0.7:
+# near-dups, planted pairs — the tier a production dedup/ANN serves)
+# are retrieved at 1.0 even at a 1.6% probed fraction. See the
+# IVF_SQRTN_NPROBE block for the per-tier contract.
 IVF_NPROBE = 8
 IVF_NPROBE_BUDGET = 3
 
@@ -1012,6 +1023,17 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     assign = best.select(
         F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
     )
+    return _ivf_probe_rerank(e, scored_cells, assign, nprobe)
+
+
+def _ivf_probe_rerank(
+    e: DataFrame, scored_cells: DataFrame, assign: DataFrame, nprobe: int
+) -> DataFrame:
+    """Shared IVF tail — probe the nprobe nearest cells, gather assigned
+    candidates, exact-rerank to top-5. Factored out of :func:`_ivf_search`
+    verbatim (plan-identical) so the sqrt(n)-codebook family reuses it:
+    the IVF search differs only in how the codebook is built, never in
+    how it is probed."""
     # Probe ranking windows ONLY the bounded query subset (N_QUERIES x K
     # rows) — the filter sits below the centroid join, so the corpus
     # scan on this branch prunes to the query vectors.
@@ -1139,7 +1161,10 @@ def q54d_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     Registered at nprobe=8 since r13 — the measured-recall point
     (0.90-0.95 recall@5 at three corpus scales, Q54_RECALL_r12.json's
     nprobe sweep) — with the old nprobe=3 point (0.50-0.55) kept as
-    q54i_ann_ivf_budget; see the IVF_NPROBE constant block."""
+    q54i_ann_ivf_budget. r14 caveat, now MEASURED: on this 10-cell
+    codebook that figure is mostly probed fraction (~80% of the
+    corpus); the production-shaped sibling q54j carries the
+    tier-honest contract — see both constant blocks."""
     return _ivf_search(spark, sf_dir, IVF_NPROBE)
 
 
@@ -1160,6 +1185,176 @@ def q54i_ann_ivf_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     universe is a subset of q54d's by probe-depth monotonicity
     (pytest-pinned)."""
     return _ivf_search(spark, sf_dir, IVF_NPROBE_BUDGET)
+
+
+# Production-shaped IVF codebook: K ≈ sqrt(n) cells, seeded by vec_id
+# stride (every stride-th vector is a centroid, stride = n // isqrt(n)).
+# This is the codebook SHAPE a real deployment runs — cell count grows
+# with the corpus so cell population stays ~sqrt(n) — and the shape the
+# r13 verdict said the K=10 label codebook's recall evidence could not
+# speak for (nprobe=8 of 10 cells probes 80% of that corpus; 8 of
+# sqrt(n) probes a vanishing fraction). Seed selection is vec_id-stride
+# rather than k-means because (a) labels are assigned independently of
+# vec_id in this corpus, so stride sampling IS uniform random sampling
+# of embedding space, and (b) the rule is one WHERE clause, mirrored
+# verbatim in the DuckDB oracle — the whole search stays hash-checked,
+# which no iterative float k-means oracle could be. Lloyd refinement
+# changes centroid QUALITY, not search structure; the recall artifact
+# measures this codebook exactly as registered.
+#
+# IVF_SQRTN_NPROBE is the measured-recall operating point (the
+# q47/q54/q55 promotion principle), with the contract stated in TIERS
+# because this corpus is near-isotropic (Q54_RECALL_r14.json, geometry
+# block per scale: labels carry zero cosine signal; the exact top-5
+# bulk sits at cosine ~0.37-0.51, the upper tail of the null
+# distribution). Measured at nprobe=8, n_exact=200 per scale:
+#
+#   scale   probed     cand      recall@5   tier >=0.5   tier >=0.7
+#   2k      8/45 18%   17.9%     0.52       (1 pair)     (empty)
+#   20k     8/142 5.6%  5.6%     0.33       0.62         (empty)
+#   60k     8/245 3.3%  3.2%     0.30       0.37         (empty)
+#   240k    8/490 1.6%  1.6%     0.455      0.57         1.00
+#
+# Two facts the sweep establishes: (1) recall of the isotropic bulk is
+# candidate-fraction-bound — the quantizer's lift over random reading
+# (recall/fraction) grows 2.9x -> 28x as the corpus grows into the
+# codebook, but no coarse quantizer can concentrate noise-tail
+# neighbors (nprobe=32 still reads 6.5% for 0.645); (2) the tier a
+# production ANN actually serves — tight neighbors, cosine >= 0.7
+# (near-duplicates, planted pairs; the only tier that is non-empty
+# BECAUSE real corpora cluster) — is retrieved at 1.00 at the 1.6%
+# fraction. The r13 verdict's question ("does nprobe=8 hold >= 0.9
+# recall at a small probed fraction?") therefore has a measured answer:
+# for tight neighbors yes, at 1.00; for exact-kNN-of-noise no, and
+# neither would any nprobe below near-exhaustive — the K=10 codebook's
+# 0.90-0.95 was the 80% fraction talking, exactly as suspected.
+IVF_SQRTN_NPROBE = 8
+
+
+def sqrtn_stride(n: int) -> int:
+    """Seed stride for the sqrt(n) codebook: every stride-th vec_id is a
+    centroid, giving K = ceil(n / stride) ≈ isqrt(n) cells for contiguous
+    ids. Mirrored in SQL as n // CAST(floor(sqrt(n)) AS BIGINT)."""
+    import math
+
+    return max(1, n // max(1, math.isqrt(n)))
+
+
+def _ivf_sqrtn_index(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame, DataFrame, dict]:
+    """Build the sqrt(n) IVF index: (e, scored_cells, assign, stats).
+    Split from the search so the recall experiment can pay the n·K
+    assignment once per corpus and sweep nprobe over the SAME frames the
+    registered query executes — evidence about the engine path, not a
+    replica. Assignment is corpus x K cosines (n^1.5 for K=sqrt(n))
+    against a broadcast seed table: the standard IVF build cost,
+    embarrassingly parallel, paid once per corpus — at 100 TB the
+    assignment output is what partitionBy(cell) layouts (q54e) persist."""
+    prep(spark)
+    emb = load(spark, sf_dir, "embeddings")
+    n = emb.count()
+    stride = sqrtn_stride(n)
+    e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
+    # K ≈ sqrt(n) rows, consumed by both the assignment and probe
+    # branches — materialize once, as _ivf_codebook does.
+    seeds = (
+        e.filter((F.col("vec_id") % F.lit(stride)) == 0)
+        .select(F.col("vec_id").alias("cell"), F.col("ee").alias("ce"))
+        .localCheckpoint(eager=True)
+    )
+    scored_cells = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    )
+    best = scored_cells.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
+    )
+    assign = best.select(
+        F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
+    )
+    return e, scored_cells, assign, {"n": n, "stride": stride}
+
+
+def _ivf_sqrtn_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
+    """IVF search over the sqrt(n)-cell stride-seeded codebook. Identical
+    probe/candidate/rerank machinery to :func:`_ivf_search`
+    (:func:`_ivf_probe_rerank`); only the codebook differs. The driver-
+    side count() is one scalar action — the same count-driven-config
+    pattern as the q55 widening ladder."""
+    e, scored_cells, assign, _ = _ivf_sqrtn_index(spark, sf_dir)
+    return _ivf_probe_rerank(e, scored_cells, assign, nprobe)
+
+
+def _ivf_sqrtn_oracle(nprobe: int = IVF_SQRTN_NPROBE) -> str:
+    """DuckDB mirror of the sqrt(n) IVF search — the stride rule is
+    data-dependent SQL (COUNT(*) scalar subquery), so one static string
+    is correct at every scale, exactly like the engine's driver-side
+    count."""
+    return f"""
+    WITH params AS (
+        SELECT GREATEST(1, COUNT(*) // GREATEST(1,
+                   CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS stride
+        FROM embeddings
+    ), seeds AS (
+        SELECT e.vec_id AS cell, e.embedding::DOUBLE[] AS ce
+        FROM embeddings e, params p WHERE e.vec_id % p.stride = 0
+    ), scored_cells AS (
+        SELECT e.vec_id, s.cell,
+               list_dot_product(e.embedding::DOUBLE[], s.ce)
+                   / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(s.ce, s.ce))) AS cos
+        FROM embeddings e CROSS JOIN seeds s
+    ), ranked AS (
+        SELECT vec_id, cell,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cell) AS rn
+        FROM scored_cells
+    ), assign AS (
+        SELECT vec_id, cell FROM ranked WHERE rn = 1
+    ), probes AS (
+        SELECT vec_id AS query_id, cell FROM ranked
+        WHERE vec_id < {N_QUERIES} AND rn <= {nprobe}
+    ), cand AS (
+        SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+        FROM probes p JOIN assign a USING (cell)
+        WHERE a.vec_id <> p.query_id
+    ), scored AS (
+        SELECT cand.query_id, cand.neighbor_id,
+               list_dot_product(eq.embedding::DOUBLE[], en.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(eq.embedding::DOUBLE[], eq.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(en.embedding::DOUBLE[], en.embedding::DOUBLE[])))
+                   AS cosine_sim
+        FROM cand
+        JOIN embeddings eq ON eq.vec_id = cand.query_id
+        JOIN embeddings en ON en.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine_sim, CAST(rn AS INT) AS rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine_sim DESC, neighbor_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """
+
+
+@register(
+    "q54j_ann_ivf_sqrtn",
+    oracle=_ivf_sqrtn_oracle(),
+    tags=("similarity", "ann", "ivf", "sqrtn"),
+)
+def q54j_ann_ivf_sqrtn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over a PRODUCTION-SHAPED codebook: K ≈ sqrt(n) stride-
+    seeded cells instead of q54d's 10 label centroids. This is the
+    operating point whose recall evidence carries to a real deployment —
+    the r13 verdict's #1: on a 10-cell codebook nprobe=8 probes 80% of
+    the corpus, so its 0.90-0.95 recall was near-self-confirming; here
+    nprobe=8 of sqrt(n) cells probes 18%/5.7%/3.3%/1.6% of the cells at
+    2k/20k/60k/240k vectors, and the recall measured there
+    (Q54_RECALL_r14.json sqrtn_recall_vs_nprobe, n_exact=200 per scale)
+    is a genuine small-probed-fraction number. Registered at
+    IVF_SQRTN_NPROBE (see constant block); fully hash-checked via the
+    data-dependent SQL mirror — stride, assignment, probing, and rerank
+    are all deterministic IEEE arithmetic with row_number tie-breaks."""
+    return _ivf_sqrtn_search(spark, sf_dir, IVF_SQRTN_NPROBE)
 
 
 #: (applicationId, sf_dir) → layout path. The cell-partitioned corpus is

@@ -1,21 +1,26 @@
 #!/usr/bin/env python
-"""ANN recall at scaled embedding corpora (VERDICT r11 #7, optional).
+"""ANN recall at scaled embedding corpora (r12-r14 evidence chain).
 
-q54g's recall report existed only at sf0.1; this gives the IVF/PQ
-operating points the measured-recall treatment q47/q55 have: for each
-scale, recall@K of every registered ANN variant against the exact kNN,
-with the IVF probe knob swept (recall-vs-nprobe curve), plus wall
-seconds per variant. Embeddings in the duph corpora are identical to
-the tiled sf1/sf3 corpora (the per-copy vector roll is independent of
-the document modes), so they serve as the 10x/30x scales.
+r14 (VERDICT r13 #1 + #6): the IVF recall story moves to a
+PRODUCTION-SHAPED codebook — K ≈ sqrt(n) stride-seeded cells (the
+registered q54j) with the nprobe sweep reporting the PROBED CELL
+FRACTION and the measured CANDIDATE CORPUS FRACTION per rung, so the
+recall numbers are demonstrably small-probed-fraction numbers, unlike
+the K=10 label codebook where nprobe=8 reads 80% of all cells. The
+sample is widened from 8 to 40 queries (n_exact = 200 ground-truth
+neighbors per scale, recall quantum 1/200): every variant measured
+here runs the REGISTERED code path with similarity.N_QUERIES patched —
+the module global is read at query-build time, so the engine plans are
+byte-identical to production at a wider query set.
 
-Usage: python scripts/ann_recall_scaled.py [--out Q54_RECALL_r12.json]
-         [--sfs name=dir,...]
+Usage: python scripts/ann_recall_scaled.py [--out Q54_RECALL_r14.json]
+         [--sfs name=dir,...] [--n-queries 40]
 """
 
 from __future__ import annotations
 
 import json
+import math
 import os
 import sys
 import time
@@ -23,28 +28,43 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from pyspark.sql import Window  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 from parquet_modular_encryption_spark.session import get_spark, prep  # noqa: E402
 
 NPROBES = (1, 2, 3, 5, 8)
+SQRTN_NPROBES = (1, 2, 4, 8, 16, 32)
+# past this corpus size, only the variants under active evidence-
+# gathering run (sqrt(n) family + the registered defaults); the full
+# registered sweep is covered at the three smaller scales
+FULL_SWEEP_MAX_N = 100_000
 
 
 def main() -> int:
     import parquet_modular_encryption_spark.pipeline.similarity as S
 
     args = sys.argv[1:]
-    out_path = os.path.join(REPO, "Q54_RECALL_r13.json")
+    out_path = os.path.join(REPO, "Q54_RECALL_r14.json")
     bt = os.path.join(REPO, "build", "testdata")
     sfs = [
         ("sf0.1", "/root/testdata/sf0.1"),
         ("sf1", f"{bt}/duph1"),
         ("sf3", f"{bt}/duph3"),
+        ("sf12", f"{bt}/sf12"),
     ]
+    n_queries = 40
     if "--out" in args:
         out_path = args[args.index("--out") + 1]
     if "--sfs" in args:
         sfs = [tuple(x.split("=", 1)) for x in args[args.index("--sfs") + 1].split(",")]
+    if "--n-queries" in args:
+        n_queries = int(args[args.index("--n-queries") + 1])
+
+    # Widen the query sample (VERDICT r13 #6): every similarity query
+    # body reads the module global at build time, so this patch widens
+    # the registered code paths themselves — plans unchanged, sample 5x.
+    S.N_QUERIES = n_queries
 
     spark = get_spark(
         "pme-ann-recall", cores=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -53,9 +73,11 @@ def main() -> int:
 
     report: dict = {
         "k": S.ANN_EVAL_K,
-        "n_queries": S.N_QUERIES,
+        "n_queries": n_queries,
         "nprobe_sweep": list(NPROBES),
+        "sqrtn_nprobe_sweep": list(SQRTN_NPROBES),
         "registered_nprobe": S.IVF_NPROBE,
+        "registered_sqrtn_nprobe": S.IVF_SQRTN_NPROBE,
         "scales": {},
     }
 
@@ -66,48 +88,167 @@ def main() -> int:
         out: dict = {"sf_dir": sf_dir}
         from parquet_modular_encryption_spark.sources.datasets import load
 
-        out["n_vectors"] = load(spark, sf_dir, "embeddings").count()
+        n_vec = load(spark, sf_dir, "embeddings").count()
+        out["n_vectors"] = n_vec
+        full_sweep = n_vec <= FULL_SWEEP_MAX_N
 
-        exact = {
-            (r.query_id, r.neighbor_id)
-            for r in S.q50_knn_bruteforce(spark, sf_dir)
+        exact_rows = (
+            S.q50_knn_bruteforce(spark, sf_dir)
             .filter(F.col("rank") <= S.ANN_EVAL_K)
-            .select("query_id", "neighbor_id")
+            .select("query_id", "neighbor_id", "cosine_sim")
+            .collect()
+        )
+        exact = {(r.query_id, r.neighbor_id) for r in exact_rows}
+        out["n_exact"] = len(exact)
+        # Ground-truth geometry: how tight are the true neighbors, and do
+        # labels carry any geometric signal? (Measured r14: they don't —
+        # same-label fraction of the exact top-5 is ~1/n_labels and the
+        # same/different-label cosine distributions coincide, so this
+        # corpus is near-isotropic: the HARD case for coarse
+        # quantization. Recorded per scale so every recall figure below
+        # can be read against the geometry it was earned on.)
+        cs = sorted(r.cosine_sim for r in exact_rows)
+        lbl = {
+            r.vec_id: r.label
+            for r in load(spark, sf_dir, "embeddings")
+            .select("vec_id", "label")
+            .filter(F.col("vec_id").isin([x for p in exact for x in p]))
             .collect()
         }
-        out["n_exact"] = len(exact)
+        out["geometry"] = {
+            "top5_cos_min": round(cs[0], 4),
+            "top5_cos_median": round(cs[len(cs) // 2], 4),
+            "top5_cos_max": round(cs[-1], 4),
+            "top5_same_label_frac": round(
+                sum(1 for q, nb in exact if lbl[q] == lbl[nb]) / len(exact), 4
+            ),
+        }
+        print(f"# {name} geometry: {out['geometry']}", flush=True)
 
-        def recall(df, cols=("query_id", "neighbor_id")) -> float:
-            got = {(r[0], r[1]) for r in df.select(*cols).collect()}
-            return round(len(exact & got) / len(exact), 4)
+        # Tier-restricted recall: ground-truth pairs above a cosine
+        # threshold. On a near-isotropic corpus the bulk of the exact
+        # top-5 is the tail of the null distribution (median cos ~0.4),
+        # which NO coarse quantizer can concentrate into cells — recall
+        # against it is fraction-bound by geometry. The tiers separate
+        # the retrievable signal (tight neighbors: near-dups, planted
+        # pairs) from that bulk, so each variant's contract reads
+        # "recall r overall, recall r_t on neighbors >= t".
+        tiers = (0.5, 0.7, 0.9)
+        exact_cos = {(r.query_id, r.neighbor_id): r.cosine_sim for r in exact_rows}
+        tier_pairs = {
+            t: {p for p, c in exact_cos.items() if c >= t} for t in tiers
+        }
+        out["tier_sizes"] = {str(t): len(tier_pairs[t]) for t in tiers}
+
+        def hits(df, cols=("query_id", "neighbor_id")) -> set:
+            return {(r[0], r[1]) for r in df.select(*cols).collect()}
+
+        def recalls(got: set) -> dict:
+            rep = {"recall": round(len(exact & got) / len(exact), 4)}
+            tr = {
+                str(t): round(len(got & tp) / len(tp), 4)
+                for t, tp in tier_pairs.items()
+                if tp
+            }
+            if tr:
+                rep["tier_recall"] = tr
+            return rep
 
         variants: list[tuple[str, object]] = [
-            # r13: q54's registered default IS the multiprobe point now;
-            # the old single-bucket point is the q54h budget sibling.
             ("lsh_q54_default", lambda: S.q54_ann_lsh_search(spark, sf_dir)),
-            ("multiprobe_q54b", lambda: S.q54b_ann_multiprobe(spark, sf_dir)),
-            ("lsh_budget_q54h", lambda: S.q54h_ann_lsh_budget(spark, sf_dir)),
-            ("pq_rerank_q54c", lambda: S.q54c_ann_quantized(spark, sf_dir)),
-            ("ivfpq_q54f", lambda: S.q54f_ann_ivfpq(spark, sf_dir)),
-            ("ivf_budget_q54i", lambda: S.q54i_ann_ivf_budget(spark, sf_dir)),
-        ] + [
-            (f"ivf_nprobe{p}", lambda p=p: S._ivf_search(spark, sf_dir, p))
-            for p in NPROBES
+            ("ivf_q54d_default", lambda: S.q54d_ann_ivf(spark, sf_dir)),
         ]
+        if full_sweep:
+            variants += [
+                ("multiprobe_q54b", lambda: S.q54b_ann_multiprobe(spark, sf_dir)),
+                ("lsh_budget_q54h", lambda: S.q54h_ann_lsh_budget(spark, sf_dir)),
+                ("pq_rerank_q54c", lambda: S.q54c_ann_quantized(spark, sf_dir)),
+                ("ivfpq_q54f", lambda: S.q54f_ann_ivfpq(spark, sf_dir)),
+                ("ivf_budget_q54i", lambda: S.q54i_ann_ivf_budget(spark, sf_dir)),
+            ] + [
+                (f"ivf_nprobe{p}", lambda p=p: S._ivf_search(spark, sf_dir, p))
+                for p in NPROBES
+            ]
         for vname, fn in variants:
             t0 = time.monotonic()
             try:
-                r = recall(fn())
+                rep = recalls(hits(fn()))
             except Exception as exc:  # record, don't abort the sweep
                 out[vname] = {"error": str(exc)[:200]}
                 print(f"# {name} {vname}: ERROR {exc}", flush=True)
                 continue
-            out[vname] = {"recall": r, "sec": round(time.monotonic() - t0, 1)}
-            print(f"# {name} {vname}: recall={r} ({out[vname]['sec']}s)", flush=True)
+            rep["sec"] = round(time.monotonic() - t0, 1)
+            out[vname] = rep
+            print(f"# {name} {vname}: {rep}", flush=True)
 
-        out["ivf_recall_vs_nprobe"] = {
-            str(p): out.get(f"ivf_nprobe{p}", {}).get("recall") for p in NPROBES
-        }
+        if full_sweep:
+            # the K=10 label codebook: probed fraction is nprobe/10 —
+            # recorded so the contrast with sqrtn is in the artifact
+            out["ivf_recall_vs_nprobe"] = {
+                str(p): {
+                    "recall": out.get(f"ivf_nprobe{p}", {}).get("recall"),
+                    "probed_cell_fraction": round(p / 10.0, 4),
+                }
+                for p in NPROBES
+            }
+
+        # IVF over the label codebook reads most cells by construction
+        # (K=10); candidate corpus fraction ~ nprobe/10. Record the
+        # registered default's measured fraction for the headline table.
+        out.setdefault("ivf_q54d_default", {}).setdefault(
+            "probed_cell_fraction_note", "nprobe=8 of K=10 cells"
+        )
+
+        # ---- sqrt(n) codebook sweep (VERDICT r13 #1): one index build,
+        # nprobe swept over the same frames the registered q54j executes.
+        t0 = time.monotonic()
+        e, scored_cells, assign, st = S._ivf_sqrtn_index(spark, sf_dir)
+        assign = assign.persist()
+        n, stride = st["n"], st["stride"]
+        k_cells = (n - 1) // stride + 1  # contiguous vec_ids
+        assign.count()  # materialize the n x K assignment once
+        build_sec = round(time.monotonic() - t0, 1)
+        sizes = assign.groupBy("cell").count()
+        wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+        qcells = (
+            scored_cells.filter(F.col("vec_id") < n_queries)
+            .withColumn("rn", F.row_number().over(wcell))
+            .persist()
+        )
+        sweep: dict = {}
+        for p in SQRTN_NPROBES:
+            if p > k_cells:
+                continue
+            t0 = time.monotonic()
+            rep = recalls(hits(S._ivf_probe_rerank(e, scored_cells, assign, p)))
+            sec = round(time.monotonic() - t0, 1)
+            # measured candidate mass: population of the probed cells,
+            # averaged over queries, as a fraction of the corpus
+            cand_rows = (
+                qcells.filter(F.col("rn") <= p)
+                .join(sizes, "cell")
+                .groupBy("vec_id")
+                .agg(F.sum("count").alias("m"))
+                .agg(F.avg("m"))
+                .first()[0]
+            )
+            rep.update(
+                sec=sec,
+                probed_cell_fraction=round(p / k_cells, 4),
+                cand_corpus_fraction=round(float(cand_rows) / n, 4),
+            )
+            sweep[str(p)] = rep
+            print(
+                f"# {name} sqrtn_nprobe{p}: {rep} probed={p}/{k_cells}",
+                flush=True,
+            )
+        out["sqrtn_k_cells"] = k_cells
+        out["sqrtn_stride"] = stride
+        out["sqrtn_index_build_sec"] = build_sec
+        out["sqrtn_recall_vs_nprobe"] = sweep
+        qcells.unpersist()
+        assign.unpersist()
+
         report["scales"][name] = out
         with open(out_path, "w") as fh:
             json.dump(report, fh, indent=1, sort_keys=True)

@@ -866,6 +866,58 @@ def test_ivf_exact_at_full_probe_and_monotone_recall(spark):
     assert r_budget > 0, "IVF found none of the true neighbors"
 
 
+def test_ivf_sqrtn_codebook_shape_and_invariants(spark):
+    """q54j's production-shaped codebook (r13 verdict #1): the stride
+    rule must yield K ≈ isqrt(n) cells, full probing must degenerate to
+    the exact scan (same defining invariant as the label codebook), and
+    recall must be monotone in nprobe. The codebook SHAPE is the point —
+    these pins make sure a future corpus regeneration can't silently
+    turn the sqrt(n) family back into a handful-of-cells search."""
+    import math
+
+    from parquet_modular_encryption_spark.pipeline.similarity import (
+        IVF_SQRTN_NPROBE,
+        _ivf_sqrtn_search,
+        q50_knn_bruteforce,
+        q54j_ann_ivf_sqrtn,
+        sqrtn_stride,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    # the stride rule at representative scales (pure function pin)
+    for n in (50, 500, 2000, 20000, 240000):
+        stride = sqrtn_stride(n)
+        k = math.ceil(n / stride)
+        assert math.isqrt(n) <= k <= math.isqrt(n) + 1, (n, stride, k)
+
+    n = load(spark, SF, "embeddings").count()
+    stride = sqrtn_stride(n)
+    k_actual = sum(1 for i in range(n) if i % stride == 0)
+
+    exact_rows = sorted(
+        (r.query_id, r.neighbor_id, r.cosine_sim, r.rank)
+        for r in q50_knn_bruteforce(spark, SF).filter(F.col("rank") <= 5).collect()
+    )
+    all_cells = sorted(
+        tuple(r) for r in _ivf_sqrtn_search(spark, SF, nprobe=k_actual).collect()
+    )
+    assert all_cells == exact_rows, "nprobe=K must equal the exact top-5"
+
+    exact_set = {(q, nb) for q, nb, _, _ in exact_rows}
+    got_default = {
+        (r.query_id, r.neighbor_id) for r in q54j_ann_ivf_sqrtn(spark, SF).collect()
+    }
+    got_shallow = {
+        (r.query_id, r.neighbor_id)
+        for r in _ivf_sqrtn_search(spark, SF, nprobe=1).collect()
+    }
+    r_default = len(exact_set & got_default) / len(exact_set)
+    r_shallow = len(exact_set & got_shallow) / len(exact_set)
+    assert r_shallow <= r_default <= 1.0
+    assert r_default > 0, "sqrt(n) IVF found none of the true neighbors"
+    assert IVF_SQRTN_NPROBE >= 1
+
+
 def test_semdedup_matches_greedy_reference(spark):
     """q55b vs an independent pure-Python SemDeDup: recompute the
     floor-quantized centroids, the argmax cell assignment, and the
@@ -2827,6 +2879,67 @@ def test_chunked_verify_equals_monolithic(spark):
     assert chunked2 == full2
 
 
+def test_salted_verify_fanout_equals_plain_join(spark, monkeypatch):
+    """VERDICT r13 #2: the verify stage's skew salting must be a purely
+    PHYSICAL transform — identical row set to the plain cand x postings
+    join for both verify flavors, hot branch exercised. The salt target
+    is monkeypatched down so the tiny fixture actually has hot doc_a's
+    (every doc with >2 pairs splits into salt cells), and a planted
+    mega-doc drives multi-cell salting; equality then covers cold path,
+    hot path, and the union seam at once."""
+    from parquet_modular_encryption_spark.pipeline import dedup
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        allpairs_candidates,
+        allpairs_verify,
+        ppjoin_candidates,
+        ppjoin_verify,
+        salted_verify_fanout,
+        shingle_tf,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    # direct helper equality on a planted-skew frame: doc 0 carries 40
+    # of the 46 pairs, so with target 3 it salts ~14 ways
+    monkeypatch.setattr(dedup, "VERIFY_SALT_PAIR_TARGET", 3)
+    cand = spark.createDataFrame(
+        [(0, b) for b in range(1, 41)] + [(5, 6), (7, 8), (9, 10), (2, 3), (4, 6), (1, 9)],
+        "doc_a bigint, doc_b bigint",
+    )
+    post = spark.createDataFrame(
+        [(d, f"t{j}") for d in range(11) for j in range(d % 4 + 1)],
+        "doc_a bigint, tok string",
+    )
+    plain = {tuple(r) for r in cand.join(post, "doc_a").collect()}
+    salted = {tuple(r) for r in salted_verify_fanout(cand, post).collect()}
+    assert salted == plain and plain, "salting must not change the row set"
+
+    # end-to-end: both verify flavors, salted vs not, on the real fixture
+    docs = load(spark, SF, "documents")
+    toks, pcand = ppjoin_candidates(docs)
+    monkeypatch.setattr(dedup, "VERIFY_SALT_PAIR_TARGET", 2)
+    ref = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ppjoin_verify(toks, pcand).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ppjoin_verify(toks, pcand, salted=True).collect()
+    }
+    assert ref and got == ref
+
+    tf = shingle_tf(docs)
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    acand = allpairs_candidates(tf, nrm)
+    ref2 = {
+        (r.doc_a, r.doc_b, r.dot_ab) for r in allpairs_verify(tf, nrm, acand).collect()
+    }
+    got2 = {
+        (r.doc_a, r.doc_b, r.dot_ab)
+        for r in allpairs_verify(tf, nrm, acand, salted=True).collect()
+    }
+    assert ref2 and got2 == ref2
+
+
 def test_grouped_exact_joins_equal_monolith(spark, monkeypatch):
     """The REGISTERED grouped operators (q49e/q55d, VERDICT r10 item 2)
     must return the monolithic q49c/q55c answer frame exactly — same
@@ -2877,6 +2990,16 @@ def test_salted_grid_auto_sizing(spark):
         4, 4, 8, 16, 128, 256,
     ]
 
+    # parallelism cap (r14): the grid a session can USE — pinned at both
+    # regimes the rule is sized for. local[32] restores the uniform-16
+    # wall (g²=256 cells ≥ 4×32 slots); a 1000-executor × 8-core session
+    # keeps the full 256 mega-block ceiling; a single slot floors at
+    # PAIR_GRID.
+    assert D._parallelism_grid_cap(32) == 16
+    assert D._parallelism_grid_cap(8000) == 256
+    assert D._parallelism_grid_cap(1) == D.PAIR_GRID
+    assert D._parallelism_grid_cap(500_000) == D.PAIR_GRID_MAX
+
     # engine-side per-block mirror == the Python rule, swept across every
     # power-of-two boundary +-1 (k <= 500g is the integer-exact form)
     probes = sorted(
@@ -2906,7 +3029,13 @@ def test_salted_grid_auto_sizing(spark):
         (r.doc_a, r.doc_b)
         for r in D.banded_pairs_salted(bands).distinct().collect()
     }
-    assert D.LAST_SALTED_GRID == {"k_max": 2400, "grid": 8}
+    cap = D._parallelism_grid_cap(spark.sparkContext.defaultParallelism)
+    assert D.LAST_SALTED_GRID == {
+        "k_max": 2400,
+        "grid": min(8, cap),
+        "grid_work": 8,
+        "parallelism_cap": cap,
+    }
     assert salted == plain and len(plain) > 2_800_000
 
 
@@ -2939,9 +3068,48 @@ def test_salted_grid_over_cap_warns(spark):
     assert msgs, "over-cap block did not warn"
     assert str(k) in msgs[0] and "pairs PER CELL" in msgs[0]
     g = D.LAST_SALTED_GRID
-    assert g["k_max"] == k and g["grid"] == D.PAIR_GRID_MAX
+    # the WORK rule hits the ceiling (the over-cap contract keys off it);
+    # the APPLIED grid additionally respects the session parallelism cap
+    cap = D._parallelism_grid_cap(spark.sparkContext.defaultParallelism)
+    assert g["k_max"] == k and g["grid_work"] == D.PAIR_GRID_MAX
+    assert g["grid"] == min(D.PAIR_GRID_MAX, cap)
     assert g["clamped"] == 1
     assert g["est_cell_pairs"] == int((k / D.PAIR_GRID_MAX) ** 2) > D.PAIR_CELL_TARGET
+
+
+def test_degenerate_block_filter_and_census(spark):
+    """VERDICT r13 #3: the degenerate-block remedy. On a banding frame
+    with a planted over-cap block, (a) degenerate_block_filter drops
+    exactly that block's rows and reports it with its member count,
+    (b) the kept pair set equals the plain join MINUS the planted
+    block's C(k,2) closed-form mass, and (c) the census report frame
+    flags the block as degenerate with the exact pair estimate. The cap
+    is driven low via the explicit argument — the production constant
+    (128k members) is pinned separately against the grid ceiling it
+    mirrors."""
+    from parquet_modular_encryption_spark.pipeline import dedup as D
+
+    assert D.DEGENERATE_BLOCK_CAP == 500 * D.PAIR_GRID_MAX
+
+    k = 200  # planted degenerate block (with cap=100)
+    mega = [(i, 0, "MEGA") for i in range(k)]
+    normal = [(10_000 + i, 0, f"n{i // 4}") for i in range(80)]
+    bands = spark.createDataFrame(
+        mega + normal, "doc_id bigint, band_id int, band_key string"
+    )
+    kept, dropped = D.degenerate_block_filter(bands, cap=100)
+    drows = dropped.collect()
+    assert [(r.band_id, r.band_key, r.n_members) for r in drows] == [(0, "MEGA", k)]
+    assert kept.count() == 80 and kept.filter("band_key = 'MEGA'").count() == 0
+
+    plain = {(r.doc_a, r.doc_b) for r in D.banded_pairs(bands).distinct().collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in D.banded_pairs_salted(kept).distinct().collect()
+    }
+    assert capped < plain
+    assert len(plain) - len(capped) == k * (k - 1) // 2  # closed-form mass
+    assert {p for p in plain if p[0] >= 10_000} == capped
 
 
 def test_grouped_auto_sizing_rule(spark, monkeypatch):
