@@ -103,17 +103,39 @@ public class RestKmsClient implements KmsClient {
     if (token != null && !token.isEmpty() && !"DEFAULT".equals(token)) {
       builder.header("x-api-key", token);
     }
-    HttpResponse<String> resp;
-    try {
-      resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString());
-    } catch (IOException | InterruptedException e) {
+    HttpResponse<String> resp = null;
+    IOException lastIo = null;
+    // Bounded retry on transport-level IOException only (never on an HTTP
+    // status): a fleet of executors opening connections in one burst hits
+    // transient resets/keep-alive races ("header parser received no
+    // bytes") that a fresh attempt resolves; 403/422 are authorization
+    // answers and must surface immediately, unretried.
+    for (int attempt = 0; attempt < 3; attempt++) {
+      try {
+        if (attempt > 0) {
+          Thread.sleep(50L << attempt);
+        }
+        resp = http.send(builder.build(), HttpResponse.BodyHandlers.ofString());
+        lastIo = null;
+        break;
+      } catch (IOException e) {
+        lastIo = e;
+      } catch (InterruptedException e) {
+        Thread.currentThread().interrupt();
+        throw new ParquetCryptoRuntimeException(
+            "KMS " + action + " request for key " + keyId + " to " + kmsUrl
+                + " interrupted",
+            e);
+      }
+    }
+    if (resp == null) {
       // Attributable outage surfacing: a task that cannot reach the KMS
       // must name the endpoint and key, so a 1000-executor failure wave
       // reads as "KMS down", not as an opaque parquet error.
       throw new ParquetCryptoRuntimeException(
           "KMS " + action + " request for key " + keyId + " to " + kmsUrl
-              + " failed (server unreachable or timed out after 5s)",
-          e);
+              + " failed (server unreachable or timed out after 5s, 3 attempts)",
+          lastIo);
     }
     if (resp.statusCode() == 403) {
       throw new KeyAccessDeniedException(

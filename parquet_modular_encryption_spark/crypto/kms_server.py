@@ -225,6 +225,21 @@ class _KmsHandler(BaseHTTPRequestHandler):
         )
 
 
+class _PmeKmsHttpServer(ThreadingHTTPServer):
+    """ThreadingHTTPServer with a listen backlog sized for burst load:
+    a 32-way parallel decrypting scan opens one KMS connection per task
+    near-simultaneously, and the http.server default backlog of 5 drops
+    the overflow mid-handshake ('HTTP/1.1 header parser received no
+    bytes' on the JVM client — measured when q49f's scratch went from 1
+    file to session-parallelism files, r14). 128 covers hundreds of
+    concurrent unwraps; real deployments put the KMS behind a proper
+    fronting server, but the fleet-of-executors burst SHAPE is exactly
+    what this in-process stand-in must survive."""
+
+    request_queue_size = 128
+    daemon_threads = True
+
+
 class KmsServer:
     """In-process KMS for tests and local runs: ``with KmsServer() as url:``."""
 
@@ -238,7 +253,7 @@ class KmsServer:
         """Plain HTTP by default; pass ``certfile``/``keyfile`` to serve TLS
         (the reference deploys behind TLS and clients trust it via
         ``SSL_CERT_FILE``, reference kms_client.py:36-37)."""
-        self._httpd = ThreadingHTTPServer(("127.0.0.1", port), _KmsHandler)
+        self._httpd = _PmeKmsHttpServer(("127.0.0.1", port), _KmsHandler)
         # wire-level wrap/unwrap request counts, visible to tests via
         # ``counters`` — the ground truth for "did pruning skip KMS work"
         self._httpd.pme_counters = {"wrap": 0, "unwrap": 0}

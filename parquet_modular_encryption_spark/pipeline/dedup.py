@@ -293,12 +293,16 @@ def _encrypted_docs_dir(spark: SparkSession, sf_dir: str) -> str:
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text").coalesce(4)
     path = scratch_dir("pme_q47e_")
+    # v1 data pages: q49f reads this lake through the native parquet-mr
+    # scan when the session carries the KMS jar, and the arrow<->mr PME
+    # interop holds for v1 pages only (see _decrypting_pinned_read)
     write_encrypted(
         docs,
         path,
         EncryptionPolicy(
             column_levels={"text": Privilege.CONFIDENTIAL}, name="documents"
         ),
+        data_page_version="1.0",
     )
     _ENC_DOCS_CACHE[key] = path
     return path
@@ -325,7 +329,13 @@ def q47e_minhash_encrypted(spark: SparkSession, sf_dir: str) -> DataFrame:
     clients and the 60 s key cache, so the KMS cost is per-file-per-key,
     amortized over row groups — dedup's shuffle structure is untouched.
     tests pin the negative side (keyless/insufficient tokens cannot touch
-    text; doc_id stays readable without any key)."""
+    text; doc_id stays readable without any key).
+
+    Boundary disclosure: like the grouped operator's DEFAULT plaintext-
+    scratch contract, this single-pass path checkpoints the shingle
+    arrays through Spark's local block store (content derivatives
+    outside the envelope, on executor disk). The closed-boundary
+    composition is q49f (encrypt_scratch + spill-safe checkpoints)."""
     prep(spark)
     from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
 
@@ -2173,7 +2183,9 @@ def _allpairs_oracle() -> str:
     """
 
 
-def shingle_tf(docs: DataFrame) -> DataFrame:
+def shingle_tf(
+    docs: DataFrame, spill_safe: bool = False, pins: list | None = None
+) -> DataFrame:
     """(doc_id, g, w): term-frequency sparse vectors over word
     {SHINGLE_N}-gram shingles WITH multiplicity (contrast minhash_signature,
     which wants the distinct shingle *set*).
@@ -2186,9 +2198,13 @@ def shingle_tf(docs: DataFrame) -> DataFrame:
     frame is |docs| rows, its materialization costs ~0.5 s at sf0.1, and
     q55c's six tf branches each re-run only the cheap explode+hash-agg."""
     toks = docs.select("doc_id", tokens("text").alias("toks"))
-    arrays = toks.select(
-        "doc_id", raw_shingles_from(F.col("toks"), SHINGLE_N).alias("gs")
-    ).localCheckpoint(eager=True)
+    arrays = _content_checkpoint(
+        toks.select(
+            "doc_id", raw_shingles_from(F.col("toks"), SHINGLE_N).alias("gs")
+        ),
+        spill_safe,
+        pins,
+    )
     return (
         arrays.select("doc_id", F.explode("gs").alias("g"))
         .groupBy("doc_id", "g")
@@ -2534,7 +2550,71 @@ PPJOIN_T_NUM = 7
 PPJOIN_T_DEN = 20
 
 
-def ppjoin_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _decrypting_pinned_read(
+    spark: SparkSession, path: str, token: str, pins: list
+) -> DataFrame:
+    """One decrypting pass, pinned MEMORY_ONLY, served from RAM to every
+    consumer until the caller releases it (VERDICT r13 #4). Capability-
+    gated reader choice (the TWS probe pattern): sessions launched with
+    the KMS jar (bench, get_spark+native_session_conf) take the NATIVE
+    parquet-mr scan — measured ~0.9x a PLAIN scan in the bench
+    encryption_overhead sidecar, reading arrow-written files via the
+    pinned interop (tests/test_encrypted_native.py interop_arrow_to_jvm)
+    — while a vanilla session (the driver's) falls back to the arrow
+    mapInArrow scan, still decrypt-once via the same MEMORY_ONLY pin.
+    Either way no decrypted block can spill to disk; eviction recomputes
+    through the decrypting scan."""
+    from parquet_modular_encryption_spark.sources.encrypted import (
+        _resolve_kms_url,
+        read_encrypted,
+    )
+    from parquet_modular_encryption_spark.sources.encrypted_native import (
+        native_pme_available,
+        read_encrypted_native,
+    )
+
+    ok, _probe = native_pme_available(spark)
+    if ok:
+        enc = read_encrypted_native(
+            spark, path, _resolve_kms_url(spark, None), token=token
+        )
+        pins.append(enc)
+        _ = enc.unpersist  # release handle registered for the chunk-loop end
+        return enc
+    return _content_checkpoint(
+        read_encrypted(spark, path, token=token), spill_safe=True, pins=pins
+    )
+
+
+def _content_checkpoint(
+    df: DataFrame, spill_safe: bool, pins: list | None = None
+) -> DataFrame:
+    """Materialize a content-bearing intermediate. Default: localCheckpoint
+    (eager) — the q49b/q49c pattern, reclaimed by the ContextCleaner on
+    GC. ``spill_safe=True`` (the encrypted-lake paths): persist
+    MEMORY_ONLY + materializing count instead — localCheckpoint force-
+    includes executor DISK, which would park decrypted content
+    derivatives (shingle arrays reconstruct text) in plaintext outside
+    the PME envelope, the exact leak read_encrypted_native's pin
+    discipline exists to prevent. MEMORY_ONLY never touches disk; an
+    evicted block recomputes through the decrypting scan it came from —
+    slower, never leaky. The pinned frame is appended to ``pins`` for
+    the caller to release when its consumers are done."""
+    if spill_safe:
+        from pyspark import StorageLevel
+
+        out = df.persist(StorageLevel.MEMORY_ONLY)
+        out.count()
+        if pins is not None:
+            pins.append(out)
+        _ = out.unpersist  # release handle registered above for the caller
+        return out
+    return df.localCheckpoint(eager=True)
+
+
+def ppjoin_candidates(
+    docs: DataFrame, spill_safe: bool = False, pins: list | None = None
+) -> tuple[DataFrame, DataFrame]:
     """q49c's candidate stage: (token postings, candidate pairs).
 
     Length filter (cross-multiplied integers) inside the join; prefix
@@ -2556,9 +2636,13 @@ def ppjoin_candidates(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
     the cheap explode."""
     from pyspark.sql import Window
 
-    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
-        "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
-    ).localCheckpoint(eager=True)
+    shingled = _content_checkpoint(
+        docs.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
+        ),
+        spill_safe,
+        pins,
+    )
     toks = shingled.select(
         "doc_id", F.size("shingles").alias("m"), F.explode("shingles").alias("tok")
     )
@@ -2979,6 +3063,7 @@ def grouped_exact_join(
 
     assert op in ("q49c", "q55c"), op
     work = scratch_dir(f"pme_grouped_{op}_")
+    pins: list = []  # MEMORY_ONLY frames to release after the chunk loop
 
     def _materialize(df: DataFrame, sub: str, enc_cols: tuple[str, ...] = ()):
         """Write one scratch frame and read it back. Content-bearing
@@ -2988,6 +3073,16 @@ def grouped_exact_join(
         plaintext either way, matching the lake convention that ids are
         keyless catalog columns (q47e)."""
         path = f"{work}/{sub}"
+        # Narrow lineage from a small lake leaves one partition all the
+        # way down — a single-threaded GCM encrypt, a single-threaded
+        # decrypt, and a 1-task cache scan for every verify consumer
+        # (measured: the dominant term of q49f's r13 premium). Widen to
+        # the session's parallelism before writing; skipped when the
+        # frame is already wide (sf10: postings arrive 100+ partitions
+        # wide and an extra full shuffle would cost real time).
+        n_target = spark.sparkContext.defaultParallelism
+        if df.rdd.getNumPartitions() < n_target:
+            df = df.repartition(n_target)
         if encrypt_scratch and enc_cols:
             from parquet_modular_encryption_spark.crypto.policy import (
                 EncryptionPolicy,
@@ -2998,6 +3093,11 @@ def grouped_exact_join(
                 write_encrypted,
             )
 
+            # v1 data pages: the arrow<->parquet-mr PME interop holds for
+            # v1 only (DataPage v2 + GCM AAD ordinals diverge between the
+            # implementations — the interop test pins v1 for the same
+            # reason), and this scratch must be readable by whichever
+            # decrypting scan the session supports (_decrypting_pinned_read)
             write_encrypted(
                 df,
                 path,
@@ -3005,13 +3105,21 @@ def grouped_exact_join(
                     column_levels={c: Privilege.CONFIDENTIAL for c in enc_cols},
                     name=f"grouped_{sub}",
                 ),
+                data_page_version="1.0",
             )
-            return read_encrypted(spark, path, token="CONFIDENTIAL")
+            # Decrypt ONCE (VERDICT r13 #4): without the pin, every
+            # consumer of the scratch frame — both posting sides of the
+            # verify join, in every chunk — re-runs the decrypting scan,
+            # which is what priced q49f at ~1.9x its plaintext twin.
+            return _decrypting_pinned_read(spark, path, "CONFIDENTIAL", pins)
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
     if op == "q49c":
-        toks, cand = ppjoin_candidates(docs)
+        # spill_safe under encrypt_scratch: the shingle-array checkpoint
+        # inside candidate generation must not park content derivatives
+        # on executor disk in plaintext (see _content_checkpoint)
+        toks, cand = ppjoin_candidates(docs, spill_safe=encrypt_scratch, pins=pins)
         toks_m = _materialize(toks, "toks", ("tok",))
 
         def _verify(part: DataFrame) -> DataFrame:
@@ -3021,7 +3129,7 @@ def grouped_exact_join(
             return ppjoin_verify(toks_m, part, salted=True)
 
     else:
-        tf = shingle_tf(docs)
+        tf = shingle_tf(docs, spill_safe=encrypt_scratch, pins=pins)
         nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
         tf_m = _materialize(tf, "tf", ("g",))
         nrm_m = _materialize(nrm, "nrm")
@@ -3051,12 +3159,19 @@ def grouped_exact_join(
 
     schema = None
     chunk_dirs = []
-    for i in range(n_chunks):
-        out = f"{work}/out/chunk_{i}"
-        part = _verify(verify_chunk(cand_m, i, n_chunks))
-        schema = part.schema
-        part.write.mode("overwrite").parquet(out)
-        chunk_dirs.append(out)
+    try:
+        for i in range(n_chunks):
+            out = f"{work}/out/chunk_{i}"
+            part = _verify(verify_chunk(cand_m, i, n_chunks))
+            schema = part.schema
+            part.write.mode("overwrite").parquet(out)
+            chunk_dirs.append(out)
+    finally:
+        # release the decrypted MEMORY_ONLY pins: every consumer (the
+        # chunk verify jobs) has run; the returned frame reads only the
+        # chunk parquet directories
+        for p in pins:
+            p.unpersist()
     return spark.read.schema(schema).parquet(*chunk_dirs)
 
 
@@ -3098,15 +3213,27 @@ def q49f_jaccard_grouped_encrypted(spark: SparkSession, sf_dir: str) -> DataFram
     plaintext brute-force oracle makes the whole composition
     hash-checkable: encryption at rest AND in scratch changes nothing
     about the join. Scale: q49e's shape (auto-sized residue-class
-    chunks) plus one encrypt/decrypt pass per posting materialization —
-    per-file-per-key KMS cost, amortized over row groups, as q47e
-    documents."""
+    chunks) plus ONE encrypt pass and ONE decrypt pass per posting
+    materialization — since r14 the decrypting scratch read is pinned
+    MEMORY_ONLY for the chunk loop's lifetime (VERDICT r13 #4), so the
+    per-chunk/per-join-side re-decrypt multiplier is gone; an evicted
+    block recomputes through the decrypting scan (never spilled
+    plaintext — see _content_checkpoint, which also keeps the shingle
+    checkpoint off executor disk on this path)."""
     prep(spark)
-    from parquet_modular_encryption_spark.sources.encrypted import read_encrypted
-
     enc_path = _encrypted_docs_dir(spark, sf_dir)
-    docs = read_encrypted(spark, enc_path, token="CONFIDENTIAL")
-    return grouped_exact_join(spark, docs, "q49c", encrypt_scratch=True)
+    # Decrypting lake scan, pinned once (r14): jar-equipped sessions take
+    # the NATIVE parquet-mr path at ~plain-scan speed (vs ~5x for the
+    # arrow path this query used through r13 — the bulk of its 1.9x
+    # premium over q49e); vanilla sessions fall back to the arrow scan,
+    # still read exactly once. Released when the grouped join returns.
+    lake_pins: list = []
+    docs = _decrypting_pinned_read(spark, enc_path, "CONFIDENTIAL", lake_pins)
+    try:
+        return grouped_exact_join(spark, docs, "q49c", encrypt_scratch=True)
+    finally:
+        for p in lake_pins:
+            p.unpersist()
 
 
 @register(

@@ -54,6 +54,26 @@ def native_session_conf() -> dict[str, str]:
     }
 
 
+def native_pme_available(spark: SparkSession) -> tuple[bool, str]:
+    """(available, probe) capability gate for the native decrypting path
+    in sessions the engine did not build (the TWS probe pattern): the
+    JVM RestKmsClient must be on the classpath AT JVM LAUNCH
+    (native_session_conf), which a vanilla driver session does not set —
+    reads would die executor-side with 'Could not instantiate KmsClient
+    class'. Callers with a dual code path (e.g. the grouped encrypted
+    join's decrypt-once scratch read) consult this and fall back to the
+    arrow scan; the probe string names the missing conf for the skip
+    reason."""
+    for key in ("spark.jars", "spark.driver.extraClassPath"):
+        try:
+            val = spark.conf.get(key, "") or ""
+        except Exception:  # conf key unreadable in some harnesses
+            val = ""
+        if os.path.basename(JAR_PATH) in val:
+            return True, f"kms jar on {key}"
+    return False, f"{os.path.basename(JAR_PATH)} not on spark.jars/extraClassPath"
+
+
 @contextmanager
 def _pme_hadoop_conf(spark: SparkSession, entries: dict[str, str]):
     """Temporarily set PME keys on the (session-global) hadoop conf.
