@@ -444,22 +444,26 @@ def _auto_grid(k_max: int) -> int:
 
 
 #: Grid cells per execution slot the parallelism cap aims for: a g×g
-#: grid can occupy at most g² tasks, so any g beyond sqrt(occupancy ×
-#: parallelism) buys replication the session cannot cash as balance —
-#: the measured 33% local overhead of r13's mega probe (grid 128 =
-#: 16,384 cells for 32 threads, NOTES_r13 §4). 4 cells/slot keeps wave
-#: smoothing without over-replicating.
-PAIR_GRID_OCCUPANCY = 4
+#: grid can occupy at most g² tasks, so any g far beyond
+#: sqrt(occupancy × parallelism) buys replication the session cannot
+#: cash as balance — the measured 33% local overhead of r13's mega
+#: probe (grid 128 = 16,384 cells for 32 threads, NOTES_r13 §4).
+#: 128 cells/slot is the measured local[32] sweet spot (r14 grid
+#: sweep on the 50k mega probe: grid 64 = 4,096 cells lands straggler
+#: 1.24 at wall parity with grid 16, where 16,384 cells paid 33%) —
+#: generous wave smoothing is free until per-task overhead dominates.
+PAIR_GRID_OCCUPANCY = 128
 
 
 def _parallelism_grid_cap(parallelism: int) -> int:
     """Largest USEFUL per-block grid for this session (VERDICT r13 #5):
     smallest power-of-two g in [PAIR_GRID, PAIR_GRID_MAX] with
-    g² >= PAIR_GRID_OCCUPANCY × parallelism. local[32] → 16 (the old
-    uniform grid's wall, restored); a 1000-executor × 8-core cluster
-    (parallelism 8000) → 256 (the mega-block sizing preserved). The cap
-    is PHYSICAL only — the work rule (:func:`_auto_grid`) still decides
-    what a block NEEDS; this decides what the session can USE."""
+    g² >= PAIR_GRID_OCCUPANCY × parallelism. local[32] → 64 (measured:
+    straggler 1.24 at wall parity with the old uniform-16, SCALE_r14_
+    mega); a 1000-executor × 8-core cluster (parallelism 8000) → 256
+    (the mega-block ceiling preserved). The cap is PHYSICAL only — the
+    work rule (:func:`_auto_grid`) still decides what a block NEEDS;
+    this decides what the session can USE."""
     g = PAIR_GRID
     while g < PAIR_GRID_MAX and g * g < PAIR_GRID_OCCUPANCY * max(1, parallelism):
         g *= 2
@@ -546,11 +550,12 @@ def salted_block_self_join(
        while a 100k mega-block beside it takes the 256 ceiling —
        replication proportional to each block's own pair mass. Since
        r14 the per-block grid is additionally capped by the session's
-       parallelism (:func:`_parallelism_grid_cap`): g² cells beyond
-       ~4× the available slots is replication the session cannot cash
-       as balance (the measured 33% local mega-probe overhead,
-       NOTES_r13 §4) — local[32] lands back at the uniform-16 wall
-       while a 1000-executor session keeps the full ceiling. An
+       parallelism (:func:`_parallelism_grid_cap`): g² cells far beyond
+       the available slots is replication the session cannot cash as
+       balance (the measured 33% local mega-probe overhead of grid 128,
+       NOTES_r13 §4) — local[32] caps at 64, the measured
+       straggler-1.24-at-wall-parity point, while a 1000-executor
+       session keeps the full ceiling. An
        explicit ``grid`` applies uniformly (experiments/A-B probes).
 
     No forced broadcasts: the hot-key set joins on the same block key

@@ -2991,13 +2991,13 @@ def test_salted_grid_auto_sizing(spark):
     ]
 
     # parallelism cap (r14): the grid a session can USE — pinned at both
-    # regimes the rule is sized for. local[32] restores the uniform-16
-    # wall (g²=256 cells ≥ 4×32 slots); a 1000-executor × 8-core session
-    # keeps the full 256 mega-block ceiling; a single slot floors at
-    # PAIR_GRID.
-    assert D._parallelism_grid_cap(32) == 16
+    # regimes the rule is sized for. local[32] → 64 (the measured
+    # straggler-1.24-at-wall-parity point, SCALE_r14_mega; grid 128's
+    # 16,384 cells paid 33% wall in r13); a 1000-executor × 8-core
+    # session keeps the full 256 mega-block ceiling.
+    assert D._parallelism_grid_cap(32) == 64
     assert D._parallelism_grid_cap(8000) == 256
-    assert D._parallelism_grid_cap(1) == D.PAIR_GRID
+    assert D._parallelism_grid_cap(1) == 16
     assert D._parallelism_grid_cap(500_000) == D.PAIR_GRID_MAX
 
     # engine-side per-block mirror == the Python rule, swept across every
