@@ -2217,6 +2217,88 @@ def shingle_tf(
     )
 
 
+def salted_hot_feature_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    l_salt: str,
+    r_salt: str,
+    threshold: int = PAIR_CELL_TARGET,
+) -> DataFrame:
+    """``left.join(right, key)`` with hot keys fragment-replicated over a
+    per-key 2D grid — the bipartite generalization of
+    :func:`salted_block_self_join` (r14, the last boiler straggler).
+
+    Prefix filtering guarantees hot features never become join keys on a
+    NORMAL corpus (rarest-first prefixes), but a template group breaks
+    the premise: the rarest grams of a template doc are shared by its
+    whole k-member group, so the candidate join's gram key carries
+    |prefix_g| x |tf_g| ≈ k² hits on one reducer (measured at boiler3:
+    3.4-3.6 max/median task ratio in the candidate stage — the residual
+    the r13 verdict attributed to the verify chunks). Census: one count
+    per key on each side; keys with row-product > ``threshold`` get the
+    smallest power-of-two grid g with product/g² <= threshold (capped
+    like the self-join grid, incl. the session-parallelism cap) — a left
+    row lands in cells (h(l_salt), *), a right row in (*, h(r_salt)), so
+    every cross pair meets exactly once and each side replicates g times
+    (g ≈ k/sqrt(threshold): 8 for a 3k-member template group). Cold keys
+    take the plain join; when the census finds no hot key at all the
+    plain join is returned UNCHANGED (driver-side branch, the k_max
+    precedent) so normal corpora pay only the census aggregate. Output
+    row set is exactly the plain join's — purely physical, every oracle
+    unchanged."""
+    lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("__ln"))
+    rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("__rn"))
+    census = lc.join(rc, key).filter(
+        F.col("__ln") * F.col("__rn") > F.lit(threshold)
+    )
+    cap = _parallelism_grid_cap(
+        left.sparkSession.sparkContext.defaultParallelism
+    )
+    # per-key grid: smallest power-of-two g with ln*rn <= threshold*g²
+    ceiling = min(PAIR_GRID_MAX, max(PAIR_GRID, cap))
+    prod = F.col("__ln") * F.col("__rn")
+    g_expr = None
+    g = PAIR_GRID
+    while True:
+        cond = prod <= F.lit(threshold) * F.lit(g * g)
+        g_expr = (
+            F.when(cond, F.lit(g)) if g_expr is None else g_expr.when(cond, F.lit(g))
+        )
+        if g >= ceiling:
+            break
+        g *= 2
+    hot = census.select(key, g_expr.otherwise(F.lit(ceiling)).cast("long").alias("__g"))
+    if not hot.limit(1).count():
+        return left.join(right, key)
+
+    l_tag = left.join(hot, key, "left")
+    r_tag = right.join(hot, key, "left")
+    cold = l_tag.filter(F.col("__g").isNull()).drop("__g").join(
+        r_tag.filter(F.col("__g").isNull()).drop("__g"), key
+    )
+    cells = F.sequence(F.lit(0).cast("long"), F.col("__g") - F.lit(1).cast("long"))
+    l_h = (
+        l_tag.filter(F.col("__g").isNotNull())
+        .withColumn("__row", F.pmod(F.xxhash64(F.col(l_salt)), F.col("__g")))
+        .withColumn("__col", F.explode(cells))
+        .drop("__g")
+    )
+    r_h = (
+        r_tag.filter(F.col("__g").isNotNull())
+        .withColumn("__col", F.pmod(F.xxhash64(F.col(r_salt)), F.col("__g")))
+        .withColumn("__row", F.explode(cells))
+        .drop("__g")
+    )
+    keys_and_cells = [key, "__row", "__col"]
+    joined = (
+        pinned(l_h, *keys_and_cells)
+        .join(r_h, keys_and_cells)
+        .drop("__row", "__col")
+    )
+    return cold.unionByName(joined.select(*cold.columns))
+
+
 def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
     """Prefix-filtered candidate pairs (doc_a < doc_b): a SUPERSET of all
     pairs with cosine >= t, generated without ever joining on a hot
@@ -2241,9 +2323,20 @@ def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
         .filter(F.col("cum") >= t - ALLPAIRS_PREFIX_EPS)
         .select(F.col("doc_id").alias("doc_a"), "g")
     )
+    # Hot-feature-salted candidate join (r14): on a template-group corpus
+    # the rarest grams of a doc are group-shared, so this gram-keyed join
+    # is where the prefix filter's skew-kill premise fails — see
+    # salted_hot_feature_join. Plain join on normal corpora (driver-side
+    # empty-hot-census branch).
+    hits = salted_hot_feature_join(
+        prefix,
+        tf.select(F.col("doc_id").alias("doc_b"), "g"),
+        key="g",
+        l_salt="doc_a",
+        r_salt="doc_b",
+    )
     return (
-        prefix.join(tf.select(F.col("doc_id").alias("doc_b"), "g"), "g")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        hits.filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b")
         .distinct()
     )
@@ -2665,8 +2758,14 @@ def ppjoin_candidates(
     full = toks.select(
         F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), "tok"
     )
+    # Hot-feature-salted candidate join (r14): template groups put their
+    # group-shared "rarest" tokens in every member's prefix — the same
+    # skew salted_hot_feature_join kills in q55c's candidate stage; plain
+    # join on normal corpora (driver-side empty-hot-census branch).
     cand = (
-        prefix.join(full, "tok")
+        salted_hot_feature_join(
+            prefix, full, key="tok", l_salt="doc_a", r_salt="doc_b"
+        )
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))

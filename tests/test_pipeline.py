@@ -3077,6 +3077,43 @@ def test_salted_grid_over_cap_warns(spark):
     assert g["est_cell_pairs"] == int((k / D.PAIR_GRID_MAX) ** 2) > D.PAIR_CELL_TARGET
 
 
+def test_salted_hot_feature_join_equals_plain_join(spark):
+    """r14: the bipartite hot-feature grid must be purely physical —
+    identical row set to the plain key join with a planted hot key big
+    enough to force a real grid (threshold driven low), cold keys and
+    the union seam covered, and the no-hot-key census branch returning
+    the plain join's rows too."""
+    from parquet_modular_encryption_spark.pipeline import dedup as D
+
+    left = spark.createDataFrame(
+        [(a, "HOT") for a in range(40)] + [(100 + a, f"c{a % 5}") for a in range(20)],
+        "doc_a bigint, g string",
+    )
+    right = spark.createDataFrame(
+        [(b, "HOT") for b in range(1000, 1060)]
+        + [(2000 + b, f"c{b % 5}") for b in range(25)],
+        "doc_b bigint, g string",
+    )
+    plain = {tuple(r) for r in left.join(right, "g").collect()}
+    # 40*60 = 2400 > 100 forces a grid on HOT; cold keys stay plain
+    salted = {
+        tuple(r)
+        for r in D.salted_hot_feature_join(
+            left, right, key="g", l_salt="doc_a", r_salt="doc_b", threshold=100
+        ).collect()
+    }
+    assert salted == plain and plain
+
+    # census finds nothing hot -> the plain join comes back row-identical
+    quiet = {
+        tuple(r)
+        for r in D.salted_hot_feature_join(
+            left, right, key="g", l_salt="doc_a", r_salt="doc_b", threshold=10**9
+        ).collect()
+    }
+    assert quiet == plain
+
+
 def test_degenerate_block_filter_and_census(spark):
     """VERDICT r13 #3: the degenerate-block remedy. On a banding frame
     with a planted over-cap block, (a) degenerate_block_filter drops
