@@ -2401,13 +2401,19 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
 
 #: Pairs per salt cell for the verify stage's doc_a fan-out. The verify
 #: joins shuffle candidate pairs by doc_a to meet that doc's postings;
-#: a template doc with p partners puts p x m_a pair-token rows on ONE
-#: reducer — the straggler the r13 boiler3 run measured at 3.15 inside
-#: q55d's verify chunks (SCALE_r13_boiler_grouped.json: 23.9 s max task
-#: vs 7.6 s median). 512 pairs/cell keeps a hot doc's per-cell output
-#: at ~512 x m_a rows (~100-250k for real posting sizes) — the same
-#: rows-per-task altitude PAIR_CELL_TARGET aims the banding grid at.
-VERIFY_SALT_PAIR_TARGET = 512
+#: a doc with p partners puts p x m_a pair-token rows on ONE reducer.
+#: Sized as a DORMANT safety net (r14): the boiler3 stage-level
+#: diagnosis showed the verify stages were never key-skewed there
+#: (chunk ratios <= 1.6 — r13's 3.15 lived in the CANDIDATE stage, see
+#: salted_hot_feature_join), and an eagerly-engaged salt (the first
+#: r14 cut used 512) cost q49e ~50% wall at boiler3 for balance it
+#: didn't need. 50k pairs x real posting sizes ~ tens of millions of
+#: rows on one reducer — the scale at which a single doc_a key
+#: genuinely dominates a task; below it the hash spread across doc_a
+#: keys balances on its own. When no doc is hot the plain join returns
+#: unchanged (driver-side branch), so the net cost is one census
+#: aggregate per verify call.
+VERIFY_SALT_PAIR_TARGET = 50_000
 
 
 def salted_verify_fanout(
@@ -2432,6 +2438,10 @@ def salted_verify_fanout(
     exists for."""
     counts = cand.groupBy(key).agg(F.count(F.lit(1)).alias("__vn"))
     hot = counts.filter(F.col("__vn") > VERIFY_SALT_PAIR_TARGET)
+    if not hot.limit(1).count():
+        # nothing hot: the plain join, byte-identical plan (the
+        # driver-side branch salted_hot_feature_join uses)
+        return cand.join(post, key)
     tagged = cand.join(hot, key, "left")
     cold = tagged.filter(F.col("__vn").isNull()).drop("__vn").join(post, key)
     s_expr = F.ceil(F.col("__vn") / F.lit(VERIFY_SALT_PAIR_TARGET)).cast("long")
@@ -2758,14 +2768,16 @@ def ppjoin_candidates(
     full = toks.select(
         F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), "tok"
     )
-    # Hot-feature-salted candidate join (r14): template groups put their
-    # group-shared "rarest" tokens in every member's prefix — the same
-    # skew salted_hot_feature_join kills in q55c's candidate stage; plain
-    # join on normal corpora (driver-side empty-hot-census branch).
+    # Deliberately the PLAIN token join (r14): the boiler3 stage-level
+    # diagnosis measured this stage balanced (ratio <= 1.36) — PPJoin's
+    # rarest-first prefixes stay short enough that even group-shared
+    # tokens spread across reducers — and an A/B with
+    # salted_hot_feature_join here made the wall AND dispersion worse
+    # (grid overhead for balance the stage already had). The salted
+    # variant guards q55c's candidate join, where the same corpus
+    # measurably straggles at 3.4-3.6.
     cand = (
-        salted_hot_feature_join(
-            prefix, full, key="tok", l_salt="doc_a", r_salt="doc_b"
-        )
+        prefix.join(full, "tok")
         .filter(
             (F.col("doc_a") < F.col("doc_b"))
             & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
