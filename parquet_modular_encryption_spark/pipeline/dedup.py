@@ -2224,6 +2224,7 @@ def salted_hot_feature_join(
     l_salt: str,
     r_salt: str,
     threshold: int = PAIR_CELL_TARGET,
+    left_subset_of_right: bool = False,
 ) -> DataFrame:
     """``left.join(right, key)`` with hot keys fragment-replicated over a
     per-key 2D grid — the bipartite generalization of
@@ -2246,9 +2247,21 @@ def salted_hot_feature_join(
     plain join is returned UNCHANGED (driver-side branch, the k_max
     precedent) so normal corpora pay only the census aggregate. Output
     row set is exactly the plain join's — purely physical, every oracle
-    unchanged."""
-    lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("__ln"))
+    unchanged.
+
+    ``left_subset_of_right``: declare that left's rows per key are a
+    subset of right's (true for a prefix index vs its postings). Then
+    product <= rn², and one CHEAP aggregate over the right side decides
+    hotness-at-all — crucial when the left side is expensive to compute
+    (the prefix frame re-runs a corpus window; the r14 bench caught the
+    unscreened census pricing q55c at 3x on hot-free corpora just to
+    COUNT that frame)."""
     rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("__rn"))
+    if left_subset_of_right:
+        rmax = int(rc.agg(F.max("__rn")).first()[0] or 0)
+        if rmax * rmax <= threshold:
+            return left.join(right, key)
+    lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("__ln"))
     census = lc.join(rc, key).filter(
         F.col("__ln") * F.col("__rn") > F.lit(threshold)
     )
@@ -2334,6 +2347,7 @@ def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
         key="g",
         l_salt="doc_a",
         r_salt="doc_b",
+        left_subset_of_right=True,  # prefix rows per gram ⊆ postings rows
     )
     return (
         hits.filter(F.col("doc_a") < F.col("doc_b"))
