@@ -3207,13 +3207,17 @@ def grouped_exact_join(
         # way down — a single-threaded GCM encrypt, a single-threaded
         # decrypt, and a 1-task cache scan for every verify consumer
         # (measured: the dominant term of q49f's r13 premium). Widen to
-        # the session's parallelism before writing; skipped when the
-        # frame is already wide (sf10: postings arrive 100+ partitions
-        # wide and an extra full shuffle would cost real time).
-        n_target = spark.sparkContext.defaultParallelism
-        if df.rdd.getNumPartitions() < n_target:
-            df = df.repartition(n_target)
+        # the session's parallelism before the ENCRYPTED write; skipped
+        # when the frame is already wide (sf10: postings arrive 100+
+        # partitions wide and an extra full shuffle would cost real
+        # time) and on the plaintext path entirely (a plain parquet
+        # scan re-splits by size on read — only the GCM pipeline is
+        # partition-bound, and the shuffle cost the plain twins a
+        # measured ~15% at sf0.1 for nothing).
         if encrypt_scratch and enc_cols:
+            n_target = spark.sparkContext.defaultParallelism
+            if df.rdd.getNumPartitions() < n_target:
+                df = df.repartition(n_target)
             from parquet_modular_encryption_spark.crypto.policy import (
                 EncryptionPolicy,
                 Privilege,
@@ -3252,11 +3256,8 @@ def grouped_exact_join(
         toks, cand = ppjoin_candidates(docs, spill_safe=encrypt_scratch, pins=pins)
         toks_m = _materialize(toks, "toks", ("tok",))
 
-        def _verify(part: DataFrame) -> DataFrame:
-            # salted: the grouped operator exists to bound resource
-            # spikes — its verify chunks must not re-create one as a
-            # hot-doc straggler task (VERDICT r13 #2)
-            return ppjoin_verify(toks_m, part, salted=True)
+        def _verify(part: DataFrame, salted: bool) -> DataFrame:
+            return ppjoin_verify(toks_m, part, salted=salted)
 
     else:
         tf = shingle_tf(docs, spill_safe=encrypt_scratch, pins=pins)
@@ -3265,8 +3266,8 @@ def grouped_exact_join(
         nrm_m = _materialize(nrm, "nrm")
         cand = allpairs_candidates(tf_m, nrm_m)
 
-        def _verify(part: DataFrame) -> DataFrame:
-            return allpairs_verify(tf_m, nrm_m, part, salted=True)
+        def _verify(part: DataFrame, salted: bool) -> DataFrame:
+            return allpairs_verify(tf_m, nrm_m, part, salted=salted)
 
     cand_m = _materialize(cand, "cand")
 
@@ -3287,12 +3288,26 @@ def grouped_exact_join(
                 n_chunks=n_chunks,
             )
 
+    # ONE census over the full materialized candidate frame decides
+    # verify salting for every chunk (a residue class's per-doc_a counts
+    # are bounded by the full frame's, so "no hot doc_a overall" implies
+    # none in any chunk) — the dormant-by-default contract costs one
+    # cheap parquet aggregate instead of an action per chunk (VERDICT
+    # r13 #2; the salt itself engages only for true mega-fanout docs,
+    # see VERIFY_SALT_PAIR_TARGET).
+    verify_salted = bool(
+        cand_m.groupBy("doc_a")
+        .agg(F.count(F.lit(1)).alias("__vn"))
+        .filter(F.col("__vn") > VERIFY_SALT_PAIR_TARGET)
+        .limit(1)
+        .count()
+    )
     schema = None
     chunk_dirs = []
     try:
         for i in range(n_chunks):
             out = f"{work}/out/chunk_{i}"
-            part = _verify(verify_chunk(cand_m, i, n_chunks))
+            part = _verify(verify_chunk(cand_m, i, n_chunks), verify_salted)
             schema = part.schema
             part.write.mode("overwrite").parquet(out)
             chunk_dirs.append(out)
