@@ -2202,6 +2202,23 @@ def shingle_tf(
     tf checkpoint that the round-8 A/B measured as a loss: the array
     frame is |docs| rows, its materialization costs ~0.5 s at sf0.1, and
     q55c's six tf branches each re-run only the cheap explode+hash-agg."""
+    tf, _ = shingle_tf_with_census(docs, spill_safe, pins)
+    return tf
+
+
+def shingle_tf_with_census(
+    docs: DataFrame, spill_safe: bool = False, pins: list | None = None
+) -> tuple[DataFrame, DataFrame]:
+    """(tf, gram_counts): :func:`shingle_tf` plus the per-gram document
+    frequency ``(g, __rn)`` — exactly ``tf.groupBy(g).count()`` (tf has
+    one row per (doc, g)), but derived from the CHECKPOINTED array frame
+    via ``explode(array_distinct(gs))``, which partial-aggregates to
+    vocabulary size on the map side and shuffles only the tiny census
+    frame. Computing the same census through tf costs the full
+    (doc_id, g) exchange first — that extra pass was the hot-feature
+    prescreen's ~+2 s tax on every clean-corpus q55c run (VERDICT r14
+    #4); this census makes the prescreen pay one cheap vocab shuffle
+    instead."""
     toks = docs.select("doc_id", tokens("text").alias("toks"))
     arrays = _content_checkpoint(
         toks.select(
@@ -2210,11 +2227,17 @@ def shingle_tf(
         spill_safe,
         pins,
     )
-    return (
+    tf = (
         arrays.select("doc_id", F.explode("gs").alias("g"))
         .groupBy("doc_id", "g")
         .agg(F.count(F.lit(1)).alias("w"))
     )
+    gram_counts = (
+        arrays.select(F.explode(F.array_distinct("gs")).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("__rn"))
+    )
+    return tf, gram_counts
 
 
 def salted_hot_feature_join(
@@ -2225,6 +2248,7 @@ def salted_hot_feature_join(
     r_salt: str,
     threshold: int = PAIR_CELL_TARGET,
     left_subset_of_right: bool = False,
+    right_counts: DataFrame | None = None,
 ) -> DataFrame:
     """``left.join(right, key)`` with hot keys fragment-replicated over a
     per-key 2D grid — the bipartite generalization of
@@ -2255,12 +2279,31 @@ def salted_hot_feature_join(
     hotness-at-all — crucial when the left side is expensive to compute
     (the prefix frame re-runs a corpus window; the r14 bench caught the
     unscreened census pricing q55c at 3x on hot-free corpora just to
-    COUNT that frame)."""
-    rc = right.groupBy(key).agg(F.count(F.lit(1)).alias("__rn"))
+    COUNT that frame).
+
+    ``right_counts``: precomputed ``right.groupBy(key).count()`` as
+    ``(key, __rn)`` — r15, VERDICT r14 #4. The caller often has (or can
+    derive) this census far cheaper than a fresh groupBy over the
+    postings (shingle_tf_with_census folds it to vocabulary size on the
+    map side); threading it in removes the census pass that taxed every
+    clean-corpus q55c run. Must be EXACTLY the right frame's per-key
+    row count — both the prescreen and the grid sizing read it."""
+    rc = (
+        right_counts
+        if right_counts is not None
+        else right.groupBy(key).agg(F.count(F.lit(1)).alias("__rn"))
+    )
     if left_subset_of_right:
         rmax = int(rc.agg(F.max("__rn")).first()[0] or 0)
         if rmax * rmax <= threshold:
-            return left.join(right, key)
+            # pinned: the join's OUTPUT (sharing pairs) dwarfs its input
+            # bytes, and AQE sizes the stage by shuffle-read bytes — a
+            # few-MB candidate exchange coalesces to single-digit tasks
+            # that then each compute millions of join hits (measured
+            # r15: q55c's 46M-hit candidate join ran on 6 tasks, 13 s
+            # apiece, the whole 2-24 s q55c variance). Same guard as
+            # every other pair-generating join (see partitioning.pinned).
+            return pinned(left, key).join(right, key)
     lc = left.groupBy(key).agg(F.count(F.lit(1)).alias("__ln"))
     census = lc.join(rc, key).filter(
         F.col("__ln") * F.col("__rn") > F.lit(threshold)
@@ -2283,11 +2326,11 @@ def salted_hot_feature_join(
         g *= 2
     hot = census.select(key, g_expr.otherwise(F.lit(ceiling)).cast("long").alias("__g"))
     if not hot.limit(1).count():
-        return left.join(right, key)
+        return pinned(left, key).join(right, key)
 
     l_tag = left.join(hot, key, "left")
     r_tag = right.join(hot, key, "left")
-    cold = l_tag.filter(F.col("__g").isNull()).drop("__g").join(
+    cold = pinned(l_tag.filter(F.col("__g").isNull()).drop("__g"), key).join(
         r_tag.filter(F.col("__g").isNull()).drop("__g"), key
     )
     cells = F.sequence(F.lit(0).cast("long"), F.col("__g") - F.lit(1).cast("long"))
@@ -2312,10 +2355,31 @@ def salted_hot_feature_join(
     return cold.unionByName(joined.select(*cold.columns))
 
 
-def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
+def allpairs_candidates(
+    tf: DataFrame,
+    nrm: DataFrame,
+    gram_counts: DataFrame | None = None,
+    split_verify: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Prefix-filtered candidate pairs (doc_a < doc_b): a SUPERSET of all
     pairs with cosine >= t, generated without ever joining on a hot
-    feature (steps 1-3 of :func:`allpairs_cosine`'s docstring)."""
+    feature (steps 1-3 of :func:`allpairs_cosine`'s docstring).
+
+    ``gram_counts``: optional precomputed per-gram df census
+    (see :func:`shingle_tf_with_census`) forwarded to the hot-feature
+    prescreen so it skips its own postings aggregate (VERDICT r14 #4).
+
+    ``split_verify`` (r15, the PPJoin positional-sum idea applied to
+    Bayardo): return ``(cand, suffix)`` where cand carries ``dot_p`` —
+    the EXACT partial dot over prefix(a)-shared grams, folded for free
+    into the aggregation that deduplicated the join hits — and
+    ``suffix`` is the complementary (doc_id, g, w) posting frame. The
+    verify stage then re-joins candidates against SUFFIX postings only
+    (dot = dot_p + suffix dot): the pair-gram fan-out drops by the
+    prefix fraction (~3.4x at sf0.1 — prefixes are ~70% of each doc
+    under the maxw bound), while every emitted number stays
+    integer-exact. Default False keeps the legacy bare-candidate frame
+    for the experiment scripts and chunk-equality tests."""
     from pyspark.sql import Window
 
     t = ALLPAIRS_T_NUM / ALLPAIRS_T_DEN
@@ -2330,11 +2394,11 @@ def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
         .orderBy(F.desc("df"), F.asc("g"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    prefix = (
-        tfn.join(F.broadcast(stats), "g")
-        .withColumn("cum", F.sum(F.col("wn") * F.col("maxw")).over(w_ord))
-        .filter(F.col("cum") >= t - ALLPAIRS_PREFIX_EPS)
-        .select(F.col("doc_id").alias("doc_a"), "g")
+    ranked = tfn.join(F.broadcast(stats), "g").withColumn(
+        "cum", F.sum(F.col("wn") * F.col("maxw")).over(w_ord)
+    )
+    prefix = ranked.filter(F.col("cum") >= t - ALLPAIRS_PREFIX_EPS).select(
+        F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa")
     )
     # Hot-feature-salted candidate join (r14): on a template-group corpus
     # the rarest grams of a doc are group-shared, so this gram-keyed join
@@ -2343,17 +2407,27 @@ def allpairs_candidates(tf: DataFrame, nrm: DataFrame) -> DataFrame:
     # empty-hot-census branch).
     hits = salted_hot_feature_join(
         prefix,
-        tf.select(F.col("doc_id").alias("doc_b"), "g"),
+        tf.select(F.col("doc_id").alias("doc_b"), "g", F.col("w").alias("wb")),
         key="g",
         l_salt="doc_a",
         r_salt="doc_b",
         left_subset_of_right=True,  # prefix rows per gram ⊆ postings rows
+        right_counts=gram_counts,
     )
-    return (
-        hits.filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
-        .distinct()
+    ordered = hits.filter(F.col("doc_a") < F.col("doc_b"))
+    if not split_verify:
+        return ordered.select("doc_a", "doc_b").distinct()
+    # One hit row per (a, b, g) with g in prefix(a) ∩ b (tf is one row
+    # per (doc, g); the salted join's row set equals the plain join's),
+    # so this aggregation — the same shuffle the legacy .distinct() paid
+    # — ALSO yields the exact prefix-restricted dot.
+    cand = ordered.groupBy("doc_a", "doc_b").agg(
+        F.sum(F.col("wa") * F.col("wb")).alias("dot_p")
     )
+    suffix = ranked.filter(F.col("cum") < t - ALLPAIRS_PREFIX_EPS).select(
+        "doc_id", "g", "w"
+    )
+    return cand, suffix
 
 
 def allpairs_cosine(docs: DataFrame) -> DataFrame:
@@ -2407,10 +2481,12 @@ def allpairs_cosine(docs: DataFrame) -> DataFrame:
     # On a cluster where the scan is NOT cheap (100 TB of cold object
     # storage), persist tf to MEMORY_AND_DISK instead — the branch count
     # is the same; only the recompute price changes.
-    tf = shingle_tf(docs)
+    tf, gram_counts = shingle_tf_with_census(docs)
     nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
-    cand = allpairs_candidates(tf, nrm)
-    return allpairs_verify(tf, nrm, cand)
+    cand, suffix = allpairs_candidates(
+        tf, nrm, gram_counts=gram_counts, split_verify=True
+    )
+    return allpairs_verify(tf, nrm, cand, suffix=suffix)
 
 
 #: Pairs per salt cell for the verify stage's doc_a fan-out. The verify
@@ -2453,11 +2529,14 @@ def salted_verify_fanout(
     counts = cand.groupBy(key).agg(F.count(F.lit(1)).alias("__vn"))
     hot = counts.filter(F.col("__vn") > VERIFY_SALT_PAIR_TARGET)
     if not hot.limit(1).count():
-        # nothing hot: the plain join, byte-identical plan (the
-        # driver-side branch salted_hot_feature_join uses)
-        return cand.join(post, key)
+        # nothing hot: the plain join — pinned (r15): the pair-token
+        # fan-out's output dwarfs the candidate exchange bytes AQE sizes
+        # the stage by (see salted_hot_feature_join's prescreen note)
+        return pinned(cand, key).join(post, key)
     tagged = cand.join(hot, key, "left")
-    cold = tagged.filter(F.col("__vn").isNull()).drop("__vn").join(post, key)
+    cold = pinned(tagged.filter(F.col("__vn").isNull()).drop("__vn"), key).join(
+        post, key
+    )
     s_expr = F.ceil(F.col("__vn") / F.lit(VERIFY_SALT_PAIR_TARGET)).cast("long")
     hot_cand = (
         tagged.filter(F.col("__vn").isNotNull())
@@ -2480,7 +2559,11 @@ def salted_verify_fanout(
 
 
 def allpairs_verify(
-    tf: DataFrame, nrm: DataFrame, cand: DataFrame, salted: bool = False
+    tf: DataFrame,
+    nrm: DataFrame,
+    cand: DataFrame,
+    salted: bool = False,
+    suffix: DataFrame | None = None,
 ) -> DataFrame:
     """q55c's exact verification stage, factored out of
     :func:`allpairs_cosine` so the bounded-spill chunked execution path
@@ -2497,15 +2580,51 @@ def allpairs_verify(
 
     ``salted=True`` (the grouped/bounded-spill path) routes the doc_a
     fan-out through :func:`salted_verify_fanout` — identical row set,
-    hot template docs split across salt cells (VERDICT r13 #2)."""
-    ta = tf.select(F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa"))
+    hot template docs split across salt cells (VERDICT r13 #2).
+
+    ``suffix`` (r15): the complementary posting frame from
+    ``allpairs_candidates(split_verify=True)``. When given (cand must
+    carry ``dot_p``), the fan-out joins candidates against SUFFIX
+    postings only and dot_ab = dot_p + the suffix-restricted dot — the
+    same BIGINT, partitioned over disjoint gram sets (prefix(a) ∪
+    suffix(a) = a's grams, each shared gram counted in exactly one
+    part). Pairs whose shared grams all sit in prefix(a) survive via
+    the left join (their suffix dot is the empty sum). ~3.4x fewer
+    pair-gram rows at sf0.1; identical output frame."""
     tb = tf.select(F.col("doc_id").alias("doc_b"), "g", F.col("w").alias("wb"))
-    fanout = salted_verify_fanout(cand, ta) if salted else cand.join(ta, "doc_a")
-    dots = (
-        fanout.join(tb, ["doc_b", "g"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_ab"))
-    )
+    if suffix is not None:
+        assert "dot_p" in cand.columns, "split verify needs dot_p on cand"
+        pairs = cand.select("doc_a", "doc_b")
+        ta = suffix.select(
+            F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa")
+        )
+        fanout = (
+            salted_verify_fanout(pairs, ta)
+            if salted
+            else pinned(pairs, "doc_a").join(ta, "doc_a")
+        )
+        sdots = (
+            fanout.join(tb, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("sdot"))
+        )
+        dots = cand.join(sdots, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            (F.col("dot_p") + F.coalesce(F.col("sdot"), F.lit(0))).alias("dot_ab"),
+        )
+    else:
+        ta = tf.select(F.col("doc_id").alias("doc_a"), "g", F.col("w").alias("wa"))
+        fanout = (
+            salted_verify_fanout(cand, ta)
+            if salted
+            else pinned(cand, "doc_a").join(ta, "doc_a")
+        )
+        dots = (
+            fanout.join(tb, ["doc_b", "g"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot_ab"))
+        )
     na = nrm.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("norm2_a"))
     nb = nrm.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("norm2_b"))
     n2c, d2c = ALLPAIRS_T_NUM**2, ALLPAIRS_T_DEN**2
@@ -2721,7 +2840,16 @@ def _content_checkpoint(
     discipline exists to prevent. MEMORY_ONLY never touches disk; an
     evicted block recomputes through the decrypting scan it came from —
     slower, never leaky. The pinned frame is appended to ``pins`` for
-    the caller to release when its consumers are done."""
+    the caller to release when its consumers are done.
+
+    SCOPE OF THE GUARANTEE (ADVICE r14): this protects CACHED /
+    CHECKPOINTED blocks only. Downstream candidate/verify joins still
+    hash-shuffle plaintext tok/gram values, and shuffle files (plus any
+    shuffle spill) land on executor local disk outside the PME envelope
+    regardless of this pin. A fully closed boundary additionally
+    requires ``spark.io.encryption.enabled=true`` (Spark's shuffle/spill
+    file encryption) — a launch-time deployment conf, not something a
+    query can set on a running session."""
     if spill_safe:
         from pyspark import StorageLevel
 
@@ -2735,9 +2863,21 @@ def _content_checkpoint(
 
 
 def ppjoin_candidates(
-    docs: DataFrame, spill_safe: bool = False, pins: list | None = None
-) -> tuple[DataFrame, DataFrame]:
+    docs: DataFrame,
+    spill_safe: bool = False,
+    pins: list | None = None,
+    split_verify: bool = False,
+) -> tuple[DataFrame, DataFrame] | tuple[DataFrame, DataFrame, DataFrame]:
     """q49c's candidate stage: (token postings, candidate pairs).
+
+    ``split_verify`` (r15): return ``(toks, cand, suffix)`` where cand
+    additionally carries ``i_p`` — the EXACT |prefix(a) ∩ b| overlap
+    count, folded for free into the aggregation that deduplicated the
+    candidate join's hits (PPJoin's own positional-sum idea) — and
+    ``suffix`` is the complementary (doc_id, tok) posting frame
+    (rn > prefix length). The verify stage then counts only
+    suffix(a)-shared tokens: I = i_p + suffix overlap, fan-out reduced
+    by the prefix fraction (prefixes are ~65% of each set at t=7/20).
 
     Length filter (cross-multiplied integers) inside the join; prefix
     filter indexes only each set's first p = m - ceil(t*m) + 1 tokens in
@@ -2773,11 +2913,11 @@ def ppjoin_candidates(
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
     # p = m - ceil(t*m) + 1, with ceil(num*m/den) = (num*m + den - 1) DIV den
     prefix_len = F.col("m") - F.expr(f"(({num} * m) + {den} - 1) DIV {den}") + 1
-    prefix = (
-        toks.join(F.broadcast(dfreq), "tok")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"), "tok")
+    ranked = toks.join(F.broadcast(dfreq), "tok").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"), "tok"
     )
     full = toks.select(
         F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"), "tok"
@@ -2790,17 +2930,21 @@ def ppjoin_candidates(
     # (grid overhead for balance the stage already had). The salted
     # variant guards q55c's candidate join, where the same corpus
     # measurably straggles at 3.4-3.6.
-    cand = (
-        prefix.join(full, "tok")
-        .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
-            & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
-        )
-        .select("doc_a", "doc_b", "ma", "mb")
-        .distinct()
+    ordered = prefix.join(full, "tok").filter(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
+        & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
     )
-    return toks, cand
+    if not split_verify:
+        return toks, ordered.select("doc_a", "doc_b", "ma", "mb").distinct()
+    # one hit row per (a, b, tok) with tok in prefix(a) ∩ b (token sets
+    # are distinct per doc), so the dedup aggregation counts the exact
+    # prefix-restricted overlap as a by-product
+    cand = ordered.groupBy("doc_a", "doc_b", "ma", "mb").agg(
+        F.count(F.lit(1)).alias("i_p")
+    )
+    suffix = ranked.filter(F.col("rn") > prefix_len).select("doc_id", "tok")
+    return toks, cand, suffix
 
 
 def _ppjoin_oracle() -> str:
@@ -2857,11 +3001,16 @@ def q49c_jaccard_ppjoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     every suffix, and never generates a candidate."""
     prep(spark)
     docs = load(spark, sf_dir, "documents")
-    toks, cand = ppjoin_candidates(docs)
-    return ppjoin_verify(toks, cand)
+    toks, cand, suffix = ppjoin_candidates(docs, split_verify=True)
+    return ppjoin_verify(toks, cand, suffix=suffix)
 
 
-def ppjoin_verify(toks: DataFrame, cand: DataFrame, salted: bool = False) -> DataFrame:
+def ppjoin_verify(
+    toks: DataFrame,
+    cand: DataFrame,
+    salted: bool = False,
+    suffix: DataFrame | None = None,
+) -> DataFrame:
     """q49c's exact verification stage, factored out (like
     :func:`allpairs_verify`) so the bounded-spill chunked execution path
     runs the identical plan on a :func:`verify_chunk` subset.
@@ -2875,16 +3024,49 @@ def ppjoin_verify(toks: DataFrame, cand: DataFrame, salted: bool = False) -> Dat
 
     ``salted=True`` (the grouped/bounded-spill path) routes the doc_a
     fan-out through :func:`salted_verify_fanout` — identical row set,
-    hot template docs split across salt cells (VERDICT r13 #2)."""
+    hot template docs split across salt cells (VERDICT r13 #2).
+
+    ``suffix`` (r15): the rn > prefix-length posting frame from
+    ``ppjoin_candidates(split_verify=True)``. When given (cand must
+    carry ``i_p``), the fan-out joins candidates against SUFFIX postings
+    only and I = i_p + the suffix overlap — the same integer, counted
+    over the disjoint prefix/suffix split of a's token set; pairs whose
+    shared tokens all sit in prefix(a) survive via the left join."""
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
-    ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
     tb = toks.select(F.col("doc_id").alias("doc_b"), "tok")
-    fanout = salted_verify_fanout(cand, ta) if salted else cand.join(ta, "doc_a")
-    inter = (
-        fanout.join(tb, ["doc_b", "tok"])
-        .groupBy("doc_a", "doc_b", "ma", "mb")
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
+    if suffix is not None:
+        assert "i_p" in cand.columns, "split verify needs i_p on cand"
+        pairs = cand.select("doc_a", "doc_b")
+        ta = suffix.select(F.col("doc_id").alias("doc_a"), "tok")
+        fanout = (
+            salted_verify_fanout(pairs, ta)
+            if salted
+            else pinned(pairs, "doc_a").join(ta, "doc_a")
+        )
+        scnt = (
+            fanout.join(tb, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("s_i"))
+        )
+        inter = cand.join(scnt, ["doc_a", "doc_b"], "left").select(
+            "doc_a",
+            "doc_b",
+            "ma",
+            "mb",
+            (F.col("i_p") + F.coalesce(F.col("s_i"), F.lit(0))).alias("i"),
+        )
+    else:
+        ta = toks.select(F.col("doc_id").alias("doc_a"), "tok")
+        fanout = (
+            salted_verify_fanout(cand, ta)
+            if salted
+            else pinned(cand, "doc_a").join(ta, "doc_a")
+        )
+        inter = (
+            fanout.join(tb, ["doc_b", "tok"])
+            .groupBy("doc_a", "doc_b", "ma", "mb")
+            .agg(F.count(F.lit(1)).alias("i"))
+        )
     union = F.col("ma") + F.col("mb") - F.col("i")
     return (
         inter.filter(F.lit(den) * F.col("i") >= F.lit(num) * union)
@@ -3253,32 +3435,81 @@ def grouped_exact_join(
         # spill_safe under encrypt_scratch: the shingle-array checkpoint
         # inside candidate generation must not park content derivatives
         # on executor disk in plaintext (see _content_checkpoint)
-        toks, cand = ppjoin_candidates(docs, spill_safe=encrypt_scratch, pins=pins)
+        toks, cand, suffix = ppjoin_candidates(
+            docs, spill_safe=encrypt_scratch, pins=pins, split_verify=True
+        )
         toks_m = _materialize(toks, "toks", ("tok",))
+        # the suffix posting frame every chunk's verify fan-out reads
+        # (r15, split verify — see ppjoin_verify): materialized once so
+        # chunks neither re-run the prefix window nor re-decrypt
+        suffix_m = _materialize(suffix, "suffix", ("tok",))
 
         def _verify(part: DataFrame, salted: bool) -> DataFrame:
-            return ppjoin_verify(toks_m, part, salted=salted)
+            return ppjoin_verify(toks_m, part, salted=salted, suffix=suffix_m)
 
     else:
         tf = shingle_tf(docs, spill_safe=encrypt_scratch, pins=pins)
-        nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+        # m (distinct grams per doc) rides on the norm frame so the
+        # sizing census reads per-doc posting sizes from the TINY nrm
+        # parquet instead of re-aggregating the full postings scratch
+        # (r15; unused columns are pruned from every other nrm consumer)
+        nrm = tf.groupBy("doc_id").agg(
+            F.sum(F.col("w") * F.col("w")).alias("n2"),
+            F.count(F.lit(1)).alias("m"),
+        )
         tf_m = _materialize(tf, "tf", ("g",))
         nrm_m = _materialize(nrm, "nrm")
-        cand = allpairs_candidates(tf_m, nrm_m)
+        cand, suffix = allpairs_candidates(tf_m, nrm_m, split_verify=True)
+        suffix_m = _materialize(suffix, "suffix", ("g",))
 
         def _verify(part: DataFrame, salted: bool) -> DataFrame:
-            return allpairs_verify(tf_m, nrm_m, part, salted=salted)
+            return allpairs_verify(
+                tf_m, nrm_m, part, salted=salted, suffix=suffix_m
+            )
 
     cand_m = _materialize(cand, "cand")
+
+    def _cand_census(with_sizing: bool) -> tuple[int, int]:
+        """(est incidence rows, max per-doc_a candidate count) over the
+        materialized candidate parquet — ONE job for both the chunk
+        sizing and the verify-salt decision (r15: these were two
+        separate actions; the per-doc_a grouping is shared work).
+        ``with_sizing=False`` (explicit/env n_chunks) skips the size
+        columns so the census stays a bare pair-count aggregate."""
+        if not with_sizing:
+            sized = cand_m.select("doc_a", F.lit(0).alias("ma"), F.lit(0).alias("mb"))
+        elif {"ma", "mb"} <= set(cand_m.columns):
+            sized = cand_m
+        else:
+            sa = nrm_m.select(F.col("doc_id").alias("doc_a"), F.col("m").alias("ma"))
+            sb = nrm_m.select(F.col("doc_id").alias("doc_b"), F.col("m").alias("mb"))
+            sized = cand_m.join(sa, "doc_a").join(sb, "doc_b")
+        per_a = sized.groupBy("doc_a").agg(
+            F.count(F.lit(1)).alias("__vn"),
+            F.sum(F.col("ma") + F.col("mb")).alias("__rows"),
+        )
+        row = per_a.agg(
+            F.sum("__rows").alias("rows"), F.max("__vn").alias("vmax")
+        ).first()
+        return int(row["rows"] or 0), int(row["vmax"] or 0)
 
     if n_chunks is None:
         env = _os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS")
         if env:
             n_chunks = max(1, int(env))
+            _, vmax = _cand_census(with_sizing=False)
         else:
+            import math as _math
+
             budget = grouped_scratch_budget(spark, work)
-            postings_m = toks_m if op == "q49c" else tf_m
-            n_chunks, est_rows = grouped_chunk_count(cand_m, postings_m, budget)
+            est_rows, vmax = _cand_census(with_sizing=True)
+            n_chunks = max(
+                1,
+                min(
+                    GROUPED_MAX_CHUNKS,
+                    int(_math.ceil(est_rows * GROUPED_VERIFY_ROW_BYTES / budget)),
+                ),
+            )
             LAST_GROUPED_SIZING.clear()
             LAST_GROUPED_SIZING.update(
                 op=op,
@@ -3287,21 +3518,17 @@ def grouped_exact_join(
                 budget_bytes=budget,
                 n_chunks=n_chunks,
             )
+    else:
+        _, vmax = _cand_census(with_sizing=False)
 
     # ONE census over the full materialized candidate frame decides
     # verify salting for every chunk (a residue class's per-doc_a counts
     # are bounded by the full frame's, so "no hot doc_a overall" implies
     # none in any chunk) — the dormant-by-default contract costs one
-    # cheap parquet aggregate instead of an action per chunk (VERDICT
-    # r13 #2; the salt itself engages only for true mega-fanout docs,
+    # cheap parquet aggregate FOLDED INTO the sizing job (VERDICT r13
+    # #2 / r15; the salt itself engages only for true mega-fanout docs,
     # see VERIFY_SALT_PAIR_TARGET).
-    verify_salted = bool(
-        cand_m.groupBy("doc_a")
-        .agg(F.count(F.lit(1)).alias("__vn"))
-        .filter(F.col("__vn") > VERIFY_SALT_PAIR_TARGET)
-        .limit(1)
-        .count()
-    )
+    verify_salted = vmax > VERIFY_SALT_PAIR_TARGET
     schema = None
     chunk_dirs = []
     try:
@@ -3351,8 +3578,12 @@ def q49f_jaccard_grouped_encrypted(spark: SparkSession, sf_dir: str) -> DataFram
     doc_id plaintext) and the bounded-spill q49e execution runs with
     ``encrypt_scratch=True``, so the content DERIVATIVES the grouped
     plan materializes (token postings, which reconstruct text n-grams)
-    are PME-encrypted on scratch disk too — nothing content-bearing
-    leaves the envelope between the lake and the answer frame. The
+    are PME-encrypted on scratch disk too — no content-bearing
+    MATERIALIZATION (scratch parquet, cache/checkpoint block) leaves the
+    envelope between the lake and the answer frame. Scope (ADVICE r14):
+    the verify joins still hash-shuffle plaintext tok values, so shuffle
+    files/spill sit outside the envelope unless the deployment also sets
+    ``spark.io.encryption.enabled`` — see _content_checkpoint. The
     answer (id pairs + exact Jaccard) is plaintext by the same
     convention that keeps doc_id keyless in the lake. Sharing q49c's
     plaintext brute-force oracle makes the whole composition

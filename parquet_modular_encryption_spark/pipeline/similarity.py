@@ -1234,7 +1234,8 @@ IVF_SQRTN_NPROBE = 8
 def sqrtn_stride(n: int) -> int:
     """Seed stride for the sqrt(n) codebook: every stride-th vec_id is a
     centroid, giving K = ceil(n / stride) ≈ isqrt(n) cells for contiguous
-    ids. Mirrored in SQL as n // CAST(floor(sqrt(n)) AS BIGINT)."""
+    ids. Mirrored in SQL as n // isqrt(n), with isqrt computed EXACTLY
+    (floor(sqrt()) plus a one-step integer correction — ADVICE r14)."""
     import math
 
     return max(1, n // max(1, math.isqrt(n)))
@@ -1291,10 +1292,23 @@ def _ivf_sqrtn_oracle(nprobe: int = IVF_SQRTN_NPROBE) -> str:
     is correct at every scale, exactly like the engine's driver-side
     count."""
     return f"""
-    WITH params AS (
-        SELECT GREATEST(1, COUNT(*) // GREATEST(1,
-                   CAST(floor(sqrt(COUNT(*))) AS BIGINT))) AS stride
-        FROM embeddings
+    WITH nn AS (
+        SELECT COUNT(*) AS n FROM embeddings
+    ), s0 AS (
+        -- float sqrt is within +/-1 of isqrt for any BIGINT n; the CASE
+        -- corrects it to EXACT isqrt (ADVICE r14: math.isqrt on the
+        -- engine side vs floor(sqrt()) here could desync near large
+        -- perfect squares). HUGEINT squares avoid BIGINT overflow at
+        -- the n ~ 2^63 edge.
+        SELECT n, CAST(floor(sqrt(n)) AS BIGINT) AS s FROM nn
+    ), isq AS (
+        SELECT n,
+               CASE WHEN CAST(s + 1 AS HUGEINT) * (s + 1) <= n THEN s + 1
+                    WHEN CAST(s AS HUGEINT) * s > n THEN s - 1
+                    ELSE s END AS r
+        FROM s0
+    ), params AS (
+        SELECT GREATEST(1, n // GREATEST(1, r)) AS stride FROM isq
     ), seeds AS (
         SELECT e.vec_id AS cell, e.embedding::DOUBLE[] AS ce
         FROM embeddings e, params p WHERE e.vec_id % p.stride = 0

@@ -63,8 +63,14 @@ def native_pme_available(spark: SparkSession) -> tuple[bool, str]:
     class'. Callers with a dual code path (e.g. the grouped encrypted
     join's decrypt-once scratch read) consult this and fall back to the
     arrow scan; the probe string names the missing conf for the skip
-    reason."""
-    for key in ("spark.jars", "spark.driver.extraClassPath"):
+    reason.
+
+    The probe accepts only confs that put the jar on EXECUTOR classpaths
+    (spark.jars ships it; spark.executor.extraClassPath requires it
+    pre-staged): a driver-only extraClassPath would pass a naive probe
+    and then fail executor-side on a real cluster — exactly the failure
+    this gate exists to prevent (ADVICE r14)."""
+    for key in ("spark.jars", "spark.executor.extraClassPath"):
         try:
             val = spark.conf.get(key, "") or ""
         except Exception:  # conf key unreadable in some harnesses

@@ -2811,6 +2811,98 @@ def test_ppjoin_incremental_bruteforce_exactness(spark):
     assert got == want
 
 
+def test_split_verify_equals_legacy(spark):
+    """r15 split verify (prefix-overlap folded into the candidate
+    aggregation, fan-out over SUFFIX postings only) must return exactly
+    the legacy full-fan-out verify's frame for BOTH exact-join families,
+    including pairs whose shared features sit entirely in prefix(a) —
+    those reach the answer through the left join's empty suffix sum, so
+    they are the regression this test exists to catch. The chunked
+    variant must also hold chunk-by-chunk (cand carries the extra
+    dot_p/i_p column through verify_chunk)."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline.dedup import (
+        allpairs_candidates,
+        allpairs_verify,
+        ppjoin_candidates,
+        ppjoin_verify,
+        shingle_tf,
+        verify_chunk,
+    )
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    docs = load(spark, SF, "documents")
+
+    # --- q49c (PPJoin Jaccard) ---
+    toks, legacy_cand = ppjoin_candidates(docs)
+    toks2, cand, suffix = ppjoin_candidates(docs, split_verify=True)
+    # same candidate pair set, plus the exact prefix-overlap count
+    legacy_pairs = {(r.doc_a, r.doc_b) for r in legacy_cand.collect()}
+    split_rows = cand.collect()
+    assert {(r.doc_a, r.doc_b) for r in split_rows} == legacy_pairs
+    assert all(r.i_p >= 1 for r in split_rows), "every candidate shares a prefix tok"
+    want = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ppjoin_verify(toks, legacy_cand).collect()
+    }
+    got = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in ppjoin_verify(toks2, cand, suffix=suffix).collect()
+    }
+    assert want and got == want
+    chunked: set = set()
+    for c in range(3):
+        chunked |= {
+            (r.doc_a, r.doc_b, round(r.jaccard, 12))
+            for r in ppjoin_verify(
+                toks2, verify_chunk(cand, c, 3), suffix=suffix
+            ).collect()
+        }
+    assert chunked == want
+
+    # --- q55c (Bayardo cosine) ---
+    tf = shingle_tf(docs)
+    nrm = tf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    legacy_cand2 = allpairs_candidates(tf, nrm)
+    cand2, suffix2 = allpairs_candidates(tf, nrm, split_verify=True)
+    assert {(r.doc_a, r.doc_b) for r in cand2.collect()} == {
+        (r.doc_a, r.doc_b) for r in legacy_cand2.collect()
+    }
+    # prefix/suffix partition each doc's posting rows exactly
+    n_tf = tf.count()
+    n_suffix = suffix2.count()
+    prefix_rows = n_tf - n_suffix
+    assert 0 < n_suffix < n_tf and prefix_rows > 0
+    want2 = {
+        (r.doc_a, r.doc_b, r.dot_ab, r.norm2_a, r.norm2_b)
+        for r in allpairs_verify(tf, nrm, legacy_cand2).collect()
+    }
+    got2 = {
+        (r.doc_a, r.doc_b, r.dot_ab, r.norm2_a, r.norm2_b)
+        for r in allpairs_verify(tf, nrm, cand2, suffix=suffix2).collect()
+    }
+    assert want2 and got2 == want2
+
+    # a synthetic pair whose shared grams are ALL in prefix(a): two short
+    # identical docs — every gram is rare (df 2), the maxw bound keeps
+    # them entirely in each other's prefixes, so the suffix join finds
+    # nothing and the pair must survive on dot_p alone
+    tiny = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "wholly different text entirely")],
+        "doc_id bigint, text string",
+    )
+    ttf = shingle_tf(tiny)
+    tnrm = ttf.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("n2"))
+    tcand, tsuffix = allpairs_candidates(ttf, tnrm, split_verify=True)
+    tres = {
+        (r.doc_a, r.doc_b)
+        for r in allpairs_verify(ttf, tnrm, tcand, suffix=tsuffix).collect()
+    }
+    assert (1, 2) in tres, "all-shared-in-prefix pair lost by split verify"
+
+
 def test_chunked_verify_equals_monolithic(spark):
     """VERDICT r9 item 3: the bounded-spill chunked verify must be
     EXACTLY the monolithic exact join. verify_chunk partitions the
