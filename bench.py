@@ -98,6 +98,65 @@ def _fast_tier(registry) -> list[str]:
     return [n for n in sorted(registry) if n not in covered]
 
 
+def machine_state() -> dict:
+    """Point-in-time machine state recorded into the bench sidecar
+    (VERDICT r14 #3: same-code windows have differed by 1.5x at tier
+    level with no recorded cause — steal/residue/load make the
+    attribution a measurement instead of an argument from history).
+    Pure reads, best-effort: never fails the bench."""
+    state: dict = {}
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        # cumulative jiffies since boot: user nice system idle iowait irq softirq steal
+        vals = [int(x) for x in parts[1:9]]
+        total = sum(vals) or 1
+        state["cpu_steal_pct_since_boot"] = round(100.0 * vals[7] / total, 3)
+        state["cpu_iowait_pct_since_boot"] = round(100.0 * vals[4] / total, 3)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        state["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        import glob as _glob
+
+        residue = 0
+        for pat in ("/tmp/blockmgr-*", "/tmp/spark-*"):
+            for d in _glob.glob(pat):
+                for root, _dirs, files in os.walk(d, onerror=lambda e: None):
+                    for f in files:
+                        try:
+                            residue += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+        state["tmp_spark_residue_bytes"] = residue
+    except Exception:  # noqa: BLE001
+        pass
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemAvailable:"):
+                    state["mem_available_kb"] = int(line.split()[1])
+                    break
+    except Exception:  # noqa: BLE001
+        pass
+    return state
+
+
+#: Outlier re-run protocol (VERDICT r14 #3), OFF by default so the
+#: driver's methodology is untouched: when SPARK_GRAFT_BENCH_RERUN_OUTLIERS
+#: is set (canonical committed-window runs), a query whose min-of-N still
+#: exceeds OUTLIER_RERUN_RATIO x its min in the newest committed window
+#: gets up to OUTLIER_EXTRA_REPEATS extra repeats appended to raw_times —
+#: the min stays a min (least-perturbed run), the first N repeats remain
+#: in the artifact, and a same-code machine-state spike stops masquerading
+#: as a regression.
+OUTLIER_RERUN_RATIO = 3.0
+OUTLIER_EXTRA_REPEATS = 2
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -139,6 +198,13 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     raw_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
+    state_at_start = machine_state()
+    rerun_outliers = bool(os.environ.get("SPARK_GRAFT_BENCH_RERUN_OUTLIERS"))
+    prev_mins: dict[str, float] = {}
+    if rerun_outliers:
+        found = _latest_prev_window()
+        if found is not None:
+            prev_mins = found[2]
 
     def _time_query(q) -> float | None:
         """Min-of-N wall clock for one query, or None on failure.
@@ -150,7 +216,8 @@ def main() -> None:
         and the final compact metric line is ALWAYS printed.
         """
         raws = []
-        for _ in range(repeats):
+
+        def _one_rep() -> bool:
             start = time.perf_counter()
             try:
                 df = q.builder(spark, sf_dir)
@@ -160,8 +227,24 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001 — isolate per query
                 errors[q.name] = f"{type(exc).__name__}: {exc}"[:500]
                 print(f"# {q.name} FAILED: {errors[q.name]}", file=sys.stderr)
-                return None
+                return False
             raws.append(round(time.perf_counter() - start, 3))
+            return True
+
+        for _ in range(repeats):
+            if not _one_rep():
+                return None
+        # Outlier re-run (opt-in, canonical-window runs only — see
+        # OUTLIER_RERUN_RATIO): a min still 3x the committed prior
+        # window's min is far outside the same-code noise band; extra
+        # repeats either confirm it (real regression) or recover it
+        # (machine-state spike). All repeats stay in raw_times.
+        if rerun_outliers and prev_mins.get(q.name):
+            for _ in range(OUTLIER_EXTRA_REPEATS):
+                if min(raws) <= prev_mins[q.name] * OUTLIER_RERUN_RATIO:
+                    break
+                if not _one_rep():
+                    return None
         # Every raw repeat is reported in the JSON so methodology changes
         # (repeat count) stay separable from real speedups; the headline
         # per-query number remains min-of-N (least-perturbed run under
@@ -210,6 +293,9 @@ def main() -> None:
         {
             "repeats": repeats,
             "sf": sf,
+            "machine_state_start": state_at_start,
+            "machine_state_end": machine_state(),
+            "outlier_rerun": rerun_outliers,
             "fast_tier_queries": fast,
             "raw_times": raw_times,
         }

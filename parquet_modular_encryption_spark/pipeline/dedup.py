@@ -105,10 +105,16 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     arrays = df.select(F.col(id_col), tokens(text_col).alias("toks")).select(
         F.col(id_col), shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
     ).localCheckpoint(eager=True)
-    sh = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle"))
-    hv = hash60(F.col("shingle")) % P
+    # hv is PROJECTED once per shingle row before the aggregate (r15):
+    # as an agg-input expression it appears in all 16 permutation mins,
+    # and relying on codegen subexpression elimination to evaluate the
+    # md5 once is fragile — the explicit projection guarantees one
+    # md5+conv per row with the same values.
+    sh = arrays.select(F.col(id_col), F.explode("shingles").alias("shingle")).select(
+        F.col(id_col), (hash60(F.col("shingle")) % P).alias("hv")
+    )
     aggs = [
-        F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
+        F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P).alias(f"sig_{j}")
         for j, (a, b) in enumerate(MINHASH_PERMS)
     ]
     return sh.groupBy(id_col).agg(*aggs)
@@ -1949,9 +1955,16 @@ def two_phase_connected_components(
             .union(m2.select(F.col("v").alias("src"), F.col("m").alias("dst")))
         )
         new_edges = _canon_undirected(ss).localCheckpoint(eager=True)
+        # ONE probe job per round (r15; was two): the union's limit(1)
+        # short-circuits on the first differing row from either
+        # direction, and both branches scan only the two checkpointed
+        # edge frames — set equality iff both exceptAlls are empty,
+        # exactly the two-job formulation's predicate.
         changed = (
-            new_edges.exceptAll(edges).limit(1).count()
-            + edges.exceptAll(new_edges).limit(1).count()
+            new_edges.exceptAll(edges)
+            .unionByName(edges.exceptAll(new_edges))
+            .limit(1)
+            .count()
         )
         edges = new_edges
         if changed == 0:
@@ -3092,10 +3105,16 @@ def ppjoin_verify(
 
 
 def ppjoin_incremental_candidates(
-    batch_toks: DataFrame, corpus_toks: DataFrame
-) -> DataFrame:
+    batch_toks: DataFrame, corpus_toks: DataFrame, split_verify: bool = False
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """One-sided PPJoin candidate stage: BATCH prefixes probing the CORPUS
     posting index. `*_toks` are (doc_id, m, tok) posting frames.
+
+    ``split_verify`` (r15, same move as :func:`ppjoin_candidates`):
+    return ``(cand, batch_suffix)`` with the exact |prefix(batch) ∩
+    corpus| count ``i_p`` folded into the hit-dedup aggregation and the
+    batch's rn > prefix-length posting rows as the suffix frame — the
+    verify stage then fans out over batch SUFFIX tokens only.
 
     Correctness does not depend on the ranking order: for any fixed total
     order on tokens, a pair with J >= t shares >= ceil(t*U) >= ceil(t*ma)
@@ -3114,25 +3133,28 @@ def ppjoin_incremental_candidates(
     dfreq = corpus_toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("tok"))
     prefix_len = F.col("m") - F.expr(f"(({num} * m) + {den} - 1) DIV {den}") + 1
-    prefix = (
+    ranked = (
         batch_toks.join(F.broadcast(dfreq), "tok", "left")
         .withColumn("df", F.coalesce(F.col("df"), F.lit(0)))
         .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= prefix_len)
-        .select(F.col("doc_id").alias("doc_batch"), F.col("m").alias("ma"), "tok")
+    )
+    prefix = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col("doc_id").alias("doc_batch"), F.col("m").alias("ma"), "tok"
     )
     postings = corpus_toks.select(
         F.col("doc_id").alias("doc_corpus"), F.col("m").alias("mb"), "tok"
     )
-    return (
-        prefix.join(postings, "tok")
-        .filter(
-            (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
-            & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
-        )
-        .select("doc_batch", "doc_corpus", "ma", "mb")
-        .distinct()
+    hits = prefix.join(postings, "tok").filter(
+        (F.lit(den) * F.col("mb") >= F.lit(num) * F.col("ma"))
+        & (F.lit(den) * F.col("ma") >= F.lit(num) * F.col("mb"))
     )
+    if not split_verify:
+        return hits.select("doc_batch", "doc_corpus", "ma", "mb").distinct()
+    cand = hits.groupBy("doc_batch", "doc_corpus", "ma", "mb").agg(
+        F.count(F.lit(1)).alias("i_p")
+    )
+    suffix = ranked.filter(F.col("rn") > prefix_len).select("doc_id", "tok")
+    return cand, suffix
 
 
 @register(
@@ -3195,15 +3217,28 @@ def q49d_jaccard_ppjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     )
     batch_toks = toks.filter(~F.col("is_corpus")).drop("is_corpus")
     corpus_toks = toks.filter(F.col("is_corpus")).drop("is_corpus")
-    cand = ppjoin_incremental_candidates(batch_toks, corpus_toks)
+    cand, suffix = ppjoin_incremental_candidates(
+        batch_toks, corpus_toks, split_verify=True
+    )
     num, den = PPJOIN_T_NUM, PPJOIN_T_DEN
-    ta = batch_toks.select(F.col("doc_id").alias("doc_batch"), "tok")
+    # split verify (r15): fan out over batch SUFFIX tokens only — the
+    # prefix-shared count i_p rides on the candidate frame; the pinned
+    # repartition is the explosive-join parallelism guard
+    ta = suffix.select(F.col("doc_id").alias("doc_batch"), "tok")
     tb = corpus_toks.select(F.col("doc_id").alias("doc_corpus"), "tok")
-    inter = (
-        cand.join(ta, "doc_batch")
+    scnt = (
+        pinned(cand.select("doc_batch", "doc_corpus"), "doc_batch")
+        .join(ta, "doc_batch")
         .join(tb, ["doc_corpus", "tok"])
-        .groupBy("doc_batch", "doc_corpus", "ma", "mb")
-        .agg(F.count(F.lit(1)).alias("i"))
+        .groupBy("doc_batch", "doc_corpus")
+        .agg(F.count(F.lit(1)).alias("s_i"))
+    )
+    inter = cand.join(scnt, ["doc_batch", "doc_corpus"], "left").select(
+        "doc_batch",
+        "doc_corpus",
+        "ma",
+        "mb",
+        (F.col("i_p") + F.coalesce(F.col("s_i"), F.lit(0))).alias("i"),
     )
     union = F.col("ma") + F.col("mb") - F.col("i")
     return inter.filter(F.lit(den) * F.col("i") >= F.lit(num) * union).select(

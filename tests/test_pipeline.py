@@ -3970,3 +3970,86 @@ def test_minhash_encrypted_lake_access_matrix(spark, sf_dir):
         q47e_minhash_encrypted(spark, sf_dir).count()
         == q47_minhash_neardup(spark, sf_dir).count()
     )
+
+
+def test_plane_weight_literals_match(spark):
+    """r15: the literal plane-weight arrays (_plane_weights_lit) must be
+    BIT-identical to the per-row LCG transform (_plane_weights) — the
+    banding keys, and therefore every q55-family result, depend on exact
+    double equality. Checked across a spread of plane ids including the
+    widening and q55w namespaces."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline import similarity as S
+
+    dim = 24
+    df = spark.range(1).select(
+        F.sequence(F.lit(0), F.lit(dim - 1)).alias("dims")
+    )
+    for plane in (0, 7, 16, 199, 200, 423, 5000, 5123):
+        via_transform = df.select(
+            F.transform(
+                F.col("dims"), lambda d: S._plane_weights(plane, d)
+            ).alias("w")
+        ).first()["w"]
+        via_literal = df.select(S._plane_weights_lit(plane, dim).alias("w")).first()[
+            "w"
+        ]
+        assert [struct.pack("<d", x) for x in via_transform] == [
+            struct.pack("<d", x) for x in via_literal
+        ], f"plane {plane} weights diverge"
+
+
+def test_q55_band_keys_unchanged_by_literal_weights(spark):
+    """The banding frame produced with literal weights must equal the
+    r14 transform-form frame row-for-row (same vec_id/band_id/band_key
+    triples) — band keys are the q55 family's entire physical identity."""
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline import similarity as S
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    emb = load(spark, SF, "embeddings")
+    _, bands_lit = S.q55_corpus_bands(emb)
+    got = {(r.vec_id, r.band_id, r.band_key) for r in bands_lit.collect()}
+
+    # reference frame: the r14 per-row transform path, rebuilt verbatim
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("ee"))
+    n = emb.count()
+    x = S.q55_extra_band_bits(n)
+    n_bands = S.q55_band_count(x)
+    dims = F.sequence(F.lit(0), F.size(F.col("ee")) - 1)
+    bands_spec = [S._q55_band_planes(b) for b in range(n_bands)]
+    plane_ids = {p for band in bands_spec for p in band} | {
+        S.N_PLANES + b * S.Q55_MAX_EXTRA_BITS + j
+        for b in range(len(bands_spec))
+        for j in range(x)
+    }
+    projs = {
+        p: S.dot(
+            F.col("ee"),
+            F.transform(dims, (lambda pl: lambda d: S._plane_weights(pl, d))(p)),
+        )
+        for p in plane_ids
+    }
+    band_structs = []
+    for b, band in enumerate(bands_spec):
+        key = None
+        for i, p in enumerate(band):
+            bit = F.when(projs[p] > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            key = bit if key is None else key + bit
+        for j in range(x):
+            p = S.N_PLANES + b * S.Q55_MAX_EXTRA_BITS + j
+            key = key + F.when(projs[p] > 0, F.lit(1 << (len(band) + j))).otherwise(
+                F.lit(0)
+            )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band_id"), key.alias("band_key"))
+        )
+    want_df = e.select("vec_id", F.explode(F.array(*band_structs)).alias("bk")).select(
+        "vec_id", F.col("bk.band_id"), F.col("bk.band_key")
+    )
+    want = {(r.vec_id, r.band_id, r.band_key) for r in want_df.collect()}
+    assert got == want
