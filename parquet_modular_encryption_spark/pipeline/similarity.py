@@ -186,6 +186,99 @@ def arrow_projections(
     return e.select("vec_id", "ee").mapInArrow(_batches, schema)
 
 
+def arrow_cell_scores(e: DataFrame, centroids: DataFrame) -> DataFrame:
+    """(vec_id, cell, cos) corpus x codebook cosine scores in ONE Arrow
+    pass (r15) — the numpy form of
+    ``e.crossJoin(F.broadcast(centroids)).select(vec_id, cell, cosine)``.
+
+    The codebook is bounded by design (K rows, localCheckpointed by
+    every caller), so it collects to the driver and ships in the Python
+    closure — NOT as plan literals, which the r7 experiment measured as
+    multi-second Catalyst/codegen time for ~1300 literal HOF trees. Per
+    batch, numpy computes every (row, cell) cosine with the EXACT
+    expression-form IEEE semantics: dots and squared norms accumulate
+    sequentially over dimensions (vectorized only across rows), the
+    denominator is sqrt(na) * sqrt(nb) then one division — the same
+    rounded-operation order as :func:`cosine` and DuckDB's
+    list_dot_product, so every emitted double is bit-identical (pinned
+    by tests/test_pipeline.py::test_arrow_cell_scores_bit_identical).
+
+    Contract tightening: a corpus row whose dimension differs from the
+    codebook's raises (the zip_with form silently truncated/NULLed such
+    rows — meaningless cosines either way); uniform-dimension corpora,
+    i.e. every real one, are unaffected."""
+    from pyspark.sql import types as T
+
+    from pyspark.sql.pandas.types import to_arrow_type
+
+    rows = centroids.collect()
+    cells = [r["cell"] for r in rows]
+    cell_type = centroids.schema["cell"].dataType
+    cell_arrow = to_arrow_type(cell_type)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("cell", cell_type),
+            T.StructField("cos", T.DoubleType()),
+        ]
+    )
+    ces = [list(r["ce"]) for r in rows]
+
+    def _batches(it):
+        import numpy as np
+        import pyarrow as pa
+
+        cvecs = [np.asarray(c, dtype=np.float64) for c in ces]
+        dims = {len(c) for c in cvecs}
+        assert len(dims) <= 1, f"codebook dimensions differ: {sorted(dims)}"
+        dim = dims.pop() if dims else 0
+        nbs = []
+        for cv in cvecs:
+            nb = cv[0] * cv[0] if dim else 0.0
+            for j in range(1, dim):
+                nb = nb + cv[j] * cv[j]
+            nbs.append(np.sqrt(nb))
+        for batch in it:
+            n = batch.num_rows
+            if n == 0 or not cvecs:
+                continue
+            ee = batch.column("ee")
+            if ee.null_count:
+                raise ValueError("arrow_cell_scores: null embedding row")
+            flat = np.asarray(ee.flatten(), dtype=np.float64)
+            if flat.size != n * dim:
+                raise ValueError(
+                    f"arrow_cell_scores: corpus dim != codebook dim "
+                    f"({flat.size} values for {n} rows of dim {dim})"
+                )
+            arr = flat.reshape(n, dim)
+            na = arr[:, 0] * arr[:, 0]
+            for j in range(1, dim):
+                na = na + arr[:, j] * arr[:, j]
+            sna = np.sqrt(na)
+            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+            out_s = []
+            with np.errstate(divide="ignore", invalid="ignore"):
+                for k, cv in enumerate(cvecs):
+                    dot_ = arr[:, 0] * cv[0]
+                    for j in range(1, dim):
+                        dot_ = dot_ + arr[:, j] * cv[j]
+                    out_s.append(dot_ / (sna * nbs[k]))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(np.tile(vid, len(cvecs)), type=pa.int64()),
+                    pa.array(
+                        [c for k in range(len(cvecs)) for c in [cells[k]] * n],
+                        type=cell_arrow,
+                    ),
+                    pa.array(np.concatenate(out_s), type=pa.float64()),
+                ],
+                names=["vec_id", "cell", "cos"],
+            )
+
+    return e.select("vec_id", "ee").mapInArrow(_batches, schema)
+
+
 def _plane_weights_lit(plane: int, dim: int) -> Column:
     """The SAME weights as :func:`_plane_weights`, precomputed driver-side
     as a length-``dim`` literal array (r15). The LCG is data-independent,
@@ -404,9 +497,9 @@ def q52b_kmeans_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
 
     def _assign(codebook: DataFrame) -> DataFrame:
-        scored = e.crossJoin(F.broadcast(codebook)).select(
-            "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-        )
+        # one Arrow/numpy pass per refinement round (r15) —
+        # bit-identical cosines, see arrow_cell_scores
+        scored = arrow_cell_scores(e, codebook)
         best = scored.groupBy("vec_id").agg(
             F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
         )
@@ -1102,16 +1195,24 @@ def _ivf_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
     # the collected codebook as plan literals reached 10 exchanges but
     # paid multi-second Catalyst/codegen time for ~1300 literal HOF
     # trees — slower in wall-clock at every tested scale.)
-    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-    )
+    # corpus x codebook scoring in one Arrow/numpy pass (r15) —
+    # bit-identical cosines, see arrow_cell_scores
+    scored_cells = arrow_cell_scores(e, centroids)
     best = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
     assign = best.select(
         F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
     )
-    return _ivf_probe_rerank(e, scored_cells, assign, nprobe)
+    # probe side scores only the QUERY vectors: the filter sits below
+    # the (opaque) Arrow map, so the scan on this branch still prunes
+    # to N_QUERIES rows — mapInArrow blocks filter pushdown, and
+    # filtering the full corpus-score frame would re-score everything
+    # (caught by the r15 PLANS.md regeneration: pushed=True lost)
+    qscores = arrow_cell_scores(
+        e.filter(F.col("vec_id") < N_QUERIES), centroids
+    )
+    return _ivf_probe_rerank(e, qscores, assign, nprobe)
 
 
 def _ivf_probe_rerank(
@@ -1121,7 +1222,13 @@ def _ivf_probe_rerank(
     candidates, exact-rerank to top-5. Factored out of :func:`_ivf_search`
     verbatim (plan-identical) so the sqrt(n)-codebook family reuses it:
     the IVF search differs only in how the codebook is built, never in
-    how it is probed."""
+    how it is probed.
+
+    ``scored_cells`` must contain (at least) the QUERY vectors' cell
+    scores — the registered callers pass a frame built from a
+    vec_id < N_QUERIES filtered scan, because the Arrow scoring map is
+    opaque to filter pushdown (r15): filtering the full corpus-score
+    frame here would silently re-score the whole corpus on this branch."""
     # Probe ranking windows ONLY the bounded query subset (N_QUERIES x K
     # rows) — the filter sits below the centroid join, so the corpus
     # scan on this branch prunes to the query vectors.
@@ -1352,16 +1459,20 @@ def _ivf_sqrtn_index(
         .select(F.col("vec_id").alias("cell"), F.col("ee").alias("ce"))
         .localCheckpoint(eager=True)
     )
-    scored_cells = e.crossJoin(F.broadcast(seeds)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-    )
+    # corpus x codebook scoring in one Arrow/numpy pass (r15) —
+    # bit-identical cosines, see arrow_cell_scores
+    scored_cells = arrow_cell_scores(e, seeds)
     best = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
     assign = best.select(
         F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
     )
-    return e, scored_cells, assign, {"n": n, "stride": stride}
+    # query-side scores from a pushdown-friendly filtered scan (r15;
+    # see _ivf_search) — handed to the registered search's probe stage,
+    # while the experiment script keeps using the full frame
+    qscores = arrow_cell_scores(e.filter(F.col("vec_id") < N_QUERIES), seeds)
+    return e, scored_cells, assign, {"n": n, "stride": stride, "qscores": qscores}
 
 
 def _ivf_sqrtn_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFrame:
@@ -1370,8 +1481,8 @@ def _ivf_sqrtn_search(spark: SparkSession, sf_dir: str, nprobe: int) -> DataFram
     (:func:`_ivf_probe_rerank`); only the codebook differs. The driver-
     side count() is one scalar action — the same count-driven-config
     pattern as the q55 widening ladder."""
-    e, scored_cells, assign, _ = _ivf_sqrtn_index(spark, sf_dir)
-    return _ivf_probe_rerank(e, scored_cells, assign, nprobe)
+    e, _scored_cells, assign, st = _ivf_sqrtn_index(spark, sf_dir)
+    return _ivf_probe_rerank(e, st["qscores"], assign, nprobe)
 
 
 def _ivf_sqrtn_oracle(nprobe: int = IVF_SQRTN_NPROBE) -> str:
@@ -1475,9 +1586,9 @@ def ivf_assignment(emb: DataFrame) -> DataFrame:
     cluster-balanced sampling (q76d)."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     centroids = _ivf_codebook(emb)
-    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-    )
+    # corpus x codebook scoring in one Arrow/numpy pass (r15) —
+    # bit-identical cosines, see arrow_cell_scores
+    scored_cells = arrow_cell_scores(e, centroids)
     best = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
@@ -1527,12 +1638,14 @@ def q54e_ann_ivf_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     centroids = _ivf_codebook(emb)
-    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
+    # QUERY-side scoring only (r15): the filter below the Arrow map
+    # keeps the scan pruned to N_QUERIES rows (see _ivf_search note)
+    qscores = arrow_cell_scores(
+        e.filter(F.col("vec_id") < N_QUERIES), centroids
     )
     wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
     probes = (
-        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        qscores
         .withColumn("rn", F.row_number().over(wcell))
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "cell")
@@ -2178,9 +2291,9 @@ def q55b_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     centroids = _ivf_codebook(emb)
     bits = semdedup_subbits(emb.count(), centroids.count())
-    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-    )
+    # corpus x codebook scoring in one Arrow/numpy pass (r15) —
+    # bit-identical cosines, see arrow_cell_scores
+    scored_cells = arrow_cell_scores(e, centroids)
     best = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
@@ -2755,9 +2868,9 @@ def q54f_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     centroids = _ivf_codebook(emb)
 
-    scored_cells = e.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "cell", cosine(F.col("ee"), F.col("ce")).alias("cos")
-    )
+    # corpus x codebook scoring in one Arrow/numpy pass (r15) —
+    # bit-identical cosines, see arrow_cell_scores
+    scored_cells = arrow_cell_scores(e, centroids)
     best = scored_cells.groupBy("vec_id").agg(
         F.max(F.struct(F.col("cos"), (-F.col("cell")).alias("nc"))).alias("b")
     )
@@ -2765,8 +2878,12 @@ def q54f_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"), (-F.col("b.nc")).alias("cell")
     )
     wcell = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("cell"))
+    # QUERY-side scoring only (r15; see _ivf_search note)
+    qscores = arrow_cell_scores(
+        e.filter(F.col("vec_id") < N_QUERIES), centroids
+    )
     probes = (
-        scored_cells.filter(F.col("vec_id") < N_QUERIES)
+        qscores
         .withColumn("rn", F.row_number().over(wcell))
         .filter(F.col("rn") <= IVF_NPROBE)
         .select(F.col("vec_id").alias("query_id"), "cell")
