@@ -35,7 +35,7 @@ from parquet_modular_encryption_spark.functions.text import (
     sql_word_shingles,
     tokens,
 )
-from parquet_modular_encryption_spark.pipeline.partitioning import pinned
+from parquet_modular_encryption_spark.pipeline.partitioning import pinned, widened
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -1267,9 +1267,11 @@ def q58_ml_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join sides and inside the hash-explode (measured 16.0 s -> 3.1 s at
     # sf0.1, round 9 — the Generate-inlining finding applied to the ML
     # pipeline's own explode).
-    shingled = docs.select("doc_id", tokens("text").alias("toks")).select(
+    shingled = widened(
+        docs.select("doc_id", tokens("text").alias("toks"))
+    ).select(
         "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True)  # widened (r15): see partitioning.widened
     tf = HashingTF(
         inputCol="shingles", outputCol="features", numFeatures=1 << 18, binary=True
     )
@@ -2232,7 +2234,9 @@ def shingle_tf_with_census(
     prescreen's ~+2 s tax on every clean-corpus q55c run (VERDICT r14
     #4); this census makes the prescreen pay one cheap vocab shuffle
     instead."""
-    toks = docs.select("doc_id", tokens("text").alias("toks"))
+    # widened (r15): the shingle construction is the heavy map over a
+    # possibly one-partition small-corpus scan (partitioning.widened)
+    toks = widened(docs.select("doc_id", tokens("text").alias("toks")))
     arrays = _content_checkpoint(
         toks.select(
             "doc_id", raw_shingles_from(F.col("toks"), SHINGLE_N).alias("gs")
@@ -2912,12 +2916,12 @@ def ppjoin_candidates(
     from pyspark.sql import Window
 
     shingled = _content_checkpoint(
-        docs.select("doc_id", tokens("text").alias("toks")).select(
+        widened(docs.select("doc_id", tokens("text").alias("toks"))).select(
             "doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles")
         ),
         spill_safe,
         pins,
-    )
+    )  # widened (r15): see partitioning.widened
     toks = shingled.select(
         "doc_id", F.size("shingles").alias("m"), F.explode("shingles").alias("tok")
     )
@@ -3200,7 +3204,11 @@ def q49d_jaccard_ppjoin_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load(spark, sf_dir, "documents")
     is_corpus = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1) <= "b"
     shingled = (
-        docs.select("doc_id", is_corpus.alias("is_corpus"), tokens("text").alias("toks"))
+        widened(
+            docs.select(
+                "doc_id", is_corpus.alias("is_corpus"), tokens("text").alias("toks")
+            )
+        )
         .select(
             "doc_id",
             "is_corpus",

@@ -31,3 +31,24 @@ def pinned(df: DataFrame, *cols: str) -> DataFrame:
     except (TypeError, ValueError):  # "auto" or unset
         n = spark.sparkContext.defaultParallelism
     return df.repartition(n, *cols)
+
+
+def widened(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Round-robin repartition UP to the session parallelism when the
+    input arrives narrower — the tiny-file trap (r15): a small corpus
+    parquet is one scan partition, so any expensive per-row map above it
+    (gram md5 hashing, shingle construction — the checkpointed array
+    builds) runs single-threaded while the rest of the machine idles
+    (measured: q45b's fingerprint checkpoint was a 6 s one-task stage at
+    sf0.1). Never narrows a wide input — at production scale the scan
+    already arrives wider than the session parallelism and this is a
+    no-op — so the extra (tiny) exchange exists exactly when the input
+    was too small for its compute. Round-robin with Spark's default
+    sort-before-repartition stays retry-deterministic, and every
+    consumer below these sites is key-partitioned aggregation/join work,
+    so results are partitioning-independent."""
+    spark = df.sparkSession
+    target = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)

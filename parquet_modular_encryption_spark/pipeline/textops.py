@@ -23,6 +23,7 @@ from parquet_modular_encryption_spark.functions.text import (
     sql_tokens,
     tokens,
 )
+from parquet_modular_encryption_spark.pipeline.partitioning import widened
 from parquet_modular_encryption_spark.registry import register
 from parquet_modular_encryption_spark.session import prep
 from parquet_modular_encryption_spark.sources.datasets import load
@@ -745,9 +746,17 @@ def _winnow_fps_sql() -> str:
 
 def winnow_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, fp) winnowing fingerprint set for a (doc_id, text, ...)
-    frame — the q45b core, exposed for the guarantee property test."""
-    normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
-        F.length("norm") >= WINNOW_K + WINNOW_W - 1
+    frame — the q45b core, exposed for the guarantee property test.
+
+    The input is widened to session parallelism first (r15): the md5
+    gram hashing below is the operator's dominant cost and a small
+    corpus arrives as ONE scan partition — the fingerprint checkpoint
+    was a measured 6 s single-task stage at sf0.1 (see
+    partitioning.widened; a no-op on already-wide production scans)."""
+    normed = widened(
+        docs.select("doc_id", normalized("text").alias("norm")).filter(
+            F.length("norm") >= WINNOW_K + WINNOW_W - 1
+        )
     )
     hashes = F.expr(
         f"transform(transform(sequence(1, length(norm) - {WINNOW_K} + 1), "
@@ -876,9 +885,11 @@ def dup_grams(docs: DataFrame) -> DataFrame:
     gram array once per emitted gram — O(|doc|^2) character work per
     document (the round-9 q49c finding, worst here because the fan-out
     is ~|doc| instead of ~52)."""
-    normed = docs.select("doc_id", normalized("text").alias("norm")).filter(
-        F.length("norm") >= SUBDUP_K
-    )
+    normed = widened(
+        docs.select("doc_id", normalized("text").alias("norm")).filter(
+            F.length("norm") >= SUBDUP_K
+        )
+    )  # r15: the O(|doc|) gram build below ran on ONE scan partition
     arrays = normed.select(
         "doc_id",
         F.length("norm").cast("bigint").alias("norm_len"),
