@@ -157,6 +157,14 @@ OUTLIER_RERUN_RATIO = 3.0
 OUTLIER_EXTRA_REPEATS = 2
 
 
+def rerun_outliers_enabled() -> bool:
+    """Whether the opt-in outlier re-run protocol is active. Factored out
+    of main() so the opt-in DEFAULT is directly testable
+    (tests/test_bench_window.py) instead of asserted as a tautology
+    (ADVICE r15)."""
+    return bool(os.environ.get("SPARK_GRAFT_BENCH_RERUN_OUTLIERS"))
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -199,7 +207,7 @@ def main() -> None:
     raw_times: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     state_at_start = machine_state()
-    rerun_outliers = bool(os.environ.get("SPARK_GRAFT_BENCH_RERUN_OUTLIERS"))
+    rerun_outliers = rerun_outliers_enabled()
     prev_mins: dict[str, float] = {}
     if rerun_outliers:
         found = _latest_prev_window()
@@ -289,6 +297,23 @@ def main() -> None:
     # overflowed that window, leaving the gated headline number unparsed
     # ("parsed": null in BENCH_r04.json). The final JSON line must stay
     # compact and LAST on stdout.
+    # Medians/spreads (VERDICT r9 #4 dispersion reporting) are computed
+    # for every timed query but ride the SIDECAR only since r16: the
+    # metric line carried 5 per-query dicts and was "one growth spurt
+    # from unparseable" (VERDICT r15 #3 — BENCH_r14's line already
+    # failed to parse and cost that round the whole per-query PERF
+    # comparison). The min-of-N per-query numbers and tier totals stay
+    # on the line; the robust comparators stay in bench_raw.json and the
+    # committed canonical windows.
+    def _median(name: str) -> float:
+        s = sorted(raw_times.get(name, []))
+        return round((s[len(s) // 2] + s[(len(s) - 1) // 2]) / 2, 3) if s else 0.0
+
+    def _spread(name: str) -> float:
+        s = raw_times.get(name, [])
+        return round(max(s) - min(s), 3) if s else 0.0
+
+    all_timed = {**timings, **core, **fast}
     raw_payload = json.dumps(
         {
             "repeats": repeats,
@@ -297,6 +322,8 @@ def main() -> None:
             "machine_state_end": machine_state(),
             "outlier_rerun": rerun_outliers,
             "fast_tier_queries": fast,
+            "medians": {n: _median(n) for n in all_timed},
+            "spreads": {n: _spread(n) for n in all_timed},
             "raw_times": raw_times,
         }
     )
@@ -319,32 +346,13 @@ def main() -> None:
     missing_headline = [n for n in HEADLINE if n not in timings]
     # Key ORDER is deliberate: the capture window keeps the TAIL of the
     # line (BENCH_r08.json lost the head), so the gated fields — metric /
-    # value / headline_complete / sf — come LAST and survive truncation
-    # no matter how the detail dicts grow.
-    def _median(name: str) -> float:
-        s = sorted(raw_times.get(name, []))
-        return round((s[len(s) // 2] + s[(len(s) - 1) // 2]) / 2, 3) if s else 0.0
-
-    def _spread(name: str) -> float:
-        s = raw_times.get(name, [])
-        return round(max(s) - min(s), 3) if s else 0.0
-
-    # Dispersion for the heavy tiers (VERDICT r9 item 4): q49c's min-of-3
-    # spread 4.8-10.7 s within ONE session, so round-over-round deltas of
-    # heavy rows below ~2x are invisible to min alone. Median is the
-    # robust round-over-round comparator; spread (max-min of the repeats)
-    # flags which rows' mins are noise-picked. The gated headline `value`
-    # stays min-of-N for continuity with BASELINE/r1.
-    core_median = {n: _median(n) for n in core}
-    core_spread = {n: _spread(n) for n in core}
+    # value / headline_complete / cpus / sf — come LAST and survive
+    # truncation no matter how the detail dicts grow.
     result = {
         "queries": timings,
-        "queries_median": {n: _median(n) for n in timings},
         "extended_core_queries": core,
-        "extended_core_median": core_median,
-        "extended_core_spread": core_spread,
         "extended_core_total": round(sum(core.values()), 3),
-        "extended_core_total_median": round(sum(core_median.values()), 3),
+        "extended_core_total_median": round(sum(_median(n) for n in core), 3),
         "fast_tier_total": round(sum(fast.values()), 3),
         "fast_tier_n": len(fast),
         "extended_total": round(sum(core.values()) + sum(fast.values()), 3),
@@ -366,6 +374,11 @@ def main() -> None:
             "metric": "headline_queries_total_wall_clock",
             "value": total,
             "unit": "sec",
+            # The session's ACTUAL parallelism, on the gated tail (VERDICT
+            # r15 #2): the r15 scaling probe could not distinguish "bench
+            # ignores $SPARK_GRAFT_CPUS" from "sf too small to scale"
+            # because the line never recorded what the session ran with.
+            "cpus": spark.sparkContext.defaultParallelism,
             "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         }
     )

@@ -77,8 +77,13 @@ def test_outlier_rerun_is_opt_in_and_bounded(monkeypatch, tmp_path):
     queries whose min exceeds OUTLIER_RERUN_RATIO x the committed prior
     window's min. Pinned against the module constants so a silent
     default flip is caught."""
-    import os
-
-    assert "SPARK_GRAFT_BENCH_RERUN_OUTLIERS" not in os.environ or True
+    # the behavior itself, not a tautology (ADVICE r15): unset => off,
+    # set non-empty => on, empty string => off (falsy env value)
+    monkeypatch.delenv("SPARK_GRAFT_BENCH_RERUN_OUTLIERS", raising=False)
+    assert bench.rerun_outliers_enabled() is False
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RERUN_OUTLIERS", "1")
+    assert bench.rerun_outliers_enabled() is True
+    monkeypatch.setenv("SPARK_GRAFT_BENCH_RERUN_OUTLIERS", "")
+    assert bench.rerun_outliers_enabled() is False
     assert bench.OUTLIER_RERUN_RATIO >= 2.0  # never reruns inside the noise band
     assert 1 <= bench.OUTLIER_EXTRA_REPEATS <= 3  # bounded extra work
