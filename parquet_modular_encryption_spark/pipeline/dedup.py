@@ -374,11 +374,18 @@ def minhash_bands(
         .select("doc_id", shingles_from(F.col("toks"), SHINGLE_N).alias("shingles"))
         .localCheckpoint(eager=True)
     )
-    sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle"))
-    hv = hash60(F.col("shingle")) % P
+    # hv PROJECTED once per shingle row before the aggregate (r16 —
+    # the r15 minhash_signature fix, which this front half had its own
+    # un-fixed copy of): as an agg-input expression the md5+conv hash
+    # appears in all {len(perms)} permutation mins and relying on
+    # codegen subexpression elimination to evaluate it once is fragile;
+    # the explicit projection guarantees ONE md5 per row, same values.
+    sh = shingled.select(F.col("doc_id"), F.explode("shingles").alias("shingle")).select(
+        F.col("doc_id"), (hash60(F.col("shingle")) % P).alias("hv")
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(a) * hv + F.lit(b)) % P).alias(f"sig_{j}")
+            F.min((F.lit(a) * F.col("hv") + F.lit(b)) % P).alias(f"sig_{j}")
             for j, (a, b) in enumerate(perms)
         ]
     )
@@ -1035,10 +1042,20 @@ def connected_components(
     data stays distributed. Returns (node, component) with component =
     min doc_id of the cluster. ``stats`` (optional) receives
     {"iterations": n} for the job-count test."""
+    # edges materialized ONCE (r16, VERDICT r15 #5 profiling): every
+    # round's neighbor-min join consumes `edges`, and without the
+    # checkpoint each round re-ran the whole upstream pair pipeline —
+    # for q57/q63c that is q47's signature/banding self-join + Jaccard
+    # verify per round (the shingle checkpoint capped it, but the
+    # sig/band/verify recompute was still the bulk of the measured
+    # q57/q63c cost — isolated min-of-3 at sf0.1: q57 3.93 -> 2.63 s,
+    # q63c 4.45 -> 2.89 s). One extra job, lineage truncated for the
+    # whole loop.
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -2234,6 +2251,19 @@ def shingle_tf_with_census(
     prescreen's ~+2 s tax on every clean-corpus q55c run (VERDICT r14
     #4); this census makes the prescreen pay one cheap vocab shuffle
     instead."""
+    tf, gram_counts, _arrays = _shingle_tf_census_arrays(docs, spill_safe, pins)
+    return tf, gram_counts
+
+
+def _shingle_tf_census_arrays(
+    docs: DataFrame, spill_safe: bool = False, pins: list | None = None
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(tf, gram_counts, arrays): :func:`shingle_tf_with_census` plus the
+    CHECKPOINTED shingle-array frame itself — |docs| rows, the cheapest
+    place to read per-doc distinct-gram counts
+    (``size(array_distinct(gs))``) without paying the full (doc_id, g)
+    tf exchange. The grouped operator's bound prescreen (r16) reads
+    max-m from it."""
     # widened (r15): the shingle construction is the heavy map over a
     # possibly one-partition small-corpus scan (partitioning.widened)
     toks = widened(docs.select("doc_id", tokens("text").alias("toks")))
@@ -2254,7 +2284,7 @@ def shingle_tf_with_census(
         .groupBy("g")
         .agg(F.count(F.lit(1)).alias("__rn"))
     )
-    return tf, gram_counts
+    return tf, gram_counts, arrays
 
 
 def salted_hot_feature_join(
@@ -3395,11 +3425,18 @@ def grouped_exact_join(
        part-less directory; schema inference would fail on it — the
        ADVICE-r10 lesson from the experiment script's reduce).
 
-    ``n_chunks`` resolution (r12): an explicit argument wins, then the
-    SPARK_GRAFT_GROUPED_CHUNKS env override, else the sizing rule
-    (:func:`grouped_chunk_count`) picks from the measured candidate
-    frame and the scratch budget — the decision is recorded in
-    LAST_GROUPED_SIZING.
+    ``n_chunks`` resolution (r12, bound prescreen r16): an explicit
+    argument wins, then the SPARK_GRAFT_GROUPED_CHUNKS env override.
+    Otherwise a gram-census UPPER BOUND on the verify incidence
+    ((sum_g df_g^2) * 2 * m_max) is computed first: when even the bound
+    fits the scratch budget in one chunk, the operator returns the
+    MONOLITHIC lazy plan — no scratch materializations, censuses or
+    chunk writes at all, because at n_chunks = 1 nothing is ever re-read
+    and those jobs were pure overhead (VERDICT r15 #1: a ~40-job
+    sequential chain, the 2-3 s q55d/q49e floor at sf0.1). Only when the
+    bound exceeds the budget does the exact-census sizing rule run over
+    the materialized candidate frame. Either decision is recorded in
+    LAST_GROUPED_SIZING (``mode``: "bound_prescreen" / "exact_census").
 
     PLAINTEXT-SCRATCH CONTRACT: this function materializes postings,
     candidate pairs, and chunk outputs as PLAINTEXT parquet under the
@@ -3474,6 +3511,12 @@ def grouped_exact_join(
         df.write.mode("overwrite").parquet(path)
         return spark.read.parquet(path)
 
+    # n_chunks forced up front? Explicit argument wins, then the env
+    # override — either skips the bound prescreen (the caller has
+    # already decided chunking is wanted).
+    env = _os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS")
+    forced = n_chunks if n_chunks is not None else (max(1, int(env)) if env else None)
+
     if op == "q49c":
         # spill_safe under encrypt_scratch: the shingle-array checkpoint
         # inside candidate generation must not park content derivatives
@@ -3481,17 +3524,129 @@ def grouped_exact_join(
         toks, cand, suffix = ppjoin_candidates(
             docs, spill_safe=encrypt_scratch, pins=pins, split_verify=True
         )
-        toks_m = _materialize(toks, "toks", ("tok",))
-        # the suffix posting frame every chunk's verify fan-out reads
-        # (r15, split verify — see ppjoin_verify): materialized once so
-        # chunks neither re-run the prefix window nor re-decrypt
-        suffix_m = _materialize(suffix, "suffix", ("tok",))
+    else:
+        tf, gram_counts, arrays = _shingle_tf_census_arrays(
+            docs, spill_safe=encrypt_scratch, pins=pins
+        )
+
+    budget = None
+    if forced is None:
+        budget = grouped_scratch_budget(spark, work)
+        # Bound prescreen (r16, VERDICT r15 #1): before materializing
+        # anything, upper-bound the verify incidence from the gram census
+        # alone. Candidate-join hits are at most sum_g df_g^2 (prefix
+        # rows per gram <= posting rows per gram = df_g), distinct pairs
+        # <= hits, and each pair contributes ma+mb <= 2*m_max incidence
+        # rows, so  est_rows <= (sum_g df_g^2) * 2 * m_max.  When even
+        # this BOUND fits the scratch budget in one chunk, no spill
+        # bounding is needed and the bounded-spill plan IS the monolithic
+        # plan: every scratch materialization, census and chunk write
+        # exists only so n_chunks > 1 can re-read instead of recompute —
+        # at n_chunks = 1 they were pure job-chain overhead (the measured
+        # ~40 sequential driver-blocking jobs putting a 2-3 s floor under
+        # q55d/q49e at sf0.1, VERDICT r15 #1). A template corpus pushes
+        # df_g^2 quadratic and blows the bound, so the exact-census path
+        # below engages — the prescreen errs conservative by construction
+        # (bound >= exact). Cost when it fails: one vocabulary-sized
+        # aggregate over the already-checkpointed array frame. Doubles
+        # avoid the bigint overflow df^2 would hit at web scale; the
+        # bound needs no exactness, only monotonicity.
+        if op == "q49c":
+            row = (
+                toks.groupBy("tok")
+                .agg(F.count(F.lit(1)).alias("__c"), F.max("m").alias("__mm"))
+                .agg(
+                    F.sum((F.col("__c") * F.col("__c")).cast("double")).alias("h"),
+                    F.max("__mm").alias("mm"),
+                )
+                .first()
+            )
+            hits_bound, m_max = float(row["h"] or 0.0), int(row["mm"] or 0)
+        else:
+            # one fused job (mirrors the q49c branch): per-gram df AND
+            # per-doc distinct-gram size ride the same exploded frame
+            row = (
+                arrays.select(
+                    F.size(F.array_distinct("gs")).alias("m"),
+                    F.explode(F.array_distinct("gs")).alias("g"),
+                )
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("__c"), F.max("m").alias("__mm"))
+                .agg(
+                    F.sum((F.col("__c") * F.col("__c")).cast("double")).alias("h"),
+                    F.max("__mm").alias("mm"),
+                )
+                .first()
+            )
+            hits_bound, m_max = float(row["h"] or 0.0), int(row["mm"] or 0)
+        bound_rows = hits_bound * 2.0 * m_max
+        if bound_rows * GROUPED_VERIFY_ROW_BYTES <= budget:
+            LAST_GROUPED_SIZING.clear()
+            LAST_GROUPED_SIZING.update(
+                op=op,
+                mode="bound_prescreen",
+                est_rows=int(min(bound_rows, float(2**62))),
+                est_bytes=int(
+                    min(bound_rows * GROUPED_VERIFY_ROW_BYTES, float(2**62))
+                ),
+                budget_bytes=budget,
+                n_chunks=1,
+            )
+            if op == "q49c":
+                result = ppjoin_verify(toks, cand, suffix=suffix)
+            else:
+                nrm = tf.groupBy("doc_id").agg(
+                    F.sum(F.col("w") * F.col("w")).alias("n2")
+                )
+                cand, suffix = allpairs_candidates(
+                    tf, nrm, gram_counts=gram_counts, split_verify=True
+                )
+                result = allpairs_verify(tf, nrm, cand, suffix=suffix)
+            if not pins:
+                # plaintext scratch (q49e/q55d): nothing is pinned, so
+                # hand the lazy monolithic frame straight back — the
+                # caller's one action computes it end to end, exactly
+                # like q49c/q55c
+                return result
+            # encrypted-lake path (q49f): the MEMORY_ONLY decrypt pins
+            # must outlive every consumer, so materialize the ANSWER
+            # frame (id pairs + exact scores — plaintext by the same
+            # keyless-id convention as the chunk outputs) before
+            # releasing them
+            out = f"{work}/out/chunk_0"
+            try:
+                schema = result.schema
+                result.write.mode("overwrite").parquet(out)
+            finally:
+                for p in pins:
+                    p.unpersist()
+            return spark.read.schema(schema).parquet(out)
+        LAST_GROUPED_SIZING.clear()  # the exact census below re-records
+
+    # ---- exact-census path: chunking forced, or the bound exceeds the
+    # scratch budget. Independent scratch writes overlap via a small
+    # driver thread pool (guide §2.6): the materializations are separate
+    # Spark jobs with no mutual dependency, and running them serially
+    # left the session idling through each write's task tail — part of
+    # the measured grouped job-chain floor.
+    from concurrent.futures import ThreadPoolExecutor
+
+    if op == "q49c":
+        with ThreadPoolExecutor(max_workers=3) as pool:
+            f_toks = pool.submit(_materialize, toks, "toks", ("tok",))
+            # the suffix posting frame every chunk's verify fan-out reads
+            # (r15, split verify — see ppjoin_verify): materialized once
+            # so chunks neither re-run the prefix window nor re-decrypt
+            f_suffix = pool.submit(_materialize, suffix, "suffix", ("tok",))
+            f_cand = pool.submit(_materialize, cand, "cand")
+            toks_m = f_toks.result()
+            suffix_m = f_suffix.result()
+            cand_m = f_cand.result()
 
         def _verify(part: DataFrame, salted: bool) -> DataFrame:
             return ppjoin_verify(toks_m, part, salted=salted, suffix=suffix_m)
 
     else:
-        tf = shingle_tf(docs, spill_safe=encrypt_scratch, pins=pins)
         # m (distinct grams per doc) rides on the norm frame so the
         # sizing census reads per-doc posting sizes from the TINY nrm
         # parquet instead of re-aggregating the full postings scratch
@@ -3500,17 +3655,24 @@ def grouped_exact_join(
             F.sum(F.col("w") * F.col("w")).alias("n2"),
             F.count(F.lit(1)).alias("m"),
         )
-        tf_m = _materialize(tf, "tf", ("g",))
-        nrm_m = _materialize(nrm, "nrm")
-        cand, suffix = allpairs_candidates(tf_m, nrm_m, split_verify=True)
-        suffix_m = _materialize(suffix, "suffix", ("g",))
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_tf = pool.submit(_materialize, tf, "tf", ("g",))
+            f_nrm = pool.submit(_materialize, nrm, "nrm")
+            tf_m = f_tf.result()
+            nrm_m = f_nrm.result()
+        cand, suffix = allpairs_candidates(
+            tf_m, nrm_m, gram_counts=gram_counts, split_verify=True
+        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_cand = pool.submit(_materialize, cand, "cand")
+            f_suffix = pool.submit(_materialize, suffix, "suffix", ("g",))
+            cand_m = f_cand.result()
+            suffix_m = f_suffix.result()
 
         def _verify(part: DataFrame, salted: bool) -> DataFrame:
             return allpairs_verify(
                 tf_m, nrm_m, part, salted=salted, suffix=suffix_m
             )
-
-    cand_m = _materialize(cand, "cand")
 
     def _cand_census(with_sizing: bool) -> tuple[int, int]:
         """(est incidence rows, max per-doc_a candidate count) over the
@@ -3536,33 +3698,29 @@ def grouped_exact_join(
         ).first()
         return int(row["rows"] or 0), int(row["vmax"] or 0)
 
-    if n_chunks is None:
-        env = _os.environ.get("SPARK_GRAFT_GROUPED_CHUNKS")
-        if env:
-            n_chunks = max(1, int(env))
-            _, vmax = _cand_census(with_sizing=False)
-        else:
-            import math as _math
-
-            budget = grouped_scratch_budget(spark, work)
-            est_rows, vmax = _cand_census(with_sizing=True)
-            n_chunks = max(
-                1,
-                min(
-                    GROUPED_MAX_CHUNKS,
-                    int(_math.ceil(est_rows * GROUPED_VERIFY_ROW_BYTES / budget)),
-                ),
-            )
-            LAST_GROUPED_SIZING.clear()
-            LAST_GROUPED_SIZING.update(
-                op=op,
-                est_rows=est_rows,
-                est_bytes=est_rows * GROUPED_VERIFY_ROW_BYTES,
-                budget_bytes=budget,
-                n_chunks=n_chunks,
-            )
-    else:
+    if forced is not None:
+        n_chunks = forced
         _, vmax = _cand_census(with_sizing=False)
+    else:
+        import math as _math
+
+        est_rows, vmax = _cand_census(with_sizing=True)
+        n_chunks = max(
+            1,
+            min(
+                GROUPED_MAX_CHUNKS,
+                int(_math.ceil(est_rows * GROUPED_VERIFY_ROW_BYTES / budget)),
+            ),
+        )
+        LAST_GROUPED_SIZING.clear()
+        LAST_GROUPED_SIZING.update(
+            op=op,
+            mode="exact_census",
+            est_rows=est_rows,
+            est_bytes=est_rows * GROUPED_VERIFY_ROW_BYTES,
+            budget_bytes=budget,
+            n_chunks=n_chunks,
+        )
 
     # ONE census over the full materialized candidate frame decides
     # verify salting for every chunk (a residue class's per-doc_a counts

@@ -46,7 +46,15 @@ def widened(df: DataFrame, min_parts: int | None = None) -> DataFrame:
     was too small for its compute. Round-robin with Spark's default
     sort-before-repartition stays retry-deterministic, and every
     consumer below these sites is key-partitioned aggregation/join work,
-    so results are partitioning-independent."""
+    so results are partitioning-independent.
+
+    CALL-SITE RESTRICTION (ADVICE r15): the width probe is
+    ``df.rdd.getNumPartitions()``, and accessing ``.rdd`` under AQE
+    finalizes the physical plan — on a frame with an exchange or an
+    Arrow map below it that can EXECUTE upstream stages as an extra job
+    per call. Every current call site is a scan+project (plan-only,
+    no job); keep it that way — widen at the scan, never above a
+    shuffle, checkpoint or mapInArrow."""
     spark = df.sparkSession
     target = min_parts or spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() >= target:

