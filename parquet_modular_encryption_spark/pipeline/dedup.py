@@ -2296,6 +2296,7 @@ def salted_hot_feature_join(
     threshold: int = PAIR_CELL_TARGET,
     left_subset_of_right: bool = False,
     right_counts: DataFrame | None = None,
+    right_max: int | None = None,
 ) -> DataFrame:
     """``left.join(right, key)`` with hot keys fragment-replicated over a
     per-key 2D grid — the bipartite generalization of
@@ -2334,14 +2335,25 @@ def salted_hot_feature_join(
     postings (shingle_tf_with_census folds it to vocabulary size on the
     map side); threading it in removes the census pass that taxed every
     clean-corpus q55c run. Must be EXACTLY the right frame's per-key
-    row count — both the prescreen and the grid sizing read it."""
+    row count — both the prescreen and the grid sizing read it.
+
+    ``right_max``: precomputed ``max(__rn)`` (r16). The grouped bound
+    prescreen already folds the per-gram census into one driver action;
+    passing its max here removes the prescreen's own ``rc.agg(max)``
+    action — the last extra job the bound path paid over the monolith.
+    Must equal the exact max per-key right count; None keeps the
+    self-computed census action."""
     rc = (
         right_counts
         if right_counts is not None
         else right.groupBy(key).agg(F.count(F.lit(1)).alias("__rn"))
     )
     if left_subset_of_right:
-        rmax = int(rc.agg(F.max("__rn")).first()[0] or 0)
+        rmax = (
+            int(right_max)
+            if right_max is not None
+            else int(rc.agg(F.max("__rn")).first()[0] or 0)
+        )
         if rmax * rmax <= threshold:
             # pinned: the join's OUTPUT (sharing pairs) dwarfs its input
             # bytes, and AQE sizes the stage by shuffle-read bytes — a
@@ -2407,6 +2419,7 @@ def allpairs_candidates(
     nrm: DataFrame,
     gram_counts: DataFrame | None = None,
     split_verify: bool = False,
+    gram_max: int | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Prefix-filtered candidate pairs (doc_a < doc_b): a SUPERSET of all
     pairs with cosine >= t, generated without ever joining on a hot
@@ -2415,6 +2428,11 @@ def allpairs_candidates(
     ``gram_counts``: optional precomputed per-gram df census
     (see :func:`shingle_tf_with_census`) forwarded to the hot-feature
     prescreen so it skips its own postings aggregate (VERDICT r14 #4).
+
+    ``gram_max`` (r16): precomputed ``max(df)`` over the gram census,
+    forwarded to the prescreen so it skips its own max action entirely
+    (the grouped bound prescreen computes it as a byproduct of the same
+    fused job). Must be the exact max or None.
 
     ``split_verify`` (r15, the PPJoin positional-sum idea applied to
     Bayardo): return ``(cand, suffix)`` where cand carries ``dot_p`` —
@@ -2460,6 +2478,7 @@ def allpairs_candidates(
         r_salt="doc_b",
         left_subset_of_right=True,  # prefix rows per gram ⊆ postings rows
         right_counts=gram_counts,
+        right_max=gram_max,
     )
     ordered = hits.filter(F.col("doc_a") < F.col("doc_b"))
     if not split_verify:
@@ -3530,6 +3549,7 @@ def grouped_exact_join(
         )
 
     budget = None
+    gram_max: int | None = None  # q55c-op prescreen byproduct (max df)
     if forced is None:
         budget = grouped_scratch_budget(spark, work)
         # Bound prescreen (r16, VERDICT r15 #1): before materializing
@@ -3564,7 +3584,11 @@ def grouped_exact_join(
             hits_bound, m_max = float(row["h"] or 0.0), int(row["mm"] or 0)
         else:
             # one fused job (mirrors the q49c branch): per-gram df AND
-            # per-doc distinct-gram size ride the same exploded frame
+            # per-doc distinct-gram size ride the same exploded frame.
+            # max df rides along too — it is exactly the hot-feature
+            # prescreen's census max, so the bound path can hand it to
+            # salted_hot_feature_join and pay ZERO extra actions over
+            # the monolith (this job replaces the prescreen's own).
             row = (
                 arrays.select(
                     F.size(F.array_distinct("gs")).alias("m"),
@@ -3575,10 +3599,12 @@ def grouped_exact_join(
                 .agg(
                     F.sum((F.col("__c") * F.col("__c")).cast("double")).alias("h"),
                     F.max("__mm").alias("mm"),
+                    F.max("__c").alias("rmax"),
                 )
                 .first()
             )
             hits_bound, m_max = float(row["h"] or 0.0), int(row["mm"] or 0)
+            gram_max = int(row["rmax"] or 0)
         bound_rows = hits_bound * 2.0 * m_max
         if bound_rows * GROUPED_VERIFY_ROW_BYTES <= budget:
             LAST_GROUPED_SIZING.clear()
@@ -3599,7 +3625,11 @@ def grouped_exact_join(
                     F.sum(F.col("w") * F.col("w")).alias("n2")
                 )
                 cand, suffix = allpairs_candidates(
-                    tf, nrm, gram_counts=gram_counts, split_verify=True
+                    tf,
+                    nrm,
+                    gram_counts=gram_counts,
+                    split_verify=True,
+                    gram_max=gram_max,
                 )
                 result = allpairs_verify(tf, nrm, cand, suffix=suffix)
             if not pins:
@@ -3661,7 +3691,11 @@ def grouped_exact_join(
             tf_m = f_tf.result()
             nrm_m = f_nrm.result()
         cand, suffix = allpairs_candidates(
-            tf_m, nrm_m, gram_counts=gram_counts, split_verify=True
+            tf_m,
+            nrm_m,
+            gram_counts=gram_counts,
+            split_verify=True,
+            gram_max=gram_max,
         )
         with ThreadPoolExecutor(max_workers=2) as pool:
             f_cand = pool.submit(_materialize, cand, "cand")
